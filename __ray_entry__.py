@@ -4,41 +4,128 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The CDC queries derive a deterministic change stream from the `events`
+table (``nifi_processors_ray.synth.CHANGELOG_FROM_EVENTS_CTE`` is the
+SQL twin of the Python derivation — tested in lockstep), replay it
+through the engine, and expose the converged lake / rejected / lineage
+tables.  Ray is initialised by the driver BEFORE this module is
+imported: nothing here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+from nifi_processors_ray.config import EngineConfig
+from nifi_processors_ray.pipelines.replay import CdcEngine
+from nifi_processors_ray.synth import (
+    CHANGELOG_FROM_EVENTS_CTE,
+    VALID_PREDICATE_SQL,
+    write_changelog_from_events,
+)
+
+
+def _changelog_dir(sf_dir: str) -> str:
+    """Derive (once, cached) the changelog for a given sf_dir."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"npr_changelog_{tag}")
+    write_changelog_from_events(sf_dir, out, files=4)
+    return out
+
+
+def _replayed_engine(sf_dir: str, **over) -> CdcEngine:
+    """Fresh lake, full replay of the derived changelog."""
+    lake = tempfile.mkdtemp(prefix="npr_lake_")
+    kwargs = dict(
+        lake_dir=lake,
+        changelog_paths=(_changelog_dir(sf_dir),),
+        num_partitions=16,
+        salt_factor=4,
+        epoch_events=5_000_000,
+    )
+    kwargs.update(over)
+    eng = CdcEngine(EngineConfig(**kwargs))
+    eng.replay()
+    return eng
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: CDC replay of the sf0.001-derived change stream
+    to a converged lake; returns the final transcript table."""
+    eng = _replayed_engine("/root/testdata/sf0.001")
+    return eng.final_state(sort=True)
+
+
+def _q_cdc_replay(sf_dir: str):
+    return _replayed_engine(sf_dir).final_state(sort=True)
+
+
+def _q_cdc_rejected(sf_dir: str):
+    return _replayed_engine(sf_dir).rejected().sort("seq")
+
+
+def _q_cdc_lineage_metrics(sf_dir: str):
+    """Per-partition applied/rejected counts from the lineage log —
+    the groupby-aggregate metrics required by the north rule.  Not
+    SQL-expressible (partition = engine hash), so rows-only check."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    eng = _replayed_engine(sf_dir)
+    return (
+        eng.lineage()
+        .groupby("partition")
+        .aggregate(
+            Sum("n_applied", alias_name="applied"),
+            Sum("n_rejected", alias_name="rejected"),
+            Min("seq_lo", alias_name="seq_lo"),
+            Max("seq_hi", alias_name="seq_hi"),
+            Count(alias_name="batches"),
+        )
+        .sort("partition")
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_replay": _q_cdc_replay,
+        "cdc_rejected": _q_cdc_rejected,
+        "cdc_lineage_metrics": _q_cdc_lineage_metrics,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_replay": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+""",
+        "cdc_rejected": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE}
+SELECT seq, op, conv_id, turn_idx, role, text, tool, ts, batch_id,
+       CASE WHEN conv_id IS NULL THEN 'null_conv_id'
+            WHEN turn_idx < 0 THEN 'bad_turn_idx'
+            WHEN op <> 'D' AND text IS NULL THEN 'null_payload'
+       END AS reject_reason
+FROM _ch
+WHERE NOT ({VALID_PREDICATE_SQL})
+ORDER BY seq
+""",
+    }

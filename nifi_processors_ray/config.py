@@ -1,0 +1,126 @@
+"""Engine configuration — the property-descriptor system reborn.
+
+The reference configures its processors through typed, validated,
+defaulted NiFi property descriptors (18 consumer / 20 producer:
+``consumer/AbstractKinesisConsumerProcessor.java:62-224``,
+``producer/AbstractKinesisProducerProcessor.java:30-189``,
+``KinesisPropertyDescriptors.java:31-51``) with cross-field validation
+in ``customValidate`` (``consumer/AbstractKinesisConsumerProcessor.java:
+289-316``).  Here that surface is a frozen dataclass validated at
+construction time — the whole pipeline config fails fast before any
+data movement, like NiFi's flow-configuration-time validation.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, replace
+
+
+class ConfigError(ValueError):
+    """Raised for invalid engine configuration (the customValidate analog)."""
+
+
+# Initial-position enum — the reference's LATEST / TRIM_HORIZON
+# (``consumer/AbstractKinesisConsumerProcessor.java:84-95``).
+TRIM_HORIZON = "TRIM_HORIZON"   # replay from the beginning of the retained log
+LATEST = "LATEST"               # start at the tail
+
+_ALLOWED_INITIAL_POSITIONS = (TRIM_HORIZON, LATEST)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Validated engine configuration.
+
+    Field → reference-descriptor lineage:
+
+    - ``lake_dir`` / ``changelog_paths``: the stream-name descriptor
+      (``KinesisPropertyDescriptors.java:31-41``) generalized to URIs.
+    - ``batch_size``: consumer/producer batch size, 1..500 default 250
+      in the reference (``KinesisPropertyDescriptors.java:43-51``) —
+      here it is rows per Arrow batch, so the bound is much higher.
+    - ``epoch_events``: the consumer's max-records-per-request
+      (``consumer/AbstractKinesisConsumerProcessor.java:109-116``)
+      generalized to the replay window size.
+    - ``initial_position``: LATEST / TRIM_HORIZON.
+    - ``num_partitions`` (P): number of hash partitions of the lake —
+      the shard-count analog.  At cluster scale, P should be ≥ 4× total
+      cores so the merge stage never has fewer tasks than slots.
+    - ``salt_factor`` (S): static skew fan-out.  A conversation's turns
+      are spread over ``min(S, P)`` partitions by salting the conv_id
+      hash with ``hash(turn_idx) % S`` — see ``stages/partition.py`` for
+      why the salt must be a pure function of the key (lake placement
+      stability), unlike the reference's random-key fallback
+      (``producer/PutKinesisStream.java:267-269``).
+    - ``max_attempts``: per-record attempt lineage depth
+      (``producer/PutKinesisStream.java:287-301``); batches that fail
+      ``max_attempts`` times dead-letter instead of failing the run.
+    """
+
+    lake_dir: str
+    changelog_paths: tuple[str, ...] = ()
+    batch_size: int = 65536
+    epoch_events: int = 2_000_000
+    initial_position: str = TRIM_HORIZON
+    num_partitions: int = 32
+    salt_factor: int = 4
+    merge_concurrency: int | None = None   # actors in the merge pool; None = Ray decides
+    max_attempts: int = 3
+    target_rows_per_file: int = 1_000_000
+    # Credentials-style knobs kept for config-surface parity (the reference's
+    # access-key/secret/credentials-file triple, validated together):
+    access_key: str | None = None
+    secret_key: str | None = None
+    credentials_file: str | None = None
+
+    def __post_init__(self) -> None:
+        if not self.lake_dir:
+            raise ConfigError("lake_dir is required and must be non-empty")
+        if not (1 <= self.batch_size <= 10_000_000):
+            raise ConfigError(f"batch_size must be in [1, 10_000_000], got {self.batch_size}")
+        if self.epoch_events < 1:
+            raise ConfigError("epoch_events must be >= 1")
+        if self.initial_position not in _ALLOWED_INITIAL_POSITIONS:
+            raise ConfigError(
+                f"initial_position must be one of {_ALLOWED_INITIAL_POSITIONS}, "
+                f"got {self.initial_position!r}"
+            )
+        if self.num_partitions < 1:
+            raise ConfigError("num_partitions must be >= 1")
+        if self.salt_factor < 1:
+            raise ConfigError("salt_factor must be >= 1")
+        if self.max_attempts < 1:
+            raise ConfigError("max_attempts must be >= 1")
+        # Cross-field rules, mirroring customValidate
+        # (consumer/AbstractKinesisConsumerProcessor.java:289-316):
+        if (self.access_key is None) != (self.secret_key is None):
+            raise ConfigError("access_key and secret_key must be set together")
+        if self.credentials_file is not None and self.access_key is not None:
+            raise ConfigError("credentials_file and access/secret keys are mutually exclusive")
+        if self.credentials_file is not None and not os.path.exists(self.credentials_file):
+            raise ConfigError(f"credentials_file does not exist: {self.credentials_file}")
+
+    # Derived paths -------------------------------------------------------
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.lake_dir, "_manifest")
+
+    @property
+    def staging_dir(self) -> str:
+        return os.path.join(self.lake_dir, "_staging")
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.lake_dir, "data")
+
+    @property
+    def rejected_dir(self) -> str:
+        return os.path.join(self.lake_dir, "rejected")
+
+    @property
+    def lineage_dir(self) -> str:
+        return os.path.join(self.lake_dir, "lineage")
+
+    def with_(self, **kwargs) -> "EngineConfig":
+        return replace(self, **kwargs)

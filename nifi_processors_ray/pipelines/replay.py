@@ -1,0 +1,233 @@
+"""CDC replay driver: tail → validate → partition → merge → commit.
+
+The Ray-Data-native restatement of the reference's ingest path
+(SURVEY.md §3.1/§3.4).  One epoch = one seq window of the change log
+run through ONE streaming Dataset pipeline with exactly ONE shuffle
+(the hash partition before the merge), ending in a two-phase commit:
+
+    read_window(wm, hi]                       # offset-pruned parquet scan
+      .map_batches(validate_batch)            # stateless, zero-copy Arrow
+      .map_batches(add_partition_column)      # salted hash partitioner
+      .groupby(__part).map_groups(MergeApplier, ...)   # actor-pool COW merge
+      → lineage rows (tiny) → driver writes lineage parquet
+      → ManifestStore.commit(manifest)        # atomic rename = the commit point
+
+Crash anywhere before the manifest rename → the epoch never happened
+(staged files are overwritten on retry at the same deterministic
+paths); crash after → the epoch is fully visible.  That single atomic
+point is the exactly-once upgrade over the reference's
+checkpoint-then-commit gap (``consumer/GetKinesisStream.java:283-295``).
+
+NOTE: never calls ``ray.init``/``ray.shutdown`` — the session is owned
+by the caller (driver contract).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..config import EngineConfig
+from ..functions.hashing import engine_hash_fingerprint
+from ..schema import LINEAGE_SCHEMA, REJECTED_SCHEMA
+from ..sources import tailer
+from ..stages.merge import LAKE_SCHEMA, TRANSCRIPT_COLS, MergeApplier
+from ..stages.partition import PARTITION_COL, add_partition_column
+from ..stages.validate import validate_batch
+from ..state.manifest import Manifest, ManifestStore
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    seq_lo: int
+    seq_hi: int
+    n_applied: int
+    n_rejected: int
+    partitions_touched: int
+
+
+class CdcEngine:
+    def __init__(self, config: EngineConfig):
+        self.cfg = config
+        self.store = ManifestStore(config.manifest_dir)
+        self._infos: list[tailer.LogFileInfo] | None = None
+
+    # ------------------------------------------------------------------
+    def log_infos(self, refresh: bool = False) -> list[tailer.LogFileInfo]:
+        if self._infos is None or refresh:
+            files = tailer.discover_log_files(self.cfg.changelog_paths)
+            self._infos = tailer.scan_log(files)
+        return self._infos
+
+    def current_manifest(self) -> Manifest:
+        man = self.store.latest()
+        if man is None:
+            from ..config import LATEST
+
+            wm0 = tailer.head_seq(self.log_infos()) if self.cfg.initial_position == LATEST else -1
+            man = Manifest(
+                epoch=0,
+                num_partitions=self.cfg.num_partitions,
+                salt_factor=self.cfg.salt_factor,
+                hash_fingerprint=engine_hash_fingerprint(),
+                watermarks={p: wm0 for p in range(self.cfg.num_partitions)},
+            )
+        else:
+            if man.hash_fingerprint != engine_hash_fingerprint():
+                raise RuntimeError(
+                    "hash implementation drifted since this lake was written; "
+                    "refusing to resume (keys would land in wrong partitions): "
+                    f"{man.hash_fingerprint} != {engine_hash_fingerprint()}"
+                )
+            if man.num_partitions != self.cfg.num_partitions or man.salt_factor != self.cfg.salt_factor:
+                raise RuntimeError(
+                    "num_partitions/salt_factor differ from the committed lake's; "
+                    "partition placement is a pure function of these — "
+                    "use the manifest's values or rebuild the lake"
+                )
+        return man
+
+    # ------------------------------------------------------------------
+    def run_epoch(self, man: Manifest | None = None) -> EpochResult | None:
+        """Process the next seq window; returns None when caught up."""
+        man = man or self.current_manifest()
+        infos = self.log_infos()
+        head = tailer.head_seq(infos)
+        wm = man.min_watermark
+        if wm >= head:
+            return None
+        hi = min(wm + self.cfg.epoch_events, head)
+        epoch = man.epoch + 1
+
+        ds = tailer.read_window(infos, wm, hi)
+        if ds is None:
+            # hole in the log (nothing in window) — just advance watermarks
+            self._commit(man, epoch, hi, [], [])
+            return EpochResult(epoch, wm + 1, hi, 0, 0, 0)
+
+        P, S = self.cfg.num_partitions, self.cfg.salt_factor
+        ds = ds.map_batches(validate_batch, batch_format="pyarrow", batch_size=self.cfg.batch_size)
+        ds = ds.map_batches(
+            add_partition_column,
+            batch_format="pyarrow",
+            fn_kwargs={"num_partitions": P, "salt_factor": S},
+        )
+
+        manifest_ref = ray.put({"watermarks": man.watermarks, "files": man.files})
+        concurrency = self.cfg.merge_concurrency or self._default_concurrency(P)
+        lineage_ds = ds.groupby(PARTITION_COL).map_groups(
+            MergeApplier,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            fn_constructor_kwargs={
+                "lake_dir": self.cfg.lake_dir,
+                "epoch": epoch,
+                "manifest_ref": manifest_ref,
+            },
+        )
+        rows = lineage_ds.take_all()  # ≤ P rows — tiny
+        self._commit(man, epoch, hi, rows, [])
+        return EpochResult(
+            epoch=epoch,
+            seq_lo=wm + 1,
+            seq_hi=hi,
+            n_applied=sum(r["n_applied"] for r in rows),
+            n_rejected=sum(r["n_rejected"] for r in rows),
+            partitions_touched=sum(1 for r in rows if r["n_applied"] > 0),
+        )
+
+    def replay(self, max_epochs: int | None = None) -> list[EpochResult]:
+        """Replay until caught up with the log head (or max_epochs)."""
+        results = []
+        while max_epochs is None or len(results) < max_epochs:
+            res = self.run_epoch()
+            if res is None:
+                break
+            results.append(res)
+        return results
+
+    # ------------------------------------------------------------------
+    def _default_concurrency(self, num_partitions: int) -> int:
+        # Reserve slots for the upstream read/validate/shuffle tasks: an
+        # actor pool that holds EVERY cpu starves the producers feeding it
+        # and the streaming executor deadlocks (observed; also a documented
+        # Ray Data pitfall).
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        return max(1, min(num_partitions, cpus - 2))
+
+    def _commit(self, man: Manifest, epoch: int, hi: int, lineage_rows: list[dict], _unused) -> None:
+        files = dict(man.files)
+        rows_count = dict(man.rows)
+        rejected_files = list(man.rejected_files)
+        lineage_files = list(man.lineage_files)
+
+        for r in lineage_rows:
+            p = r["partition"]
+            data = [f for f in r["output_files"] if f.startswith("data/")]
+            rejs = [f for f in r["output_files"] if f.startswith("rejected/")]
+            if r["n_applied"] > 0:
+                files[p] = data  # COW: full-partition rewrite replaces the file set
+                rows_count[p] = r["n_rows_after"]
+            rejected_files.extend(rejs)
+
+        if lineage_rows:
+            rel = f"lineage/epoch={epoch}.parquet"
+            path = os.path.join(self.cfg.lake_dir, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            cols = {f.name: [r[f.name] for r in lineage_rows] for f in LINEAGE_SCHEMA}
+            pq.write_table(pa.Table.from_pydict(cols, schema=LINEAGE_SCHEMA), path)
+            lineage_files.append(rel)
+
+        new_man = Manifest(
+            epoch=epoch,
+            num_partitions=man.num_partitions,
+            salt_factor=man.salt_factor,
+            hash_fingerprint=man.hash_fingerprint,
+            watermarks={p: hi for p in range(man.num_partitions)},
+            files=files,
+            rows=rows_count,
+            lineage_files=lineage_files,
+            rejected_files=rejected_files,
+        )
+        self.store.commit(new_man)
+
+    # ------------------------------------------------------------------
+    # Readers over the committed snapshot
+    def final_state(self, sort: bool = False) -> ray.data.Dataset:
+        """The lake as of the latest commit (transcript columns)."""
+        man = self.store.latest()
+        paths = []
+        if man:
+            for fs in man.files.values():
+                paths.extend(os.path.join(self.cfg.lake_dir, f) for f in fs)
+        if not paths:
+            return ray.data.from_arrow(LAKE_SCHEMA.empty_table().select(TRANSCRIPT_COLS))
+        ds = ray.data.read_parquet(paths, columns=TRANSCRIPT_COLS)
+        if sort:
+            ds = ds.sort(["conv_id", "turn_idx"])
+        return ds
+
+    def lineage(self) -> ray.data.Dataset:
+        man = self.store.latest()
+        paths = [os.path.join(self.cfg.lake_dir, f) for f in (man.lineage_files if man else [])]
+        if not paths:
+            return ray.data.from_arrow(LINEAGE_SCHEMA.empty_table())
+        # columns pinned so the epoch=N path segment isn't inferred as a
+        # hive-partition column
+        return ray.data.read_parquet(paths, columns=[f.name for f in LINEAGE_SCHEMA])
+
+    def rejected(self) -> ray.data.Dataset:
+        man = self.store.latest()
+        paths = [os.path.join(self.cfg.lake_dir, f) for f in (man.rejected_files if man else [])]
+        if not paths:
+            return ray.data.from_arrow(REJECTED_SCHEMA.empty_table())
+        return ray.data.read_parquet(paths, columns=[f.name for f in REJECTED_SCHEMA])

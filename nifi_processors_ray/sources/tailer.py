@@ -1,0 +1,108 @@
+"""Change-event tailer — the ``GetKinesisStream`` role.
+
+The reference tails a sharded stream via the KCL: per-shard leases,
+ordered batches, a checkpoint of the last processed record
+(``consumer/GetKinesisStream.java:75-347``).  Ray-Data-natively, the
+"stream" is an ordered, partitioned Parquet change log; tailing is
+reading the next seq window ``(watermark, hi]`` as a ``Dataset``:
+
+- **Offset pruning at the read**: parquet footer statistics give each
+  file's ``[seq_min, seq_max]``; files outside the window never leave
+  storage, and a row-group filter (``seq > lo AND seq <= hi``) is pushed
+  into the scan for the files that remain — the analog of resuming a
+  shard iterator at a sequence number rather than TRIM_HORIZON.
+- **Schema drift**: old log files may physically lack late-added columns
+  (``tool``).  Files are grouped by physical schema and read per group;
+  the downstream validate stage aligns every batch onto the unified
+  changelog schema (``schema.align_to_schema``).
+- ``initial_position`` LATEST/TRIM_HORIZON (the reference's
+  ``consumer/AbstractKinesisConsumerProcessor.java:84-95``) maps to
+  starting the watermark at the head or at -1.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray.data
+
+
+@dataclass(frozen=True)
+class LogFileInfo:
+    path: str
+    seq_min: int
+    seq_max: int
+    columns: tuple[str, ...]
+
+
+def scan_log(paths: list[str]) -> list[LogFileInfo]:
+    """Read footer metadata (driver-side, cheap) for offset pruning."""
+    infos = []
+    for p in sorted(paths):
+        md = pq.ParquetFile(p)
+        schema = md.schema_arrow
+        seq_idx = schema.get_field_index("seq")
+        lo, hi = None, None
+        meta = md.metadata
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(seq_idx).statistics
+            if st is None or not st.has_min_max:
+                lo, hi = None, None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:  # no stats → assume the file may contain anything
+            lo, hi = -(2**62), 2**62
+        infos.append(LogFileInfo(p, int(lo), int(hi), tuple(schema.names)))
+    return infos
+
+
+def discover_log_files(paths_or_dirs: list[str] | tuple[str, ...]) -> list[str]:
+    files = []
+    for p in paths_or_dirs:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+        else:
+            files.append(p)
+    return files
+
+
+def head_seq(infos: list[LogFileInfo]) -> int:
+    """The tail position of the log (max committed seq)."""
+    return max((i.seq_max for i in infos), default=-1)
+
+
+def read_window(
+    infos: list[LogFileInfo],
+    lo: int,
+    hi: int,
+    *,
+    concurrency: int | None = None,
+) -> ray.data.Dataset | None:
+    """Dataset of change events with ``lo < seq <= hi``.
+
+    Returns None when no file intersects the window.  Blocks may have
+    heterogeneous physical schemas (drifted files); the validate stage
+    unifies them.
+    """
+    live = [i for i in infos if i.seq_max > lo and i.seq_min <= hi]
+    if not live:
+        return None
+    flt = (pc.field("seq") > lo) & (pc.field("seq") <= hi)
+    by_schema: dict[tuple[str, ...], list[str]] = {}
+    for i in live:
+        by_schema.setdefault(i.columns, []).append(i.path)
+    parts = [
+        ray.data.read_parquet(ps, filter=flt, concurrency=concurrency)
+        for ps in by_schema.values()
+    ]
+    ds = parts[0]
+    for other in parts[1:]:
+        ds = ds.union(other)
+    return ds

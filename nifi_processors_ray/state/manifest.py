@@ -1,0 +1,126 @@
+"""Two-phase-commit manifest: the exactly-once core.
+
+The reference checkpoints the stream position BEFORE committing the
+downstream session (``consumer/GetKinesisStream.java:283-295``) —
+at-least-once with possible skips/duplicates on a crash between the
+two.  This engine closes that gap: the per-partition watermarks, the
+live data-file list, and the lineage pointer are all recorded in ONE
+manifest JSON whose commit is a single atomic ``os.rename``.  Data and
+rejected files are written to their final (deterministic) paths first
+— phase 1, invisible because no manifest references them — and become
+visible only when the manifest lands — phase 2.  A crash at any point
+leaves the previous manifest (and therefore the previous consistent
+snapshot) intact; orphaned files from a failed epoch are simply
+re-written (same deterministic names) when the epoch is retried.
+
+Replay idempotence: the tailer reads only ``seq > min(watermarks)``,
+and the merge stage additionally drops rows with
+``seq <= watermark[partition]`` — so a duplicated / retried batch
+(Ray task retry = the reference's lease-failover redelivery,
+``consumer/AbstractKinesisConsumerProcessor.java:97-104``) applies as
+a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Manifest:
+    epoch: int
+    num_partitions: int
+    salt_factor: int
+    hash_fingerprint: str
+    # per-partition high-water mark of applied change seq
+    watermarks: dict[int, int] = field(default_factory=dict)
+    # per-partition list of live data files (relative to lake_dir)
+    files: dict[int, list[str]] = field(default_factory=dict)
+    # per-partition current row count (for metrics / compaction planning)
+    rows: dict[int, int] = field(default_factory=dict)
+    lineage_files: list[str] = field(default_factory=list)
+    rejected_files: list[str] = field(default_factory=list)
+    committed_at: float = 0.0
+
+    def watermark(self, part: int) -> int:
+        return self.watermarks.get(part, -1)
+
+    @property
+    def min_watermark(self) -> int:
+        if len(self.watermarks) < self.num_partitions:
+            return -1
+        return min(self.watermarks.values()) if self.watermarks else -1
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "format_version": 1,
+                "epoch": self.epoch,
+                "num_partitions": self.num_partitions,
+                "salt_factor": self.salt_factor,
+                "hash_fingerprint": self.hash_fingerprint,
+                "watermarks": {str(k): v for k, v in self.watermarks.items()},
+                "files": {str(k): v for k, v in self.files.items()},
+                "rows": {str(k): v for k, v in self.rows.items()},
+                "lineage_files": self.lineage_files,
+                "rejected_files": self.rejected_files,
+                "committed_at": self.committed_at,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        return Manifest(
+            epoch=d["epoch"],
+            num_partitions=d["num_partitions"],
+            salt_factor=d["salt_factor"],
+            hash_fingerprint=d["hash_fingerprint"],
+            watermarks={int(k): v for k, v in d["watermarks"].items()},
+            files={int(k): v for k, v in d["files"].items()},
+            rows={int(k): v for k, v in d.get("rows", {}).items()},
+            lineage_files=d.get("lineage_files", []),
+            rejected_files=d.get("rejected_files", []),
+            committed_at=d.get("committed_at", 0.0),
+        )
+
+
+class ManifestStore:
+    """Atomic manifest persistence under ``{lake_dir}/_manifest``.
+
+    Layout: ``manifest-{epoch:010d}.json`` (immutable snapshots) +
+    ``CURRENT`` (a one-line pointer file, swapped by atomic rename).
+    """
+
+    def __init__(self, manifest_dir: str):
+        self.dir = manifest_dir
+        os.makedirs(self.dir, exist_ok=True)
+
+    def latest(self) -> Manifest | None:
+        cur = os.path.join(self.dir, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.dir, name)) as f:
+            return Manifest.from_json(f.read())
+
+    def commit(self, manifest: Manifest) -> str:
+        """Atomically publish ``manifest`` as the current snapshot."""
+        manifest.committed_at = time.time()
+        name = f"manifest-{manifest.epoch:010d}.json"
+        self._atomic_write(os.path.join(self.dir, name), manifest.to_json())
+        self._atomic_write(os.path.join(self.dir, "CURRENT"), name)
+        return name
+
+    def _atomic_write(self, path: str, content: str) -> None:
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
