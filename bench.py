@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data-native CDC engine.
+
+Headline metric (BASELINE.json): change-events/sec replay throughput to
+a converged lake state.  The harness replays a deterministic generated
+change stream (``synth.write_generated_changelog`` — inserts/updates/
+deletes, invalid rows, one hot conversation, schema evolution) through
+the full pipeline (tail → validate → salted hash partition → actor-pool
+LWW merge → 2PC manifest commit) and reports events/sec, plus wall time
+for each driver-contract query over ``$GRAFT_SF_DIR``.
+
+Modes:
+  python bench.py                 # full bench at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling       # same replay at num_cpus=8 and 32 in FRESH
+                                  # processes on the SAME input; reports both
+                                  # throughputs + scaling efficiency (the
+                                  # sandbox evidence for the north rule's
+                                  # N→4N ≥0.8 criterion) into BENCH/SCALING.json
+                                  # and BENCH/BASELINE.md
+
+Prints exactly ONE JSON line on stdout (everything else goes to stderr).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _bench_changelog(n_events: int) -> str:
+    """Generate (once, cached) the bench change stream under /tmp."""
+    from nifi_processors_ray.synth import write_generated_changelog
+
+    out = os.path.join(tempfile.gettempdir(), f"npr_bench_changelog_{n_events}")
+    write_generated_changelog(out, n_events, files=32)
+    return out
+
+
+def run_replay(n_events: int, num_cpus: int) -> dict:
+    """Replay the generated stream into a fresh lake; return timing."""
+    from nifi_processors_ray.config import EngineConfig
+    from nifi_processors_ray.pipelines.replay import CdcEngine
+
+    log_dir = _bench_changelog(n_events)
+    lake = tempfile.mkdtemp(prefix="npr_bench_lake_")
+    try:
+        cfg = EngineConfig(
+            lake_dir=lake,
+            changelog_paths=(log_dir,),
+            num_partitions=max(64, 2 * num_cpus),
+            salt_factor=4,
+            epoch_events=n_events,  # single epoch = pure streaming pass
+        )
+        eng = CdcEngine(cfg)
+        t0 = time.perf_counter()
+        results = eng.replay()
+        wall = time.perf_counter() - t0
+        applied = sum(r.n_applied for r in results)
+        rejected = sum(r.n_rejected for r in results)
+        return {
+            "replay_sec": round(wall, 3),
+            "events": n_events,
+            "events_per_sec": round(n_events / wall, 1),
+            "applied": applied,
+            "rejected": rejected,
+            "epochs": len(results),
+        }
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Time every driver-contract query at sf_dir."""
+    import __ray_entry__ as e
+
+    out: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        # consume lazily-built Datasets so we time real execution
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        _log(f"  query {name}: {out[name]}s")
+    return out
+
+
+def main_bench(args) -> dict:
+    import ray
+
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    try:
+        _log(f"replaying {args.events} generated change events at num_cpus={num_cpus}")
+        rep = run_replay(args.events, num_cpus)
+        _log(f"  {rep['events_per_sec']} events/s ({rep['replay_sec']}s)")
+        queries = {}
+        if args.queries:
+            sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+            queries = run_queries(sf_dir)
+        return {
+            "metric": "cdc_replay_to_converged_lake",
+            "value": rep["replay_sec"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/").rsplit("sf", 1)[-1],
+            "num_cpus": num_cpus,
+            "events": rep["events"],
+            "events_per_sec": rep["events_per_sec"],
+            "applied": rep["applied"],
+            "rejected": rep["rejected"],
+        }
+    finally:
+        ray.shutdown()
+
+
+def main_scaling(args) -> dict:
+    """North-rule scaling evidence: the same job at two parallelism levels
+    in fresh processes on the same pre-generated input."""
+    _bench_changelog(args.events)  # generate once; children reuse the cache
+    levels = (args.scale_lo, args.scale_hi)
+    results = {}
+    for cpus in levels:
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--cpus",
+            str(cpus),
+            "--events",
+            str(args.events),
+            "--no-queries",
+        ]
+        _log(f"scaling child: num_cpus={cpus}")
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__))
+        )
+        if proc.returncode != 0:
+            _log(proc.stderr[-2000:])
+            raise SystemExit(f"scaling child (cpus={cpus}) failed")
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+        _log(f"  num_cpus={cpus}: {results[cpus]['events_per_sec']} events/s")
+
+    lo, hi = levels
+    thr_lo = results[lo]["events_per_sec"]
+    thr_hi = results[hi]["events_per_sec"]
+    efficiency = round(thr_hi / (thr_lo * (hi / lo)), 3)
+    out = {
+        "metric": "scaling_efficiency",
+        "value": efficiency,
+        "unit": "ratio",
+        "queries": {f"replay_cpus{c}": results[c]["value"] for c in levels},
+        "sf": "generated",
+        "num_cpus": hi,
+        "events": args.events,
+        "throughput": {str(c): results[c]["events_per_sec"] for c in levels},
+        "cpu_ratio": hi / lo,
+    }
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "SCALING.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
+        f.write(
+            "# Measured scaling (sandbox evidence for the N→4N criterion)\n\n"
+            f"Same job — replay of {args.events:,} generated change events to a "
+            "converged lake — run in fresh processes on the same input:\n\n"
+            "| num_cpus | replay sec | events/s |\n|---|---|---|\n"
+            + "".join(
+                f"| {c} | {results[c]['value']} | {results[c]['events_per_sec']} |\n"
+                for c in levels
+            )
+            + f"\n**Scaling efficiency ({lo}→{hi} cpus, {hi // lo}×): "
+            f"{efficiency}** (north-rule target ≥0.8)\n"
+        )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--events", type=int, default=int(os.environ.get("GRAFT_BENCH_EVENTS", "2000000")))
+    ap.add_argument("--scale-lo", type=int, default=8)
+    ap.add_argument("--scale-hi", type=int, default=32)
+    ap.add_argument("--no-queries", dest="queries", action="store_false")
+    args = ap.parse_args()
+    out = main_scaling(args) if args.scaling else main_bench(args)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,12 +84,15 @@ def read_window(
     hi: int,
     *,
     concurrency: int | None = None,
+    num_blocks: int | None = None,
 ) -> ray.data.Dataset | None:
     """Dataset of change events with ``lo < seq <= hi``.
 
     Returns None when no file intersects the window.  Blocks may have
     heterogeneous physical schemas (drifted files); the validate stage
-    unifies them.
+    unifies them.  ``num_blocks`` overrides Ray's size-based block
+    coalescing (which would otherwise serialize the downstream shuffle
+    + merge when the window is small relative to 128 MiB blocks).
     """
     live = [i for i in infos if i.seq_max > lo and i.seq_min <= hi]
     if not live:
@@ -99,7 +102,14 @@ def read_window(
     for i in live:
         by_schema.setdefault(i.columns, []).append(i.path)
     parts = [
-        ray.data.read_parquet(ps, filter=flt, concurrency=concurrency)
+        ray.data.read_parquet(
+            ps,
+            filter=flt,
+            concurrency=concurrency,
+            override_num_blocks=(
+                max(1, num_blocks * len(ps) // len(live)) if num_blocks else None
+            ),
+        )
         for ps in by_schema.values()
     ]
     ds = parts[0]

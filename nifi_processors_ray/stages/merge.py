@@ -36,7 +36,6 @@ from __future__ import annotations
 import os
 import time
 
-import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -63,6 +62,9 @@ LAKE_SCHEMA = pa.schema(
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
+_MERGE_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "seq", "op"]
+
+
 def lww_merge(prior: pa.Table | None, changes: pa.Table) -> pa.Table:
     """Pure LWW upsert: prior lake rows + change rows → new lake rows.
 
@@ -70,25 +72,53 @@ def lww_merge(prior: pa.Table | None, changes: pa.Table) -> pa.Table:
     already-applied upserts.  Winner per key = max seq; winning 'D'
     deletes the key.  Output is LAKE_SCHEMA-shaped, sorted by
     (conv_id, turn_idx) for stable ordering and read locality.
+
+    Single-threaded pyarrow kernels on purpose: this runs inside a
+    merge-actor pool with one task per CPU slot — a per-task parallel
+    runtime (polars' global thread pool) would oversubscribe the node
+    (measured: 50-70ms/group alone → seconds/group under 16-way actor
+    contention; 14ms/group this way).
     """
-    ch = pl.from_arrow(align_to_schema(changes, CHANGELOG_SCHEMA))
-    frames = [ch.select(["conv_id", "turn_idx", "role", "text", "tool", "ts", "seq", "op"])]
+    t = align_to_schema(changes, CHANGELOG_SCHEMA).select(_MERGE_COLS)
     if prior is not None and prior.num_rows:
         target = unify_schemas(LAKE_SCHEMA, prior.schema)
-        pr = pl.from_arrow(align_to_schema(prior, target)).with_columns(
-            pl.lit("I").alias("op")
-        ).select(["conv_id", "turn_idx", "role", "text", "tool", "ts", "seq", "op"])
-        frames.insert(0, pr)
-    df = pl.concat(frames, how="vertical_relaxed") if len(frames) > 1 else frames[0]
-    out = (
-        df.sort("seq")
-        .group_by(["conv_id", "turn_idx"], maintain_order=False)
-        .last()
-        .filter(pl.col("op") != "D")
-        .drop("op")
-        .sort(["conv_id", "turn_idx"])
+        p = align_to_schema(prior, target).select(_MERGE_COLS[:-1])
+        p = p.append_column("op", pa.repeat(pa.scalar("I"), p.num_rows))
+        t = pa.concat_tables([p, t], promote_options="permissive")
+    # Sort so the LWW winner of each (conv_id, turn_idx) group is the
+    # group's last row (max seq; prior rows carry their applied seq).
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending"), ("seq", "ascending")],
     )
-    return out.to_arrow().cast(LAKE_SCHEMA)
+    t = t.take(idx).combine_chunks()
+    n = t.num_rows
+    if n == 0:
+        return LAKE_SCHEMA.empty_table()
+    conv, turn = t.column("conv_id"), t.column("turn_idx")
+    if n > 1:
+        same_next = pc.and_(
+            pc.equal(conv.slice(0, n - 1), conv.slice(1)),
+            pc.equal(turn.slice(0, n - 1), turn.slice(1)),
+        ).combine_chunks()
+        not_last = pa.chunked_array([same_next, pa.array([False])])
+    else:
+        not_last = pa.chunked_array([pa.array([False])])
+    mask = pc.and_(
+        pc.invert(pc.fill_null(not_last, False)),
+        pc.not_equal(t.column("op"), "D"),
+    )
+    return t.filter(mask).drop_columns(["op"]).cast(LAKE_SCHEMA)
+
+
+def apply_merge_group(group: pa.Table, lake_dir: str, epoch: int, manifest_ref) -> pa.Table:
+    """Task-based entry point for ``groupby(__part).map_groups``.
+
+    The manifest snapshot arrives as an ``ObjectRef`` (broadcast once by
+    the driver via ``ray.put``); ``ray.get`` here is a zero-copy read
+    from the local object store, not a re-ship per batch.
+    """
+    return MergeApplier(lake_dir, epoch, manifest_ref)(group)
 
 
 class MergeApplier:
