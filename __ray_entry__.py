@@ -24,6 +24,10 @@ from collections.abc import Callable
 from typing import Any
 
 from nifi_processors_ray.config import EngineConfig
+from nifi_processors_ray.ops import dedup as _dedup
+from nifi_processors_ray.ops import multimodal as _mm
+from nifi_processors_ray.ops import similarity as _sim
+from nifi_processors_ray.ops import text as _text
 from nifi_processors_ray.pipelines.replay import CdcEngine
 from nifi_processors_ray.synth import (
     CHANGELOG_FROM_EVENTS_CTE,
@@ -98,9 +102,30 @@ def _q_cdc_lineage_metrics(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # CDC / incremental-ingest core
         "cdc_replay": _q_cdc_replay,
         "cdc_rejected": _q_cdc_rejected,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
+        # text analysis (documents table)
+        "text_stats": _text.text_stats,
+        "lang_id": _text.lang_id,
+        "doc_fingerprint": _text.doc_fingerprint,
+        # deduplication
+        "exact_dedup": _dedup.exact_dedup,
+        "minhash_dup_pairs": lambda sf: _dedup.minhash_dup_pairs(
+            _dedup.augmented_documents(sf)
+        ),
+        "simhash_dup_pairs": lambda sf: _dedup.simhash_dup_pairs(
+            _dedup.augmented_documents(sf)
+        ),
+        "embedding_dup_pairs": lambda sf: _dedup.embedding_dup_pairs(
+            _dedup.augmented_embeddings(sf)
+        ),
+        # similarity search (embeddings table)
+        "knn_brute": _sim.knn_brute,
+        "knn_ivf": _sim.knn_ivf,
+        # multimodal binary plumbing
+        "media_features": _mm.media_features,
     }
 
 
@@ -128,4 +153,13 @@ FROM _ch
 WHERE NOT ({VALID_PREDICATE_SQL})
 ORDER BY seq
 """,
+        # Analysis operators with exact SQL twins.  Omitted on purpose
+        # (rows-only check): lang_id / doc_fingerprint / *_dup_pairs /
+        # knn_ivf — hash- or model-defined outputs a window function
+        # can't reproduce; their correctness oracles live in tests/
+        # (crafted corpora vs brute-force references).
+        "text_stats": _text.TEXT_STATS_SQL,
+        "exact_dedup": _dedup.EXACT_DEDUP_SQL,
+        "knn_brute": _sim.KNN_BRUTE_SQL_TEMPLATE.format(n_queries=8, k=10),
+        "media_features": _mm.MEDIA_FEATURES_SQL,
     }

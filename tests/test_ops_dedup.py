@@ -1,0 +1,123 @@
+"""Dedup operators vs brute-force references on crafted corpora."""
+
+import itertools
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from nifi_processors_ray.ops import dedup as D
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(texts: list[str]) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+
+
+def test_exact_dedup_matches_sql():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    got = D.exact_dedup(SF_DIR).to_pandas()
+    want = con.sql(D.EXACT_DEDUP_SQL).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+def test_exact_dedup_keeps_first_doc_of_each_text():
+    ds = _docs(["x y z", "a b", "x y z", "a b", "unique"])
+    out = D.exact_dedup.__wrapped__ if hasattr(D.exact_dedup, "__wrapped__") else None
+    # run the pipeline pieces directly on the crafted table
+    dd = (
+        ds.map_batches(D._add_text_hash, batch_format="pyarrow")
+        .groupby("__h")
+        .map_groups(D._first_per_text, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(dd["doc_id"]) == [0, 1, 4]
+
+
+def test_minhash_estimates_track_exact_jaccard():
+    t0 = " ".join(f"w{i}" for i in range(40))
+    t1 = " ".join(f"w{i}" for i in range(40) if i != 17)  # drop one token
+    t2 = " ".join(f"v{i}" for i in range(40))  # disjoint
+    pairs = D.minhash_dup_pairs(_docs([t0, t1, t2]), threshold=0.3).to_pandas()
+    assert set(map(tuple, pairs[["doc_a", "doc_b"]].values)) == {(0, 1)}
+    est = pairs["est_jaccard"].iloc[0]
+    exact = D.exact_jaccard(t0, t1)
+    assert abs(est - exact) < 0.2  # 64-perm estimator tolerance
+
+
+def test_minhash_finds_planted_dups_in_augmented_corpus():
+    pairs = D.minhash_dup_pairs(
+        D.augmented_documents(SF_DIR), threshold=0.5
+    ).to_pandas()
+    # every planted near-copy (doc_id % 10 == 0) must pair with its source
+    planted = {
+        (i, i + D.AUG_ID_OFFSET)
+        for i in range(0, 500, 10)
+    }
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    missing = planted - found
+    assert len(missing) <= len(planted) * 0.05, f"missed {len(missing)} planted pairs"
+
+
+def test_simhash_finds_low_hamming_pairs():
+    # identical docs → hamming 0; the banding guarantees hamming ≤ bands-1
+    t0 = " ".join(f"tok{i}" for i in range(60))
+    pairs = D.simhash_dup_pairs(_docs([t0, t0, "other words here"])).to_pandas()
+    assert set(map(tuple, pairs[["doc_a", "doc_b"]].values)) == {(0, 1)}
+    assert pairs["hamming"].iloc[0] == 0
+
+
+def test_simhash_signature_is_order_insensitive_bagwise():
+    # simhash is a bag-of-tokens sketch: permuting tokens keeps the signature
+    a = "alpha beta gamma delta epsilon"
+    b = "epsilon delta gamma beta alpha"
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": pa.array([a, b])})
+    sigs = D.simhash_signatures(t).to_pylist()
+    assert sigs[0]["simhash"] == sigs[1]["simhash"]
+
+
+def test_embedding_dup_pairs_finds_planted_copies():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((50, 32))
+    x[41] = x[3] * 2.0  # same direction → cosine 1
+    x[42] = x[3] + rng.standard_normal(32) * 0.01  # near-copy
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(x.reshape(-1)), 32
+                ),
+            }
+        )
+    )
+    pairs = D.embedding_dup_pairs(emb, threshold=0.98).to_pandas()
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    assert {(3, 41), (3, 42)} <= found
+    # random pairs must not appear at this threshold
+    assert all(a in (3, 41, 42) and b in (3, 41, 42) for a, b in found)
+
+
+def test_bucket_cap_bounds_quadratic_blowup():
+    # a degenerate bucket (many identical docs) must not hang: capped
+    texts = ["same text here every time"] * (D.MAX_BUCKET * 3)
+    pairs = D.minhash_dup_pairs(_docs(texts), threshold=0.9).to_pandas()
+    assert len(pairs) <= D.MAX_BUCKET * (D.MAX_BUCKET - 1) // 2
+    assert len(pairs) > 0

@@ -1,0 +1,87 @@
+"""Text-analysis operators vs DuckDB / hand-computed oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from nifi_processors_ray.ops import text as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return c
+
+
+def test_text_stats_matches_sql_bit_exact(con):
+    got = T.text_stats(SF_DIR).to_pandas()
+    want = con.sql(T.TEXT_STATS_SQL).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )  # strict: includes float bit-equality
+
+
+def test_text_stats_hand_example():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["the quick a fox the"]),
+            "n_chars": pa.array([19], pa.int64()),
+        }
+    )
+    out = T.text_stats_batch(batch).to_pylist()[0]
+    assert out["n_tokens"] == 5
+    assert out["stop_count"] == 3  # the, a, the
+    assert out["stopword_ratio"] == 3 / 5
+    assert out["avg_token_len"] == (19 - 4) / 5
+
+
+def test_lang_id_detects_marker_languages():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat sat on the mat and it is happy",
+                    "le chat est sur la table et il est content",
+                    "der hund ist nicht in das haus und die katze",
+                    "zzz qqq xxx",  # no markers at all
+                ]
+            ),
+        }
+    )
+    out = {r["doc_id"]: r for r in T.lang_id_batch(batch).to_pylist()}
+    assert out[0]["lang_pred"] == "en"
+    assert out[1]["lang_pred"] == "fr"
+    assert out[2]["lang_pred"] == "de"
+    assert out[3]["lang_pred"] == "und" and out[3]["confidence"] == 0.0
+
+
+def test_fingerprint_order_sensitive_and_stable():
+    b = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b c", "c b a", "a b c"]),
+        }
+    )
+    fp = T.fingerprint_batch(b).to_pylist()
+    assert fp[0]["fingerprint"] == fp[2]["fingerprint"]  # deterministic
+    assert fp[0]["fingerprint"] != fp[1]["fingerprint"]  # order-sensitive
+    assert fp[0]["n_tokens"] == 3
+    # stable across processes: recompute must give the identical value
+    again = T.fingerprint_batch(b.slice(0, 1)).to_pylist()[0]
+    assert again["fingerprint"] == fp[0]["fingerprint"]
+
+
+def test_fingerprint_full_table_unique_rate():
+    out = T.doc_fingerprint(SF_DIR).to_pandas()
+    # no duplicate texts in the corpus → no duplicate fingerprints
+    assert out["fingerprint"].nunique() == len(out)
