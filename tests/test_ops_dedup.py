@@ -39,12 +39,11 @@ def test_exact_dedup_matches_sql():
 
 def test_exact_dedup_keeps_first_doc_of_each_text():
     ds = _docs(["x y z", "a b", "x y z", "a b", "unique"])
-    out = D.exact_dedup.__wrapped__ if hasattr(D.exact_dedup, "__wrapped__") else None
     # run the pipeline pieces directly on the crafted table
     dd = (
         ds.map_batches(D._add_text_hash, batch_format="pyarrow")
-        .groupby("__h")
-        .map_groups(D._first_per_text, batch_format="pyarrow")
+        .sort("__h")
+        .map_batches(D._first_per_text, batch_format="pyarrow", batch_size=None)
         .to_pandas()
         .sort_values("doc_id")
     )
