@@ -25,6 +25,7 @@ from typing import Any
 
 from nifi_processors_ray.config import EngineConfig
 from nifi_processors_ray.ops import dedup as _dedup
+from nifi_processors_ray.ops import events as _ev
 from nifi_processors_ray.ops import multimodal as _mm
 from nifi_processors_ray.ops import similarity as _sim
 from nifi_processors_ray.ops import text as _text
@@ -126,6 +127,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _sim.knn_ivf,
         # multimodal binary plumbing
         "media_features": _mm.media_features,
+        # stream analytics (events table)
+        "events_window_agg": _ev.window_agg,
+        "events_sessionize": _ev.sessionize,
+        "events_topk_users": _ev.topk_users,
+        "events_distinct_types": _ev.distinct_types,
     }
 
 
@@ -162,4 +168,8 @@ ORDER BY seq
         "exact_dedup": _dedup.EXACT_DEDUP_SQL,
         "knn_brute": _sim.KNN_BRUTE_SQL_TEMPLATE.format(n_queries=8, k=10),
         "media_features": _mm.MEDIA_FEATURES_SQL,
+        "events_window_agg": _ev.WINDOW_AGG_SQL,
+        "events_sessionize": _ev.SESSIONIZE_SQL,
+        "events_topk_users": _ev.TOPK_USERS_SQL,
+        "events_distinct_types": _ev.DISTINCT_TYPES_SQL,
     }

@@ -1,0 +1,224 @@
+"""Stream-analytics operators over the ``events`` table.
+
+The reference's only "aggregation" is CloudWatch metrics emitted by the
+AWS libs (``consumer/AbstractKinesisConsumerProcessor.java:193-224``);
+a real ingest engine needs the event-stream analytics itself.  Four
+operators, each a native Ray Data aggregate/sort pipeline with an exact
+ANSI-SQL twin:
+
+- :func:`window_agg` — tumbling 1-hour event-time windows × event_type
+  (counts + value sums).
+- :func:`sessionize` — per-user session stats with a 30-minute
+  inactivity gap (the classic streaming sessionization, computed
+  batch-side: sort-by-user co-location + vectorized gap detection).
+- :func:`topk_users` — top 10 users by total value (sort + limit).
+- :func:`distinct_types` — distinct event types (set op).
+
+Determinism contract with the oracles: every exposed numeric is
+integer-exact — values become floored cents (``floor(value*100)``,
+identical in IEEE double on both sides) and windows become epoch-hour
+integers — so value-hash comparison can never drift on float summation
+order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_US_PER_HOUR = 3_600_000_000
+_SESSION_GAP_US = 1_800_000_000  # 30 min
+
+WINDOW_AGG_SQL = f"""
+SELECT CAST(epoch_us(ts) // {_US_PER_HOUR} AS BIGINT) AS window_hour,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY window_hour, event_type
+"""
+
+SESSIONIZE_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {_SESSION_GAP_US}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM ordered
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+TOPK_USERS_SQL = """
+SELECT user_id,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY value_cents DESC, user_id
+LIMIT 10
+"""
+
+DISTINCT_TYPES_SQL = "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+
+
+def _events(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet", columns=columns)
+
+
+def _cents(value_col) -> pa.Array:
+    v = np.asarray(value_col, dtype=np.float64)
+    return pa.array(np.floor(v * 100).astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+
+def _add_window_and_cents(batch: pa.Table) -> pa.Table:
+    ts_us = np.asarray(batch.column("ts").cast(pa.int64()))
+    return pa.table(
+        {
+            "window_hour": pa.array(ts_us // _US_PER_HOUR),
+            "event_type": batch.column("event_type"),
+            "value_cents": _cents(batch.column("value")),
+            "user_id": batch.column("user_id"),
+        }
+    )
+
+
+def _window_partials(batch: pa.Table) -> pa.Table:
+    """Partial per-batch combine BEFORE the shuffle (pre-aggregation):
+    only (window, type) partials and small user-sets move, not rows."""
+    import pandas as pd
+
+    df = batch.to_pandas()
+    g = df.groupby(["window_hour", "event_type"], sort=False).agg(
+        n_events=("user_id", "size"),
+        value_cents=("value_cents", "sum"),
+        users=("user_id", lambda s: list(set(s))),
+    )
+    return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+
+def _window_finalize(block: pa.Table) -> pa.Table:
+    """Merge partials inside a window_hour-sorted block (vectorized per key)."""
+    import pandas as pd
+
+    df = block.to_pandas()
+    g = (
+        df.groupby(["window_hour", "event_type"], sort=True)
+        .agg(
+            n_events=("n_events", "sum"),
+            value_cents=("value_cents", "sum"),
+            users=("users", lambda ls: len(set().union(*ls))),
+        )
+        .rename(columns={"users": "n_users"})
+        .reset_index()
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def window_agg(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour windows × event_type with partial pre-aggregation:
+    the shuffle moves (window, type) partials, not events."""
+    ds = _events(sf_dir, ["ts", "event_type", "value", "user_id"])
+    ds = ds.map_batches(_add_window_and_cents, batch_format="pyarrow")
+    ds = ds.map_batches(_window_partials, batch_format="pyarrow")
+    return (
+        ds.sort("window_hour")
+        .map_batches(_window_finalize, batch_format="pyarrow", batch_size=None)
+        .sort(["window_hour", "event_type"])
+    )
+
+
+# ---------------------------------------------------------------------------
+
+def _sessionize_block(block: pa.Table) -> pa.Table:
+    """Per-user sessions within a user-sorted block (co-located users)."""
+    order = pa.compute.sort_indices(
+        block,
+        sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+    )
+    b = block.take(order)
+    uid = np.asarray(b.column("user_id"))
+    ts = np.asarray(b.column("ts").cast(pa.int64()))
+    n = len(uid)
+    if n == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+    new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+    gap = np.concatenate([[True], (ts[1:] - ts[:-1]) > _SESSION_GAP_US])
+    new_session = (new_user | gap).astype(np.int64)
+    # per-user reduction via boundary offsets
+    starts = np.nonzero(new_user)[0]
+    cs = np.concatenate([[0], np.cumsum(new_session)])
+    ends = np.concatenate([starts[1:], [n]])
+    return pa.table(
+        {
+            "user_id": pa.array(uid[starts].astype(np.int64)),
+            "n_sessions": pa.array(cs[ends] - cs[starts]),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+        }
+    )
+
+
+def sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Per-user session stats (30-min gap): the streaming-sessionization
+    semantics, computed as sort-co-location + vectorized gap detection."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
+    return (
+        ds.sort("user_id")
+        .map_batches(_sessionize_block, batch_format="pyarrow", batch_size=None)
+        .sort("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+def topk_users(sf_dir: str) -> ray.data.Dataset:
+    """Top 10 users by total value: groupby-aggregate → sort → limit."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _events(sf_dir, ["user_id", "value"])
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {"user_id": b.column("user_id"), "value_cents": _cents(b.column("value"))}
+        ),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby("user_id").aggregate(
+        Sum("value_cents", alias_name="value_cents"),
+        Count(alias_name="n_events"),
+    )
+    # deterministic top-k: order by (-value, user_id)
+    return agg.sort(["value_cents", "user_id"], descending=[True, False]).limit(10)
+
+
+def distinct_types(sf_dir: str) -> ray.data.Dataset:
+    """Distinct event types (the set-op primitive), sorted."""
+    ds = _events(sf_dir, ["event_type"])
+
+    def per_block(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": pa.compute.unique(b.column("event_type"))})
+
+    # partial unique per block → tiny → final unique in one block
+    return (
+        ds.map_batches(per_block, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(per_block, batch_format="pyarrow", batch_size=None)
+        .sort("event_type")
+    )

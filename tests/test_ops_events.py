@@ -1,0 +1,62 @@
+"""Stream-analytics operators vs DuckDB oracles + hand-built sessions."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from nifi_processors_ray.ops import events as EV
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')")
+    return c
+
+
+@pytest.mark.parametrize(
+    "fn,sql",
+    [
+        (EV.window_agg, EV.WINDOW_AGG_SQL),
+        (EV.sessionize, EV.SESSIONIZE_SQL),
+        (EV.topk_users, EV.TOPK_USERS_SQL),
+        (EV.distinct_types, EV.DISTINCT_TYPES_SQL),
+    ],
+    ids=["window_agg", "sessionize", "topk_users", "distinct_types"],
+)
+def test_events_op_matches_sql(con, fn, sql):
+    got = fn(SF_DIR).to_pandas()
+    want = con.sql(sql).df()
+    a = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    b = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_sessionize_hand_example():
+    us = 1_000_000
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            # user 1: two events 10s apart, then one 31min later → 2 sessions
+            "ts": pa.array(
+                np.array([0, 10 * us, 10 * us + EV._SESSION_GAP_US + 1, 5 * us]),
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    out = {r["user_id"]: r for r in EV._sessionize_block(tbl).to_pylist()}
+    assert out[1]["n_sessions"] == 2 and out[1]["n_events"] == 3
+    assert out[2]["n_sessions"] == 1 and out[2]["n_events"] == 1
+
+
+def test_topk_deterministic_tiebreak():
+    out = EV.topk_users(SF_DIR).to_pandas()
+    assert len(out) == 10
+    # sorted by (-value_cents, user_id)
+    v = list(zip(-out["value_cents"], out["user_id"]))
+    assert v == sorted(v)
