@@ -185,15 +185,18 @@ class CdcEngine:
         rows_count = dict(man.rows)
         rejected_files = list(man.rejected_files)
         lineage_files = list(man.lineage_files)
+        deadletter_files = list(man.deadletter_files)
 
         for r in lineage_rows:
             p = r["partition"]
             data = [f for f in r["output_files"] if f.startswith("data/")]
             rejs = [f for f in r["output_files"] if f.startswith("rejected/")]
+            dls = [f for f in r["output_files"] if f.startswith("deadletter/")]
             if r["n_applied"] > 0:
                 files[p] = data  # COW: full-partition rewrite replaces the file set
                 rows_count[p] = r["n_rows_after"]
             rejected_files.extend(rejs)
+            deadletter_files.extend(dls)
 
         if lineage_rows:
             rel = f"lineage/epoch={epoch}.parquet"
@@ -213,6 +216,7 @@ class CdcEngine:
             rows=rows_count,
             lineage_files=lineage_files,
             rejected_files=rejected_files,
+            deadletter_files=deadletter_files,
         )
         self.store.commit(new_man)
 
@@ -247,3 +251,13 @@ class CdcEngine:
         if not paths:
             return ray.data.from_arrow(REJECTED_SCHEMA.empty_table())
         return ray.data.read_parquet(paths, columns=[f.name for f in REJECTED_SCHEMA])
+
+    def deadletter(self) -> ray.data.Dataset:
+        """Quarantined batches (deterministic merge failures) for replay/triage."""
+        from ..schema import CHANGELOG_SCHEMA
+
+        man = self.store.latest()
+        paths = [os.path.join(self.cfg.lake_dir, f) for f in (man.deadletter_files if man else [])]
+        if not paths:
+            return ray.data.from_arrow(CHANGELOG_SCHEMA.empty_table())
+        return ray.data.read_parquet(paths)

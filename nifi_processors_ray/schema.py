@@ -75,6 +75,10 @@ LINEAGE_SCHEMA = pa.schema(
         ("attempt", pa.int32()),
         ("commit_epoch", pa.int64()),
         ("wall_ms", pa.int64()),
+        # non-null when the partition's batch dead-lettered instead of
+        # applying (the producer's per-attempt error-message attribute,
+        # ``producer/PutKinesisStream.java:352-360``)
+        ("error", pa.string()),
     ]
 )
 

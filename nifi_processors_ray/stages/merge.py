@@ -162,13 +162,33 @@ class MergeApplier:
 
         n_applied = valid.num_rows
         n_rows_after = 0
+        error = None
         if n_applied:
-            prior = self._read_prior(part)
-            merged = lww_merge(prior, valid)
-            n_rows_after = merged.num_rows
-            rel = f"data/epoch={self.epoch}/part-{part:05d}.parquet"
-            self._write(merged, rel)
-            out_files.append(rel)
+            try:
+                prior = self._read_prior(part)
+                merged = lww_merge(prior, valid)
+                n_rows_after = merged.num_rows
+                rel = f"data/epoch={self.epoch}/part-{part:05d}.parquet"
+                self._write(merged, rel)
+                out_files.append(rel)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError, KeyError, TypeError) as ex:
+                # DETERMINISTIC failure (poison data, corrupt prior file):
+                # retrying is pointless — quarantine the batch instead of
+                # failing the epoch.  The raw rows go to the dead-letter
+                # area, the error lands in lineage, the watermark still
+                # advances (explicitly recorded loss, not a stuck stream).
+                # Transient errors (OSError etc.) are NOT caught: they
+                # propagate so Ray's task retry handles them — the
+                # "retry-then-dead-letter" split of the reference's
+                # per-attempt routing (producer/PutKinesisStream.java:
+                # 287-301,329-333) by failure class.
+                error = f"{type(ex).__name__}: {ex}"[:500]
+                rel = f"deadletter/epoch={self.epoch}/part-{part:05d}.parquet"
+                self._write(valid, rel)
+                out_files = [f for f in out_files if not f.startswith("data/")]
+                out_files.append(rel)
+                n_applied = 0
+                n_rows_after = 0
 
         wall_ms = int((time.perf_counter() - t0) * 1000)
         return pa.Table.from_pydict(
@@ -183,6 +203,7 @@ class MergeApplier:
                 "attempt": [1],
                 "commit_epoch": [self.epoch],
                 "wall_ms": [wall_ms],
+                "error": [error],
             },
             schema=LINEAGE_SCHEMA,
         ).append_column("n_rows_after", pa.array([n_rows_after], pa.int64()))

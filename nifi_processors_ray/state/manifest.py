@@ -44,6 +44,7 @@ class Manifest:
     rows: dict[int, int] = field(default_factory=dict)
     lineage_files: list[str] = field(default_factory=list)
     rejected_files: list[str] = field(default_factory=list)
+    deadletter_files: list[str] = field(default_factory=list)
     committed_at: float = 0.0
 
     def watermark(self, part: int) -> int:
@@ -68,6 +69,7 @@ class Manifest:
                 "rows": {str(k): v for k, v in self.rows.items()},
                 "lineage_files": self.lineage_files,
                 "rejected_files": self.rejected_files,
+                "deadletter_files": self.deadletter_files,
                 "committed_at": self.committed_at,
             }
         )
@@ -85,6 +87,7 @@ class Manifest:
             rows={int(k): v for k, v in d.get("rows", {}).items()},
             lineage_files=d.get("lineage_files", []),
             rejected_files=d.get("rejected_files", []),
+            deadletter_files=d.get("deadletter_files", []),
             committed_at=d.get("committed_at", 0.0),
         )
 
