@@ -1,0 +1,126 @@
+"""CLI entry point — the ``ray job submit`` deployment surface.
+
+On a real cluster:
+
+    ray job submit --working-dir . -- python -m nifi_processors_ray replay \
+        --lake s3://bucket/lake --log s3://bucket/changelog \
+        --partitions 4096 --epoch-events 100000000
+
+Locally the same commands run against filesystem paths.  This is the
+only module that may own a Ray session (guarded — the driver contract
+initialises Ray itself).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+
+def _engine(args):
+    from .config import EngineConfig
+    from .pipelines.replay import CdcEngine
+
+    return CdcEngine(
+        EngineConfig(
+            lake_dir=args.lake,
+            changelog_paths=tuple(args.log),
+            num_partitions=args.partitions,
+            salt_factor=args.salt_factor,
+            epoch_events=args.epoch_events,
+            initial_position=args.initial_position,
+        )
+    )
+
+
+def cmd_replay(args) -> int:
+    _ensure_ray()
+    eng = _engine(args)
+    results = eng.replay(max_epochs=args.max_epochs)
+    out = {
+        "epochs": len(results),
+        "applied": sum(r.n_applied for r in results),
+        "rejected": sum(r.n_rejected for r in results),
+        "seq_hi": results[-1].seq_hi if results else None,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_status(args) -> int:
+    eng = _engine(args)
+    man = eng.store.latest()
+    if man is None:
+        print(json.dumps({"committed": False}))
+        return 0
+    from .sources import tailer
+
+    head = tailer.head_seq(eng.log_infos()) if args.log else None
+    print(
+        json.dumps(
+            {
+                "committed": True,
+                "epoch": man.epoch,
+                "min_watermark": man.min_watermark,
+                "log_head": head,
+                "lag_events": (head - man.min_watermark) if head is not None else None,
+                "partitions": man.num_partitions,
+                "rows": sum(man.rows.values()),
+                "deadletter_files": len(man.deadletter_files),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_metrics(args) -> int:
+    """Per-partition throughput/lag from the lineage log (north-rule metric)."""
+    _ensure_ray()
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    eng = _engine(args)
+    table = (
+        eng.lineage()
+        .groupby("partition")
+        .aggregate(
+            Sum("n_applied", alias_name="applied"),
+            Sum("n_rejected", alias_name="rejected"),
+            Sum("wall_ms", alias_name="wall_ms"),
+            Min("seq_lo", alias_name="seq_lo"),
+            Max("seq_hi", alias_name="seq_hi"),
+            Count(alias_name="batches"),
+        )
+        .sort("partition")
+        .to_pandas()
+    )
+    print(table.to_json(orient="records"))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="nifi_processors_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("replay", cmd_replay), ("status", cmd_status), ("metrics", cmd_metrics)):
+        p = sub.add_parser(name)
+        p.add_argument("--lake", required=True)
+        p.add_argument("--log", action="append", default=[])
+        p.add_argument("--partitions", type=int, default=32)
+        p.add_argument("--salt-factor", type=int, default=4)
+        p.add_argument("--epoch-events", type=int, default=2_000_000)
+        p.add_argument("--initial-position", default="TRIM_HORIZON")
+        p.add_argument("--max-epochs", type=int, default=None)
+        p.set_defaults(fn=fn)
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

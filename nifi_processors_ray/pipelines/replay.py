@@ -78,6 +78,11 @@ class CdcEngine:
                 hash_fingerprint=engine_hash_fingerprint(),
                 watermarks={p: wm0 for p in range(self.cfg.num_partitions)},
             )
+            # Persist epoch 0 immediately: the start position (esp. LATEST's
+            # head pin) is decided ONCE at first start — otherwise a
+            # caught-up run that commits nothing would re-evaluate LATEST
+            # against a newer head and silently skip events.
+            self.store.commit(man)
         else:
             if man.hash_fingerprint != engine_hash_fingerprint():
                 raise RuntimeError(

@@ -1,0 +1,96 @@
+"""CLI surface + initial-position and type-widening semantics."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nifi_processors_ray.config import LATEST, EngineConfig
+from nifi_processors_ray.oracle import apply_changelog
+from nifi_processors_ray.pipelines.replay import CdcEngine
+from nifi_processors_ray.synth import generate_changelog, write_generated_changelog
+
+
+def test_latest_initial_position_skips_existing_log(tmp_path):
+    log = str(tmp_path / "log")
+    write_generated_changelog(log, 2000, files=2, n_convs=20)
+    eng = CdcEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake"),
+            changelog_paths=(log,),
+            num_partitions=4,
+            salt_factor=2,
+            initial_position=LATEST,
+        )
+    )
+    assert eng.replay() == []  # already at the head: nothing to do
+    # new events arriving after start ARE consumed
+    extra = generate_changelog(500, n_convs=20, seed=99)
+    extra = extra.set_column(0, "seq", pa.array(np.asarray(extra.column("seq")) + 2000))
+    pq.write_table(extra, f"{log}/changelog-99999.parquet")
+    eng.log_infos(refresh=True)
+    results = eng.replay()
+    assert sum(r.n_applied for r in results) > 0
+    assert eng.store.latest().min_watermark == 2499
+
+
+def test_widened_turn_idx_type_is_unified(tmp_path):
+    """A later producer widening turn_idx to int64 must still replay."""
+    log = tmp_path / "log"
+    log.mkdir()
+    ch = generate_changelog(1000, n_convs=20, invalid_frac=0.0)
+    first = ch.slice(0, 500)
+    second = ch.slice(500)
+    widened = second.set_column(
+        3, "turn_idx", second.column("turn_idx").cast(pa.int64())
+    )
+    pq.write_table(first, str(log / "a.parquet"))
+    pq.write_table(widened, str(log / "b.parquet"))
+    eng = CdcEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake"),
+            changelog_paths=(str(log),),
+            num_partitions=4,
+            salt_factor=2,
+        )
+    )
+    eng.replay()
+    got = eng.final_state(sort=True).to_pandas()
+    want = apply_changelog(ch).to_pandas()
+    assert len(got) == len(want)
+    assert (got["text"].values == want["text"].values).all()
+
+
+def test_cli_replay_status_metrics(tmp_path):
+    log = str(tmp_path / "log")
+    write_generated_changelog(log, 1500, files=2, n_convs=20)
+    lake = str(tmp_path / "lake")
+    base = [
+        sys.executable,
+        "-m",
+        "nifi_processors_ray",
+        "replay",
+        "--lake",
+        lake,
+        "--log",
+        log,
+        "--partitions",
+        "4",
+    ]
+    env = {"RAY_ADDRESS": "local", "PATH": "/usr/bin:/bin", "HOME": "/root"}
+    r = subprocess.run(base, capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-1500:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["applied"] > 0 and rep["epochs"] >= 1
+
+    for cmd, checks in (("status", ("committed", "min_watermark")), ("metrics", ())):
+        argv = [a if a != "replay" else cmd for a in base]
+        r2 = subprocess.run(argv, capture_output=True, text=True, cwd="/root/repo")
+        assert r2.returncode == 0, r2.stderr[-1500:]
+        out = json.loads(r2.stdout.strip().splitlines()[-1])
+        for k in checks:
+            assert k in out
