@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _ev.sessionize,
         "events_topk_users": _ev.topk_users,
         "events_distinct_types": _ev.distinct_types,
+        "events_sample": _ev.sample_events,
     }
 
 
@@ -172,4 +173,5 @@ ORDER BY seq
         "events_sessionize": _ev.SESSIONIZE_SQL,
         "events_topk_users": _ev.TOPK_USERS_SQL,
         "events_distinct_types": _ev.DISTINCT_TYPES_SQL,
+        "events_sample": _ev.SAMPLE_SQL,
     }

@@ -71,6 +71,17 @@ LIMIT 10
 
 DISTINCT_TYPES_SQL = "SELECT DISTINCT event_type FROM events ORDER BY event_type"
 
+# Deterministic 10% sample: a pure function of the key, NOT random — the
+# same rows are sampled on every run and on both engines (reproducible
+# experiment slices; the reference's random partition-key fallback,
+# producer/PutKinesisStream.java:267-269, is exactly what a lake must avoid).
+SAMPLE_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE (event_id * 2654435761) % 4294967296 % 100 < 10
+ORDER BY event_id
+"""
+
 
 def _events(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet", columns=columns)
@@ -206,6 +217,22 @@ def topk_users(sf_dir: str) -> ray.data.Dataset:
     )
     # deterministic top-k: order by (-value, user_id)
     return agg.sort(["value_cents", "user_id"], descending=[True, False]).limit(10)
+
+
+def sample_events(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic ~10% sample by Knuth multiplicative hash of event_id.
+
+    Filter pushed into ``map_batches`` right at the read — sampled-out
+    rows never shuffle anywhere.
+    """
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b.column("event_id")).astype(np.uint64)
+        keep = (eid * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(100) < 10
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow").sort("event_id")
 
 
 def distinct_types(sf_dir: str) -> ray.data.Dataset:

@@ -257,6 +257,53 @@ class CdcEngine:
             return ray.data.from_arrow(REJECTED_SCHEMA.empty_table())
         return ray.data.read_parquet(paths, columns=[f.name for f in REJECTED_SCHEMA])
 
+    def compact_metadata(self) -> Manifest | None:
+        """Consolidate per-epoch lineage / rejected files into one file each.
+
+        At 10^10-event scale a long-running stream accumulates one
+        lineage file and possibly many rejected files per epoch; without
+        compaction the manifest (and every metadata read) grows without
+        bound.  Data files never need this — COW already keeps exactly
+        one live file per partition.  Runs under the same 2PC rules:
+        consolidated files are written first, then ONE manifest commit
+        swaps the references; a crash in between leaves the previous
+        manifest (and the old files) fully intact.
+        """
+        man = self.store.latest()
+        if man is None:
+            return None
+        epoch = man.epoch + 1
+        new_lineage = list(man.lineage_files)
+        new_rejected = list(man.rejected_files)
+        for files, area, out_list in (
+            (man.lineage_files, "lineage", new_lineage),
+            (man.rejected_files, "rejected", new_rejected),
+        ):
+            if len(files) <= 1:
+                continue
+            tables = [pq.read_table(os.path.join(self.cfg.lake_dir, f)) for f in files]
+            merged = pa.concat_tables(tables, promote_options="permissive")
+            rel = f"{area}/compacted-{epoch:010d}.parquet"
+            path = os.path.join(self.cfg.lake_dir, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(merged, path)
+            out_list.clear()
+            out_list.append(rel)
+        new_man = Manifest(
+            epoch=epoch,
+            num_partitions=man.num_partitions,
+            salt_factor=man.salt_factor,
+            hash_fingerprint=man.hash_fingerprint,
+            watermarks=dict(man.watermarks),
+            files=dict(man.files),
+            rows=dict(man.rows),
+            lineage_files=new_lineage,
+            rejected_files=new_rejected,
+            deadletter_files=list(man.deadletter_files),
+        )
+        self.store.commit(new_man)
+        return new_man
+
     def deadletter(self) -> ray.data.Dataset:
         """Quarantined batches (deterministic merge failures) for replay/triage."""
         from ..schema import CHANGELOG_SCHEMA
