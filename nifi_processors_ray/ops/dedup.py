@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import hash_strings_u64
-from .text import _per_list_sum, _token_lists
+from .text import _token_lists
 
 # ---------------------------------------------------------------------------
 # exact dedup (SQL-mirrorable)

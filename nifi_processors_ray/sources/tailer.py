@@ -26,7 +26,6 @@ import os
 from dataclasses import dataclass
 
 import pyarrow.compute as pc
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray.data
 
