@@ -26,6 +26,7 @@ from typing import Any
 from nifi_processors_ray.config import EngineConfig
 from nifi_processors_ray.ops import dedup as _dedup
 from nifi_processors_ray.ops import events as _ev
+from nifi_processors_ray.ops import relational as _rel
 from nifi_processors_ray.ops import multimodal as _mm
 from nifi_processors_ray.ops import similarity as _sim
 from nifi_processors_ray.ops import text as _text
@@ -133,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_users": _ev.topk_users,
         "events_distinct_types": _ev.distinct_types,
         "events_sample": _ev.sample_events,
+        # relational primitives (broadcast lookup join, wide aggregation)
+        "events_user_enrich": _rel.events_user_enrich,
+        "lineitem_pricing_summary": _rel.lineitem_pricing_summary,
     }
 
 
@@ -174,4 +178,6 @@ ORDER BY seq
         "events_topk_users": _ev.TOPK_USERS_SQL,
         "events_distinct_types": _ev.DISTINCT_TYPES_SQL,
         "events_sample": _ev.SAMPLE_SQL,
+        "events_user_enrich": _rel.EVENTS_USER_ENRICH_SQL,
+        "lineitem_pricing_summary": _rel.LINEITEM_PRICING_SQL,
     }

@@ -1,0 +1,131 @@
+"""Relational operators: broadcast lookup join + wide-table aggregation.
+
+- :func:`events_user_enrich` — the joins/lookups primitive done the
+  scale-correct way for a small dimension: the lookup table is put in
+  the object store ONCE (``ray.put``) and every batch resolves keys
+  against it zero-copy via ``pc.index_in`` — a broadcast hash join with
+  NO shuffle of the fact table (vs `groupby`-based joins that move
+  every row).
+- :func:`lineitem_pricing_summary` — TPC-H-Q1-style pricing summary
+  with per-batch partial aggregation BEFORE the shuffle (the combiner
+  pattern): only (flag, status) partials move, never lineitem rows.
+
+Numeric determinism vs the SQL oracles: money/quantity sums are floored
+cents (identical IEEE double op order on both sides → identical ints).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+EVENTS_USER_ENRICH_SQL = """
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY e.event_id
+"""
+
+LINEITEM_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS qty_cents,
+       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+       SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+         AS disc_price_cents
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _lookup_batch(batch: pa.Table, dim_ref, key: str, cols: list[str]) -> pa.Table:
+    """LEFT-join ``batch`` against the broadcast dimension table."""
+    dim = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
+    idx = pc.index_in(batch.column(key), value_set=dim.column(0))  # null = miss
+    out = batch
+    for c in cols:
+        out = out.append_column(c, dim.column(c).take(idx))
+    return out
+
+
+def events_user_enrich(sf_dir: str) -> ray.data.Dataset:
+    """events LEFT JOIN customer on user_id — broadcast hash lookup.
+
+    The dimension ships through the object store once; the fact table
+    never shuffles.  This is the pattern the 100 TB path demands for
+    small-side joins (a shuffle join here would move every event row).
+    """
+    import pyarrow.parquet as pq
+
+    dim = pq.read_table(
+        f"{sf_dir.rstrip('/')}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    dim_ref = ray.put(dim)
+    ds = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/events.parquet", columns=["event_id", "user_id"]
+    )
+    return ds.map_batches(
+        _lookup_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"dim_ref": dim_ref, "key": "user_id", "cols": ["c_name", "c_mktsegment"]},
+    ).sort("event_id")
+
+
+def _pricing_cents(batch: pa.Table) -> pa.Table:
+    q = np.asarray(batch.column("l_quantity"), dtype=np.float64)
+    p = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+    d = np.asarray(batch.column("l_discount"), dtype=np.float64)
+    return pa.table(
+        {
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty_cents": pa.array(np.floor(q * 100).astype(np.int64)),
+            "price_cents": pa.array(np.floor(p * 100).astype(np.int64)),
+            "disc_price_cents": pa.array(np.floor(p * (1.0 - d) * 100).astype(np.int64)),
+        }
+    )
+
+
+def _pricing_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch combine: ≤ (flags × statuses) partial rows leave the task."""
+    import pandas as pd
+
+    df = batch.to_pandas()
+    g = (
+        df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        .agg(
+            n_rows=("qty_cents", "size"),
+            qty_cents=("qty_cents", "sum"),
+            price_cents=("price_cents", "sum"),
+            disc_price_cents=("disc_price_cents", "sum"),
+        )
+        .reset_index()
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def lineitem_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q1-style summary; rows never shuffle, only per-batch partials."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    partials = ds.map_batches(_pricing_cents, batch_format="pyarrow").map_batches(
+        _pricing_partials, batch_format="pyarrow"
+    )
+    return (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("qty_cents", alias_name="qty_cents"),
+            Sum("price_cents", alias_name="price_cents"),
+            Sum("disc_price_cents", alias_name="disc_price_cents"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
