@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational primitives (broadcast lookup join, wide aggregation)
         "events_user_enrich": _rel.events_user_enrich,
         "lineitem_pricing_summary": _rel.lineitem_pricing_summary,
+        "events_asof_order": _rel.events_asof_order,
     }
 
 
@@ -180,4 +181,5 @@ ORDER BY seq
         "events_sample": _ev.SAMPLE_SQL,
         "events_user_enrich": _rel.EVENTS_USER_ENRICH_SQL,
         "lineitem_pricing_summary": _rel.LINEITEM_PRICING_SQL,
+        "events_asof_order": _rel.EVENTS_ASOF_ORDER_SQL,
     }

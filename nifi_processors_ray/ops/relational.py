@@ -75,6 +75,95 @@ def events_user_enrich(sf_dir: str) -> ray.data.Dataset:
     ).sort("event_id")
 
 
+EVENTS_ASOF_ORDER_SQL = """
+SELECT event_id, user_id, last_orderkey
+FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e
+  LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+)
+WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+def build_asof_index(orders: pa.Table) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """custkey → (orderdates sorted asc, orderkeys in that order).
+
+    Ties on orderdate are broken by orderkey ascending so the LAST entry
+    ≤ ts is (max date, max orderkey) — the operator's deterministic
+    tie-break contract (DuckDB's native ASOF leaves ties unspecified).
+    """
+    t = orders.sort_by(
+        [("o_custkey", "ascending"), ("o_orderdate", "ascending"), ("o_orderkey", "ascending")]
+    )
+    cust = np.asarray(t.column("o_custkey"))
+    dates = np.asarray(t.column("o_orderdate").cast(pa.int64()))
+    keys = np.asarray(t.column("o_orderkey"))
+    index: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    if len(cust):
+        bounds = np.concatenate([[0], np.nonzero(cust[1:] != cust[:-1])[0] + 1, [len(cust)]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            index[int(cust[s])] = (dates[s:e], keys[s:e])
+    return index
+
+
+def _asof_batch(batch: pa.Table, index_ref) -> pa.Table:
+    """Per batch: binary-search each user's ordered orders (vectorized per
+    user present in the batch, not per row)."""
+    index = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+    uid = np.asarray(batch.column("user_id"))
+    ts = np.asarray(batch.column("ts").cast(pa.int64()))
+    out = np.full(len(uid), -1, dtype=np.int64)
+    for u in np.unique(uid):
+        rows = np.nonzero(uid == u)[0]
+        entry = index.get(int(u))
+        if entry is None:
+            continue
+        dates, keys = entry
+        pos = np.searchsorted(dates, ts[rows], side="right") - 1
+        hit = pos >= 0
+        out[rows[hit]] = keys[pos[hit]]
+    vals = pa.array(out, pa.int64())
+    miss = pa.array(out < 0)
+    return pa.table(
+        {
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "last_orderkey": pc.if_else(miss, pa.scalar(None, pa.int64()), vals),
+        }
+    )
+
+
+def events_asof_order(sf_dir: str) -> ray.data.Dataset:
+    """As-of join: each event → the user's latest order at event time.
+
+    Ray Data has no native as-of join; this composes one from a
+    broadcast per-key sorted index + per-batch binary search — no
+    shuffle of the event stream.  Documented partitioning assumption:
+    the orders side fits the object store (true for dimension-scale
+    right sides); a large right side would instead co-partition both
+    tables on the key and run the same search per partition.
+    """
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        f"{sf_dir.rstrip('/')}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    index_ref = ray.put(build_asof_index(orders))
+    ds = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return ds.map_batches(
+        _asof_batch, batch_format="pyarrow", fn_kwargs={"index_ref": index_ref}
+    ).sort("event_id")
+
+
 def _pricing_cents(batch: pa.Table) -> pa.Table:
     q = np.asarray(batch.column("l_quantity"), dtype=np.float64)
     p = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)

@@ -14,7 +14,7 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for v in ["events", "customer", "lineitem"]:
+    for v in ["events", "customer", "lineitem", "orders"]:
         c.sql(f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{SF_DIR}/{v}.parquet')")
     return c
 
@@ -24,8 +24,9 @@ def con():
     [
         (R.events_user_enrich, R.EVENTS_USER_ENRICH_SQL),
         (R.lineitem_pricing_summary, R.LINEITEM_PRICING_SQL),
+        (R.events_asof_order, R.EVENTS_ASOF_ORDER_SQL),
     ],
-    ids=["user_enrich", "pricing_summary"],
+    ids=["user_enrich", "pricing_summary", "asof_order"],
 )
 def test_relational_matches_sql(con, fn, sql):
     got = fn(SF_DIR).to_pandas()
@@ -33,6 +34,32 @@ def test_relational_matches_sql(con, fn, sql):
     a = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
     b = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_asof_semantics_hand_example():
+    import numpy as np
+
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+            "o_orderdate": pa.array([100, 200, 200, 50], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "o_orderkey": pa.array([10, 11, 12, 20], pa.int64()),
+        }
+    )
+    idx = R.build_asof_index(orders)
+    batch = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+            # ts 150 → order 10; ts 250 → tie at date 200 broken by MAX key (12);
+            # user 2 ts 10 → before first order → null; user 3 → no orders → null
+            "ts": pa.array([150, 250, 10, 500], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    out = [r["last_orderkey"] for r in R._asof_batch(batch, idx).to_pylist()]
+    assert out == [10, 12, None, None]
 
 
 def test_lookup_left_join_nulls_on_miss():
