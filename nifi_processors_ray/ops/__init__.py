@@ -16,4 +16,9 @@ here is a Ray Data pipeline over zero-copy Arrow batches:
   metadata; decode/feature-extract as an actor-pool stage (real codec
   libraries are absent here, so decode is a clearly-marked
   deterministic stub — the Ray-side plumbing is real and tested).
+- :mod:`.events` — stream analytics: tumbling-window aggregation,
+  sessionization, top-k, distinct, deterministic sampling.
+- :mod:`.relational` — broadcast lookup join, TPC-H-style wide
+  aggregation, and an as-of join composed from a broadcast sorted
+  index + per-batch binary search.
 """
