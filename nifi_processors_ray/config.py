@@ -65,7 +65,14 @@ class EngineConfig:
     initial_position: str = TRIM_HORIZON
     num_partitions: int = 32
     salt_factor: int = 4
-    merge_concurrency: int | None = None   # actors in the merge pool; None = Ray decides
+    merge_concurrency: int | None = None   # actors in the merge pool; None = task-based
+    # Write strategy: 'cow' rewrites a touched partition wholly per epoch
+    # (read-optimal; write amplification ∝ lake size); 'mor' appends
+    # per-epoch delta files and auto-compacts a partition when it
+    # reaches `compact_threshold` files (write amplification ∝ change
+    # volume — the 10^10-event setting).
+    merge_mode: str = "cow"
+    compact_threshold: int = 8
     max_attempts: int = 3
     target_rows_per_file: int = 1_000_000
     # Credentials-style knobs kept for config-surface parity (the reference's
@@ -92,6 +99,10 @@ class EngineConfig:
             raise ConfigError("salt_factor must be >= 1")
         if self.max_attempts < 1:
             raise ConfigError("max_attempts must be >= 1")
+        if self.merge_mode not in ("cow", "mor"):
+            raise ConfigError(f"merge_mode must be 'cow' or 'mor', got {self.merge_mode!r}")
+        if self.compact_threshold < 1:
+            raise ConfigError("compact_threshold must be >= 1")
         # Cross-field rules, mirroring customValidate
         # (consumer/AbstractKinesisConsumerProcessor.java:289-316):
         if (self.access_key is None) != (self.secret_key is None):

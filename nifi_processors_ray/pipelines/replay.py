@@ -42,6 +42,19 @@ from ..stages.validate import validate_batch
 from ..state.manifest import Manifest, ManifestStore
 
 
+def _resolve_partition(batch: pa.Table) -> pa.Table:
+    """Read + LWW-resolve one (or a few) partitions' file sets."""
+    from ..stages.merge import merge_deltas
+
+    outs = []
+    for row in batch.column("paths").to_pylist():
+        tables = [pq.read_table(p) for p in row]
+        outs.append(merge_deltas(tables).select(TRANSCRIPT_COLS))
+    if not outs:
+        return LAKE_SCHEMA.empty_table().select(TRANSCRIPT_COLS)
+    return pa.concat_tables(outs)
+
+
 @dataclass
 class EpochResult:
     epoch: int
@@ -126,11 +139,15 @@ class CdcEngine:
 
         # The manifest snapshot is broadcast ONCE via the object store and
         # fetched zero-copy by every merge task (never re-shipped per batch).
-        manifest_ref = ray.put({"watermarks": man.watermarks, "files": man.files})
+        manifest_ref = ray.put(
+            {"watermarks": man.watermarks, "files": man.files, "rows": man.rows}
+        )
         fn_kwargs = {
             "lake_dir": self.cfg.lake_dir,
             "epoch": epoch,
             "manifest_ref": manifest_ref,
+            "mode": self.cfg.merge_mode,
+            "compact_threshold": self.cfg.compact_threshold,
         }
         grouped = ds.groupby(PARTITION_COL)
         if self.cfg.merge_concurrency:
@@ -197,8 +214,11 @@ class CdcEngine:
             data = [f for f in r["output_files"] if f.startswith("data/")]
             rejs = [f for f in r["output_files"] if f.startswith("rejected/")]
             dls = [f for f in r["output_files"] if f.startswith("deadletter/")]
-            if r["n_applied"] > 0:
-                files[p] = data  # COW: full-partition rewrite replaces the file set
+            if r["n_applied"] > 0 and data:
+                if r.get("file_mode") == "append":  # mor delta joins the live set
+                    files[p] = list(files.get(p, [])) + data
+                else:  # cow rewrite / mor compaction fold replaces it
+                    files[p] = data
                 rows_count[p] = r["n_rows_after"]
             rejected_files.extend(rejs)
             deadletter_files.extend(dls)
@@ -228,15 +248,28 @@ class CdcEngine:
     # ------------------------------------------------------------------
     # Readers over the committed snapshot
     def final_state(self, sort: bool = False) -> ray.data.Dataset:
-        """The lake as of the latest commit (transcript columns)."""
+        """The lake as of the latest commit (transcript columns).
+
+        Merge-on-read resolution happens here: one task per partition
+        reads its base+delta files and resolves LWW/tombstones locally
+        (no shuffle — a partition's files are self-contained by
+        construction).  With cow-only partitions (one live file, no
+        tombstones) the resolve is a no-op pass.
+        """
         man = self.store.latest()
-        paths = []
+        items = []
         if man:
-            for fs in man.files.values():
-                paths.extend(os.path.join(self.cfg.lake_dir, f) for f in fs)
-        if not paths:
+            for p, fs in sorted(man.files.items()):
+                if fs:
+                    items.append(
+                        {
+                            "paths": [os.path.join(self.cfg.lake_dir, f) for f in fs],
+                        }
+                    )
+        if not items:
             return ray.data.from_arrow(LAKE_SCHEMA.empty_table().select(TRANSCRIPT_COLS))
-        ds = ray.data.read_parquet(paths, columns=TRANSCRIPT_COLS)
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        ds = ds.map_batches(_resolve_partition, batch_format="pyarrow", batch_size=None)
         if sort:
             ds = ds.sort(["conv_id", "turn_idx"])
         return ds

@@ -79,6 +79,9 @@ LINEAGE_SCHEMA = pa.schema(
         # applying (the producer's per-attempt error-message attribute,
         # ``producer/PutKinesisStream.java:352-360``)
         ("error", pa.string()),
+        # how output_files joins the partition's live set: 'replace'
+        # (cow rewrite / mor compaction fold) or 'append' (mor delta)
+        ("file_mode", pa.string()),
     ]
 )
 

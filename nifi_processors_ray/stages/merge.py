@@ -61,32 +61,38 @@ LAKE_SCHEMA = pa.schema(
 
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
+# Delta files (merge-on-read mode) additionally persist the tombstone
+# flag: a winning delete must survive as data until compaction folds it.
+DELTA_SCHEMA = pa.schema(list(LAKE_SCHEMA) + [pa.field("deleted", pa.bool_())])
 
-_MERGE_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "seq", "op"]
+
+def _changes_to_delta(changes: pa.Table) -> pa.Table:
+    """CHANGELOG rows → DELTA rows (op column → deleted flag)."""
+    t = align_to_schema(changes, CHANGELOG_SCHEMA)
+    deleted = pc.fill_null(pc.equal(t.column("op"), "D"), False)
+    out = t.select([f.name for f in LAKE_SCHEMA])
+    return out.append_column("deleted", deleted).cast(DELTA_SCHEMA)
 
 
-def lww_merge(prior: pa.Table | None, changes: pa.Table) -> pa.Table:
-    """Pure LWW upsert: prior lake rows + change rows → new lake rows.
+def _as_delta(table: pa.Table) -> pa.Table:
+    """LAKE- or DELTA-shaped (possibly schema-drifted) table → DELTA."""
+    target = unify_schemas(DELTA_SCHEMA, table.schema)
+    t = align_to_schema(table, target).select([f.name for f in DELTA_SCHEMA])
+    return t.set_column(
+        t.schema.get_field_index("deleted"),
+        "deleted",
+        pc.fill_null(t.column("deleted"), False),
+    ).cast(DELTA_SCHEMA)
 
-    ``changes`` carries an ``op`` column; prior rows are treated as
-    already-applied upserts.  Winner per key = max seq; winning 'D'
-    deletes the key.  Output is LAKE_SCHEMA-shaped, sorted by
-    (conv_id, turn_idx) for stable ordering and read locality.
 
-    Single-threaded pyarrow kernels on purpose: this runs inside a
-    merge-actor pool with one task per CPU slot — a per-task parallel
-    runtime (polars' global thread pool) would oversubscribe the node
-    (measured: 50-70ms/group alone → seconds/group under 16-way actor
-    contention; 14ms/group this way).
+def _last_per_key(t: pa.Table) -> pa.Table:
+    """Keep each (conv_id, turn_idx) key's max-seq row (t: DELTA-shaped).
+
+    Single-threaded pyarrow kernels on purpose: this runs with one task
+    per CPU slot — a per-task parallel runtime (polars' global thread
+    pool) would oversubscribe the node (measured: 50-70ms/group alone →
+    seconds/group under 16-way task contention; 14ms/group this way).
     """
-    t = align_to_schema(changes, CHANGELOG_SCHEMA).select(_MERGE_COLS)
-    if prior is not None and prior.num_rows:
-        target = unify_schemas(LAKE_SCHEMA, prior.schema)
-        p = align_to_schema(prior, target).select(_MERGE_COLS[:-1])
-        p = p.append_column("op", pa.repeat(pa.scalar("I"), p.num_rows))
-        t = pa.concat_tables([p, t], promote_options="permissive")
-    # Sort so the LWW winner of each (conv_id, turn_idx) group is the
-    # group's last row (max seq; prior rows carry their applied seq).
     idx = pc.sort_indices(
         t,
         sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending"), ("seq", "ascending")],
@@ -94,7 +100,7 @@ def lww_merge(prior: pa.Table | None, changes: pa.Table) -> pa.Table:
     t = t.take(idx).combine_chunks()
     n = t.num_rows
     if n == 0:
-        return LAKE_SCHEMA.empty_table()
+        return t
     conv, turn = t.column("conv_id"), t.column("turn_idx")
     if n > 1:
         same_next = pc.and_(
@@ -104,21 +110,60 @@ def lww_merge(prior: pa.Table | None, changes: pa.Table) -> pa.Table:
         not_last = pa.chunked_array([same_next, pa.array([False])])
     else:
         not_last = pa.chunked_array([pa.array([False])])
-    mask = pc.and_(
-        pc.invert(pc.fill_null(not_last, False)),
-        pc.not_equal(t.column("op"), "D"),
+    return t.filter(pc.invert(pc.fill_null(not_last, False)))
+
+
+def merge_deltas(tables: list[pa.Table]) -> pa.Table:
+    """Resolve base + delta tables → live rows (LAKE_SCHEMA).
+
+    LWW per key by max seq across all inputs; a winning tombstone
+    removes the key (compacted away — tombstones never reach the
+    output)."""
+    parts = [_as_delta(t) for t in tables if t is not None and t.num_rows]
+    if not parts:
+        return LAKE_SCHEMA.empty_table()
+    t = _last_per_key(pa.concat_tables(parts))
+    return (
+        t.filter(pc.invert(t.column("deleted")))
+        .drop_columns(["deleted"])
+        .cast(LAKE_SCHEMA)
     )
-    return t.filter(mask).drop_columns(["op"]).cast(LAKE_SCHEMA)
 
 
-def apply_merge_group(group: pa.Table, lake_dir: str, epoch: int, manifest_ref) -> pa.Table:
+def epoch_delta(changes: pa.Table) -> pa.Table:
+    """Changes → this epoch's delta file: LWW within the epoch only,
+    winning tombstones RETAINED as ``deleted=True`` rows (merge-on-read
+    needs them until compaction)."""
+    return _last_per_key(_changes_to_delta(changes)).cast(DELTA_SCHEMA)
+
+
+def lww_merge(prior: pa.Table | None, changes: pa.Table) -> pa.Table:
+    """Pure LWW upsert: prior lake rows + change rows → new lake rows.
+
+    ``changes`` carries an ``op`` column; prior rows are treated as
+    already-applied upserts.  Winner per key = max seq; winning 'D'
+    deletes the key.  Output is LAKE_SCHEMA-shaped, sorted by
+    (conv_id, turn_idx) for stable ordering and read locality.
+    """
+    tables = ([prior] if prior is not None else []) + [_changes_to_delta(changes)]
+    return merge_deltas(tables)
+
+
+def apply_merge_group(
+    group: pa.Table,
+    lake_dir: str,
+    epoch: int,
+    manifest_ref,
+    mode: str = "cow",
+    compact_threshold: int = 8,
+) -> pa.Table:
     """Task-based entry point for ``groupby(__part).map_groups``.
 
     The manifest snapshot arrives as an ``ObjectRef`` (broadcast once by
     the driver via ``ray.put``); ``ray.get`` here is a zero-copy read
     from the local object store, not a re-ship per batch.
     """
-    return MergeApplier(lake_dir, epoch, manifest_ref)(group)
+    return MergeApplier(lake_dir, epoch, manifest_ref, mode, compact_threshold)(group)
 
 
 class MergeApplier:
@@ -127,16 +172,41 @@ class MergeApplier:
     One instance per pool slot; the manifest snapshot is fetched from
     the object store once per actor (broadcast, not per batch) — setup
     in ``__init__``, work in ``__call__``, the actor-pool contract.
+
+    Two write strategies per epoch:
+
+    - ``cow`` (copy-on-write): read the partition's live rows, merge,
+      rewrite the whole partition.  Read-optimal (one file), but write
+      amplification grows with lake size — each epoch rewrites
+      lake/P bytes per touched partition regardless of how few rows
+      changed.
+    - ``mor`` (merge-on-read): write ONLY this epoch's deduped delta
+      (tombstones retained as ``deleted`` rows); readers resolve LWW
+      across base+deltas.  When a partition accumulates
+      ``compact_threshold`` files, this same task folds them into one
+      base (automatic compaction) — the LSM/lakehouse pattern that
+      keeps write amplification proportional to the CHANGE volume at
+      10^10-event scale, not to lake size × epochs.
     """
 
-    def __init__(self, lake_dir: str, epoch: int, manifest_ref):
+    def __init__(
+        self,
+        lake_dir: str,
+        epoch: int,
+        manifest_ref,
+        mode: str = "cow",
+        compact_threshold: int = 8,
+    ):
         self.lake_dir = lake_dir
         self.epoch = epoch
+        self.mode = mode
+        self.compact_threshold = compact_threshold
         man = manifest_ref
         if not isinstance(man, dict):
             man = ray.get(man)
         self.watermarks: dict[int, int] = man["watermarks"]
         self.part_files: dict[int, list[str]] = man["files"]
+        self.part_rows: dict[int, int] = man.get("rows", {})
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
@@ -163,13 +233,25 @@ class MergeApplier:
         n_applied = valid.num_rows
         n_rows_after = 0
         error = None
+        file_mode = None
         if n_applied:
             try:
-                prior = self._read_prior(part)
-                merged = lww_merge(prior, valid)
-                n_rows_after = merged.num_rows
-                rel = f"data/epoch={self.epoch}/part-{part:05d}.parquet"
-                self._write(merged, rel)
+                n_prior_files = len(self.part_files.get(part, []))
+                if self.mode == "mor" and n_prior_files + 1 <= self.compact_threshold:
+                    # delta write: only this epoch's changes hit disk
+                    delta = epoch_delta(valid)
+                    n_rows_after = self.part_rows.get(part, 0) + delta.num_rows
+                    rel = f"data/epoch={self.epoch}/part-{part:05d}.delta.parquet"
+                    self._write(delta, rel)
+                    file_mode = "append"
+                else:
+                    # cow rewrite — also the mor compaction fold
+                    prior = self._read_prior(part)
+                    merged = lww_merge(prior, valid)
+                    n_rows_after = merged.num_rows
+                    rel = f"data/epoch={self.epoch}/part-{part:05d}.parquet"
+                    self._write(merged, rel)
+                    file_mode = "replace"
                 out_files.append(rel)
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError, KeyError, TypeError) as ex:
                 # DETERMINISTIC failure (poison data, corrupt prior file):
@@ -189,6 +271,7 @@ class MergeApplier:
                 out_files.append(rel)
                 n_applied = 0
                 n_rows_after = 0
+                file_mode = None
 
         wall_ms = int((time.perf_counter() - t0) * 1000)
         return pa.Table.from_pydict(
@@ -204,6 +287,7 @@ class MergeApplier:
                 "commit_epoch": [self.epoch],
                 "wall_ms": [wall_ms],
                 "error": [error],
+                "file_mode": [file_mode],
             },
             schema=LINEAGE_SCHEMA,
         ).append_column("n_rows_after", pa.array([n_rows_after], pa.int64()))
