@@ -102,6 +102,19 @@ def _q_cdc_lineage_metrics(sf_dir: str):
     )
 
 
+def _q_approx_users(sf_dir: str):
+    """HyperLogLog distinct users — a mergeable sketch, not SQL-hashable
+    (estimate ≠ exact once register collisions start), so rows-only;
+    accuracy bounds are pinned in tests/test_sketches.py."""
+    import pyarrow as pa
+    import ray.data
+
+    from nifi_processors_ray.functions.sketches import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet", columns=["user_id"])
+    return pa.table({"approx_users": pa.array([approx_distinct(ds, "user_id")], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC / incremental-ingest core
@@ -138,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_enrich": _rel.events_user_enrich,
         "lineitem_pricing_summary": _rel.lineitem_pricing_summary,
         "events_asof_order": _rel.events_asof_order,
+        "events_approx_users": _q_approx_users,
     }
 
 
