@@ -236,7 +236,9 @@ def main() -> None:
     ap.add_argument("--scale-hi", type=int, default=16)
     ap.add_argument("--no-queries", dest="queries", action="store_false")
     ap.add_argument("--pin", action="store_true", help="pin process to the first N cores")
-    ap.add_argument("--trials", type=int, default=1)
+    # default 2: trial 1 absorbs worker-pool startup + page-cache warmup,
+    # trial 2 is the recorded steady-state number (both appear in trial_secs)
+    ap.add_argument("--trials", type=int, default=2)
     args = ap.parse_args()
     if args.events is None:
         default_ev = "16000000" if args.scaling else "2000000"
