@@ -76,6 +76,22 @@ def _q_cdc_replay(sf_dir: str):
     return _replayed_engine(sf_dir).final_state(sort=True)
 
 
+def _q_cdc_replay_mor(sf_dir: str):
+    """Same replay under merge-on-read in multiple epochs (delta writes +
+    automatic compaction actually exercised) — must converge to the
+    identical state, verified against the same SQL oracle as cdc_replay.
+
+    Epoch size adapts to the stream (~4 epochs at any sf) so the delta
+    path runs everywhere without drowning large sfs in commit barriers."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    eng = _replayed_engine(
+        sf_dir, merge_mode="mor", compact_threshold=3, epoch_events=max(2_000, n // 4)
+    )
+    return eng.final_state(sort=True)
+
+
 def _q_cdc_rejected(sf_dir: str):
     return _replayed_engine(sf_dir).rejected().sort("seq")
 
@@ -119,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC / incremental-ingest core
         "cdc_replay": _q_cdc_replay,
+        "cdc_replay_mor": _q_cdc_replay_mor,
         "cdc_rejected": _q_cdc_rejected,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         # text analysis (documents table)
@@ -158,6 +175,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+""",
+        # merge-on-read must converge to the IDENTICAL state
+        "cdc_replay_mor": f"""
 WITH {CHANGELOG_FROM_EVENTS_CTE},
 valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
 latest AS (
