@@ -70,3 +70,25 @@ def test_partition_balance():
     parts = add_partition_column(t, 32, 4).column(PARTITION_COL).to_numpy()
     counts = np.bincount(parts, minlength=32)
     assert counts.max() < 2 * counts.mean()
+
+
+def test_salting_bounds_macro_partition_skew():
+    """Quantitative skew bound: with a conversation taking 20% of all
+    events, salting must keep the largest partition well under the
+    unsalted hot-spot share."""
+    from nifi_processors_ray.synth import generate_changelog
+
+    ch = generate_changelog(50_000, n_convs=500, hot_frac=0.2, invalid_frac=0.0)
+    P = 32
+
+    def max_share(salt):
+        parts = add_partition_column(ch, P, salt).column(PARTITION_COL).to_numpy(
+            zero_copy_only=False
+        )
+        counts = np.bincount(parts, minlength=P)
+        return counts.max() / len(parts)
+
+    unsalted = max_share(1)   # hot conv concentrated on one partition: ≥20%
+    salted = max_share(8)     # fanned over 8 partitions
+    assert unsalted > 0.2
+    assert salted < 0.1, f"salted max share {salted}"
