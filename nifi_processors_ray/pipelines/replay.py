@@ -337,6 +337,49 @@ class CdcEngine:
         self.store.commit(new_man)
         return new_man
 
+    def vacuum(self) -> int:
+        """Delete files no committed manifest will ever reference again.
+
+        COW rewrites and MOR compaction folds supersede files without
+        deleting them (they must survive until the manifest commit so a
+        crash can fall back); on a long stream the orphans accumulate
+        forever.  Safe deletion rule: a file under an ``epoch=N`` path is
+        removable iff N ≤ the latest committed epoch AND the latest
+        manifest does not reference it — files of any in-flight epoch
+        (N > committed) are never touched, so vacuum can run
+        concurrently with ingestion.  Returns the number deleted.
+        """
+        import re
+
+        man = self.store.latest()
+        if man is None:
+            return 0
+        referenced: set[str] = set(man.lineage_files) | set(man.rejected_files) | set(
+            man.deadletter_files
+        )
+        for fs in man.files.values():
+            referenced.update(fs)
+        epoch_re = re.compile(r"epoch=(\d+)")
+        deleted = 0
+        for area in ("data", "rejected", "lineage", "deadletter"):
+            root = os.path.join(self.cfg.lake_dir, area)
+            if not os.path.isdir(root):
+                continue
+            for dirpath, _, names in os.walk(root, topdown=False):
+                for name in names:
+                    full = os.path.join(dirpath, name)
+                    rel = os.path.relpath(full, self.cfg.lake_dir)
+                    m = epoch_re.search(rel)
+                    if rel in referenced or m is None or int(m.group(1)) > man.epoch:
+                        continue
+                    os.remove(full)
+                    deleted += 1
+                try:  # prune emptied epoch directories
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return deleted
+
     def deadletter(self) -> ray.data.Dataset:
         """Quarantined batches (deterministic merge failures) for replay/triage."""
         from ..schema import CHANGELOG_SCHEMA
