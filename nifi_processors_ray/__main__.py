@@ -105,10 +105,21 @@ def cmd_metrics(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    eng = _engine(args)
+    print(json.dumps({"deleted": eng.vacuum()}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="nifi_processors_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name, fn in (("replay", cmd_replay), ("status", cmd_status), ("metrics", cmd_metrics)):
+    for name, fn in (
+        ("replay", cmd_replay),
+        ("status", cmd_status),
+        ("metrics", cmd_metrics),
+        ("vacuum", cmd_vacuum),
+    ):
         p = sub.add_parser(name)
         p.add_argument("--lake", required=True)
         p.add_argument("--log", action="append", default=[])
