@@ -316,7 +316,8 @@ class CdcEngine:
                 continue
             tables = [pq.read_table(os.path.join(self.cfg.lake_dir, f)) for f in files]
             merged = pa.concat_tables(tables, promote_options="permissive")
-            rel = f"{area}/compacted-{epoch:010d}.parquet"
+            # epoch= in the name keeps these vacuumable once superseded
+            rel = f"{area}/epoch={epoch}-compacted.parquet"
             path = os.path.join(self.cfg.lake_dir, rel)
             os.makedirs(os.path.dirname(path), exist_ok=True)
             pq.write_table(merged, path)

@@ -37,3 +37,9 @@ def test_compact_metadata_preserves_content(tmp_path):
 
     # replay still resumes cleanly after compaction (no state disturbed)
     assert eng.run_epoch() is None  # caught up
+
+    # vacuum now reclaims the superseded per-epoch metadata files
+    assert eng.vacuum() > 0
+    assert after_lineage.equals(
+        eng.lineage().to_pandas().sort_values(["commit_epoch", "partition"]).reset_index(drop=True)
+    )
