@@ -29,6 +29,7 @@ from nifi_processors_ray.ops import relational as _rel
 from nifi_processors_ray.ops import multimodal as _mm
 from nifi_processors_ray.ops import similarity as _sim
 from nifi_processors_ray.ops import text as _text
+from nifi_processors_ray.ops import vectors as _vec
 from nifi_processors_ray.pipelines.replay import CdcEngine
 from nifi_processors_ray.synth import (
     CHANGELOG_FROM_EVENTS_CTE,
@@ -168,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": _rel.lineitem_pricing_summary,
         "events_asof_order": _rel.events_asof_order,
         "events_approx_users": _q_approx_users,
+        # vector aggregation (embeddings table)
+        "label_vector_sums": _vec.label_vector_sums,
     }
 
 
@@ -224,4 +227,5 @@ ORDER BY seq
         "events_user_enrich": _rel.EVENTS_USER_ENRICH_SQL,
         "lineitem_pricing_summary": _rel.LINEITEM_PRICING_SQL,
         "events_asof_order": _rel.EVENTS_ASOF_ORDER_SQL,
+        "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
     }

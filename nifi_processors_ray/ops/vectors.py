@@ -1,0 +1,102 @@
+"""Vector-column aggregation: per-label embedding sums/centroids.
+
+The grouped-vector-reduce primitive (class centroids, per-source mean
+embeddings, …) done combiner-style: each batch reduces its rows to one
+(labels × dim) partial matrix — a few KB — so the shuffle moves
+per-batch partials, never embedding rows.
+
+Determinism contract with the SQL oracle: components are quantized to
+micro-units (``floor(x * 1e6)`` — identical in IEEE double both sides)
+and summed as int64, so the value-hash cannot drift on float summation
+order.  Callers wanting the float centroid divide ``comp_sum / (1e6 *
+n_vecs)`` downstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+QUANT = 1_000_000
+
+LABEL_VECTOR_SUMS_SQL = f"""
+SELECT label, ord AS dim,
+       -- DOUBLE cast BEFORE the multiply: the parquet column is float32
+       -- and a float32 multiply floors differently than the engine's
+       -- float64 path near integer boundaries
+       SUM(CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS comp_sum,
+       COUNT(*) AS n_vecs
+FROM (
+  SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS ord
+  FROM embeddings
+)
+GROUP BY label, ord
+ORDER BY label, dim
+"""
+
+
+def _label_partials(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    emb = np.asarray(
+        batch.column("embedding").combine_chunks().flatten(), dtype=np.float64
+    ).reshape(n, -1)
+    q = np.floor(emb * QUANT).astype(np.int64)
+    labels = np.asarray(batch.column("label"))
+    uniq = np.unique(labels)
+    dim = q.shape[1]
+    out_label, out_dim, out_sum, out_n = [], [], [], []
+    for lab in uniq:
+        m = labels == lab
+        out_label.append(np.full(dim, lab))
+        out_dim.append(np.arange(1, dim + 1))  # 1-based like generate_subscripts
+        out_sum.append(q[m].sum(axis=0))
+        out_n.append(np.full(dim, int(m.sum())))
+    return pa.table(
+        {
+            "label": pa.array(np.concatenate(out_label).astype(np.int64)),
+            "dim": pa.array(np.concatenate(out_dim).astype(np.int64)),
+            "comp_sum": pa.array(np.concatenate(out_sum)),
+            "n_vecs": pa.array(np.concatenate(out_n).astype(np.int64)),
+        }
+    )
+
+
+def label_vector_sums(sf_dir: str) -> ray.data.Dataset:
+    """Quantized per-label component sums (the centroid numerator)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    partials = ds.map_batches(_label_partials, batch_format="pyarrow")
+    return (
+        partials.groupby(["label", "dim"])
+        .aggregate(
+            Sum("comp_sum", alias_name="comp_sum"),
+            Sum("n_vecs", alias_name="n_vecs"),
+        )
+        .sort(["label", "dim"])
+    )
+
+
+def label_centroids(sf_dir: str) -> pa.Table:
+    """Float centroids per label (driver-side finish over the tiny sums)."""
+    sums = pa.Table.from_pylist(label_vector_sums(sf_dir).take_all())
+    labels = np.asarray(sums.column("label"))
+    dims = np.asarray(sums.column("dim"))
+    comp = np.asarray(sums.column("comp_sum"), dtype=np.float64)
+    n = np.asarray(sums.column("n_vecs"), dtype=np.float64)
+    centroid = comp / (QUANT * n)
+    uniq = np.unique(labels)
+    dim = int(dims.max())
+    mats = np.zeros((len(uniq), dim))
+    for i, lab in enumerate(uniq):
+        m = labels == lab
+        mats[i, dims[m] - 1] = centroid[m]
+    return pa.table(
+        {
+            "label": pa.array(uniq.astype(np.int64)),
+            "centroid": pa.FixedSizeListArray.from_arrays(pa.array(mats.reshape(-1)), dim),
+        }
+    )
