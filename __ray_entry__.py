@@ -30,6 +30,7 @@ from nifi_processors_ray.ops import multimodal as _mm
 from nifi_processors_ray.ops import similarity as _sim
 from nifi_processors_ray.ops import text as _text
 from nifi_processors_ray.ops import vectors as _vec
+from nifi_processors_ray.pipelines import corpus as _corpus
 from nifi_processors_ray.pipelines.replay import CdcEngine
 from nifi_processors_ray.synth import (
     CHANGELOG_FROM_EVENTS_CTE,
@@ -171,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_users": _q_approx_users,
         # vector aggregation (embeddings table)
         "label_vector_sums": _vec.label_vector_sums,
+        # composed corpus-hygiene flagship (dedup → quality gate)
+        "corpus_clean": _corpus.corpus_clean,
     }
 
 
@@ -228,4 +231,5 @@ ORDER BY seq
         "lineitem_pricing_summary": _rel.LINEITEM_PRICING_SQL,
         "events_asof_order": _rel.EVENTS_ASOF_ORDER_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
+        "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
     }
