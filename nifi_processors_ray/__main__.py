@@ -44,7 +44,10 @@ def _engine(args):
 def cmd_replay(args) -> int:
     _ensure_ray()
     eng = _engine(args)
-    results = eng.replay(max_epochs=args.max_epochs)
+    if args.follow:
+        results = eng.follow(poll_ms=args.poll_ms, max_polls=args.max_polls)
+    else:
+        results = eng.replay(max_epochs=args.max_epochs)
     out = {
         "epochs": len(results),
         "applied": sum(r.n_applied for r in results),
@@ -128,6 +131,9 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--epoch-events", type=int, default=2_000_000)
         p.add_argument("--initial-position", default="TRIM_HORIZON")
         p.add_argument("--max-epochs", type=int, default=None)
+        p.add_argument("--follow", action="store_true", help="continuous tail mode")
+        p.add_argument("--poll-ms", type=int, default=1000)
+        p.add_argument("--max-polls", type=int, default=None)
         p.set_defaults(fn=fn)
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -188,6 +188,38 @@ class CdcEngine:
             results.append(res)
         return results
 
+    def follow(
+        self,
+        poll_ms: int = 1000,
+        *,
+        max_polls: int | None = None,
+        stop: "callable | None" = None,
+    ) -> list[EpochResult]:
+        """Continuous tail: replay to the head, then poll for new log files.
+
+        The reference's consumer loop — fetch, then idle
+        ``idle-time-betweeen-record-fetch`` (default 1000 ms,
+        ``consumer/AbstractKinesisConsumerProcessor.java:121-128``) —
+        restated over the file log: rescan for new/appended files each
+        poll, replay whatever arrived.  ``max_polls`` / ``stop()`` bound
+        the loop for tests and drains; a real deployment runs unbounded
+        under ``ray job submit``.
+        """
+        import time as _time
+
+        results: list[EpochResult] = []
+        polls = 0
+        while True:
+            results.extend(self.replay())
+            if stop is not None and stop():
+                break
+            polls += 1
+            if max_polls is not None and polls >= max_polls:
+                break
+            _time.sleep(poll_ms / 1000.0)
+            self.log_infos(refresh=True)
+        return results
+
     # ------------------------------------------------------------------
     def _read_num_blocks(self) -> int:
         # Pre-shuffle block count sets both read parallelism and the sort
