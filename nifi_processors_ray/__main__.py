@@ -37,6 +37,9 @@ def _engine(args):
             salt_factor=args.salt_factor,
             epoch_events=args.epoch_events,
             initial_position=args.initial_position,
+            merge_mode=args.merge_mode,
+            compact_threshold=args.compact_threshold,
+            merge_concurrency=args.merge_concurrency,
         )
     )
 
@@ -45,7 +48,11 @@ def cmd_replay(args) -> int:
     _ensure_ray()
     eng = _engine(args)
     if args.follow:
-        results = eng.follow(poll_ms=args.poll_ms, max_polls=args.max_polls)
+        results = eng.follow(
+            poll_ms=args.poll_ms,
+            max_polls=args.max_polls,
+            max_epochs_per_round=args.max_epochs,
+        )
     else:
         results = eng.replay(max_epochs=args.max_epochs)
     out = {
@@ -130,6 +137,9 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--salt-factor", type=int, default=4)
         p.add_argument("--epoch-events", type=int, default=2_000_000)
         p.add_argument("--initial-position", default="TRIM_HORIZON")
+        p.add_argument("--merge-mode", default="cow", choices=["cow", "mor"])
+        p.add_argument("--compact-threshold", type=int, default=8)
+        p.add_argument("--merge-concurrency", type=int, default=None)
         p.add_argument("--max-epochs", type=int, default=None)
         p.add_argument("--follow", action="store_true", help="continuous tail mode")
         p.add_argument("--poll-ms", type=int, default=1000)

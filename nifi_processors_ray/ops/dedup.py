@@ -168,21 +168,25 @@ def _shingle_hashes(batch: pa.Table, k: int = 3) -> tuple[np.ndarray, np.ndarray
     """k-token shingle hashes per doc → (flat shingles, doc offsets).
 
     Docs with < k tokens contribute their (padded) single shingle so
-    short docs still dedup.
+    short docs still dedup; null text is treated as the empty document
+    (one empty-token shingle) — without the fill, a zero-token doc's
+    window would index the PREVIOUS doc's tokens (or wrap to -1).
     """
-    values, offsets = _token_lists(pc.utf8_lower(batch.column("text")))
+    text = pc.fill_null(pc.utf8_lower(batch.column("text")), "")
+    values, offsets = _token_lists(text)
     tok = hash_strings_u64(values)
     counts = np.diff(offsets)
     n_sh = np.maximum(counts - (k - 1), 1)
     out_off = np.concatenate([[0], np.cumsum(n_sh)])
-    flat = np.zeros(int(out_off[-1]), dtype=np.uint64)
     # window positions: for each doc d, shingles start at offsets[d] + j, j < n_sh[d]
     doc_idx = np.repeat(np.arange(len(counts)), n_sh)
     j = np.arange(len(doc_idx)) - out_off[doc_idx]
     base = offsets[:-1][doc_idx] + j
     acc = np.zeros(len(doc_idx), dtype=np.uint64)
     for t in range(k):
-        pos = np.minimum(base + np.uint64(t), offsets[1:][doc_idx] - 1)
+        # plain python-int offset: an np.uint64 scalar would promote the
+        # int64 index array to float64 under NumPy 2 (NEP 50)
+        pos = np.minimum(base + t, offsets[1:][doc_idx] - 1)
         acc = acc * _MIX1 + tok[pos]
     flat = _mix(acc)
     return flat, out_off

@@ -171,7 +171,9 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         starts = offsets[:-1]
         for k in range(max_c):
             live = counts > k
-            fp[live] = fp[live] * _FP_BASE + tok_h[starts[live] + np.uint64(k)]
+            # python-int k: an np.uint64 scalar would promote the int64
+            # index array to float64 under NumPy 2 (NEP 50)
+            fp[live] = fp[live] * _FP_BASE + tok_h[starts[live] + k]
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),

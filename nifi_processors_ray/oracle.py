@@ -48,7 +48,12 @@ def apply_changelog(changelog: pa.Table, base: pa.Table | None = None) -> pa.Tab
     valid, _ = split_valid(changelog)
     df = pl.from_arrow(valid)
     if base is not None:
-        base_df = pl.from_arrow(align_to_schema(base, CHANGELOG_SCHEMA))
+        # base rows are already-applied upserts: op must read as 'I', not
+        # the null that align_to_schema fills (a null op would be dropped
+        # by the op != 'D' filter whenever a base row wins LWW)
+        base_df = pl.from_arrow(align_to_schema(base, CHANGELOG_SCHEMA)).with_columns(
+            pl.col("op").fill_null("I")
+        )
         df = pl.concat([base_df, df], how="vertical")
     final = (
         df.sort("seq")

@@ -70,12 +70,40 @@ class CdcEngine:
         self.cfg = config
         self.store = ManifestStore(config.manifest_dir)
         self._infos: list[tailer.LogFileInfo] | None = None
+        self._scan_cache: dict[str, tuple[tuple[int, int], tailer.LogFileInfo]] = {}
 
     # ------------------------------------------------------------------
     def log_infos(self, refresh: bool = False) -> list[tailer.LogFileInfo]:
+        """Footer metadata for every log file, with an mtime/size cache.
+
+        A committed log segment never changes, so a refresh (each follow
+        poll) re-scans only NEW or modified files — O(new files) footer
+        reads per poll instead of O(all files) on a long-retained log.
+        """
         if self._infos is None or refresh:
             files = tailer.discover_log_files(self.cfg.changelog_paths)
-            self._infos = tailer.scan_log(files)
+            fresh: list[tailer.LogFileInfo] = []
+            to_scan: list[str] = []
+            for p in files:
+                try:
+                    st = os.stat(p)
+                    key = (st.st_mtime_ns, st.st_size)
+                except OSError:
+                    key = None
+                cached = self._scan_cache.get(p)
+                if cached is not None and key is not None and cached[0] == key:
+                    fresh.append(cached[1])
+                else:
+                    to_scan.append(p)
+            for info in tailer.scan_log(to_scan):
+                try:
+                    st = os.stat(info.path)
+                    self._scan_cache[info.path] = ((st.st_mtime_ns, st.st_size), info)
+                except OSError:
+                    pass
+                fresh.append(info)
+            fresh.sort(key=lambda i: i.path)
+            self._infos = fresh
         return self._infos
 
     def current_manifest(self) -> Manifest:
@@ -193,6 +221,7 @@ class CdcEngine:
         poll_ms: int = 1000,
         *,
         max_polls: int | None = None,
+        max_epochs_per_round: int | None = None,
         stop: "callable | None" = None,
     ) -> list[EpochResult]:
         """Continuous tail: replay to the head, then poll for new log files.
@@ -210,7 +239,7 @@ class CdcEngine:
         results: list[EpochResult] = []
         polls = 0
         while True:
-            results.extend(self.replay())
+            results.extend(self.replay(max_epochs=max_epochs_per_round))
             if stop is not None and stop():
                 break
             polls += 1
@@ -421,4 +450,6 @@ class CdcEngine:
         paths = [os.path.join(self.cfg.lake_dir, f) for f in (man.deadletter_files if man else [])]
         if not paths:
             return ray.data.from_arrow(CHANGELOG_SCHEMA.empty_table())
-        return ray.data.read_parquet(paths)
+        # columns pinned so the epoch=N path segment isn't hive-inferred
+        # as an extra column (schema must match the empty case)
+        return ray.data.read_parquet(paths, columns=[f.name for f in CHANGELOG_SCHEMA])

@@ -54,8 +54,18 @@ def scan_log(paths: list[str]) -> list[LogFileInfo]:
                 break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if lo is None:  # no stats → assume the file may contain anything
-            lo, hi = -(2**62), 2**62
+        if lo is None:
+            # No footer stats (producer wrote with write_statistics=False).
+            # Read the seq column itself for exact bounds — a sentinel
+            # range would poison head_seq() and send replay() into a
+            # near-endless empty-epoch loop toward a 2^62 "head".
+            seqs = pq.read_table(p, columns=["seq"]).column("seq")
+            if len(seqs) == 0:
+                continue  # empty file: contributes nothing to any window
+            import pyarrow.compute as _pc
+
+            lo = _pc.min(seqs).as_py()
+            hi = _pc.max(seqs).as_py()
         infos.append(LogFileInfo(p, int(lo), int(hi), tuple(schema.names)))
     return infos
 

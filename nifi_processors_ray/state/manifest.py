@@ -40,7 +40,10 @@ class Manifest:
     watermarks: dict[int, int] = field(default_factory=dict)
     # per-partition list of live data files (relative to lake_dir)
     files: dict[int, list[str]] = field(default_factory=dict)
-    # per-partition current row count (for metrics / compaction planning)
+    # per-partition PHYSICAL rows in the live files (for metrics /
+    # compaction planning).  Under merge-on-read this counts delta rows
+    # incl. superseded versions and tombstones — an upper bound on live
+    # keys, exact again after each compaction fold.
     rows: dict[int, int] = field(default_factory=dict)
     lineage_files: list[str] = field(default_factory=list)
     rejected_files: list[str] = field(default_factory=list)

@@ -185,7 +185,6 @@ def generate_changelog(
     invalid_frac: float = 0.01,
     delete_frac: float = 0.1,
     update_frac: float = 0.2,
-    tool_absent_frac: float = 0.3,
     seed: int = 42,
 ) -> pa.Table:
     """Deterministic change stream: one hot conversation takes ``hot_frac``
@@ -251,13 +250,13 @@ def write_generated_changelog(
     n_events: int,
     files: int = 16,
     tool_absent_frac: float = 0.3,
-    chunk_events: int = 2_000_000,
     **kwargs,
 ) -> list[str]:
     """Write a generated changelog as an ordered multi-file log; the first
     ``tool_absent_frac`` of files omit the ``tool`` column (schema
-    evolution).  Generates in chunks so 10^7+ events never sit in one
-    numpy allocation.  Idempotent via a ``_DONE`` marker.
+    evolution).  Generation is per-file, so peak memory is one file's
+    rows (size the ``files`` count so n_events/files stays in the 10^5-
+    10^6 range at big n).  Idempotent via a ``_DONE`` marker.
     """
     done_marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(done_marker):
