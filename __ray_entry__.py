@@ -40,15 +40,33 @@ from nifi_processors_ray.synth import (
 
 
 def _changelog_dir(sf_dir: str) -> str:
-    """Derive (once, cached) the changelog for a given sf_dir."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    """Derive (once, cached) the changelog for a given sf_dir.
+
+    The cache tag includes the source events.parquet's (mtime, size) so a
+    REGENERATED events table invalidates the cache — keying on the path
+    alone would silently replay a stale stream against an oracle computed
+    from the new data."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha1(f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"npr_changelog_{tag}")
     write_changelog_from_events(sf_dir, out, files=4)
     return out
 
 
+# Replayed engines are cached per (sf_dir, overrides): the CDC queries
+# share one converged lake instead of re-replaying (and re-leaking a
+# /tmp lake) per query.  Results are identical by the replay-determinism
+# invariant the tests pin.
+_ENGINE_CACHE: dict[tuple, CdcEngine] = {}
+
+
 def _replayed_engine(sf_dir: str, **over) -> CdcEngine:
-    """Fresh lake, full replay of the derived changelog."""
+    """Converged lake for sf_dir (cached per override set)."""
+    key = (os.path.abspath(sf_dir), tuple(sorted(over.items())))
+    eng = _ENGINE_CACHE.get(key)
+    if eng is not None:
+        return eng
     lake = tempfile.mkdtemp(prefix="npr_lake_")
     kwargs = dict(
         lake_dir=lake,
@@ -60,6 +78,7 @@ def _replayed_engine(sf_dir: str, **over) -> CdcEngine:
     kwargs.update(over)
     eng = CdcEngine(EngineConfig(**kwargs))
     eng.replay()
+    _ENGINE_CACHE[key] = eng
     return eng
 
 

@@ -174,7 +174,7 @@ def main_scaling(args) -> dict:
             "--no-queries",
             "--pin",
             "--trials",
-            str(args.trials if args.trials > 1 else 5),
+            str(args.trials if args.trials is not None else 5),
         ]
         _log(f"scaling child: num_cpus={cpus}")
         proc = subprocess.run(
@@ -236,10 +236,13 @@ def main() -> None:
     ap.add_argument("--scale-hi", type=int, default=16)
     ap.add_argument("--no-queries", dest="queries", action="store_false")
     ap.add_argument("--pin", action="store_true", help="pin process to the first N cores")
-    # default 2: trial 1 absorbs worker-pool startup + page-cache warmup,
-    # trial 2 is the recorded steady-state number (both appear in trial_secs)
-    ap.add_argument("--trials", type=int, default=2)
+    # None → mode default: 2 for the plain bench (trial 1 absorbs worker
+    # startup + page cache, trial 2 is recorded), 5 per scaling child
+    # (min-of-4 post-warmup on this noisy box).
+    ap.add_argument("--trials", type=int, default=None)
     args = ap.parse_args()
+    if not args.scaling and args.trials is None:
+        args.trials = 2
     if args.events is None:
         default_ev = "16000000" if args.scaling else "2000000"
         args.events = int(os.environ.get("GRAFT_BENCH_EVENTS", default_ev))

@@ -13,8 +13,9 @@ Scale notes (documented assumption per custom-operator rule):
 - the bucket groupby is the only all-to-all; its payload is signatures
   (≤0.5 KB/doc), never document text;
 - degenerate buckets (e.g. empty-text collisions) are capped at
-  ``MAX_BUCKET`` members per bucket to bound the quadratic pair step —
-  overflow is dropped and counted, not silently hung;
+  ``MAX_BUCKET`` members per bucket to bound the quadratic pair step;
+  the cap is DETERMINISTIC (smallest doc ids kept, via ``_cap_bucket``)
+  so repeated runs emit identical pair sets;
 - at 10^10-doc scale the explode factor (bands×) is paid in shuffle
   bytes; shrinking it means fewer/wider bands, a recall/bytes tradeoff.
 """
@@ -149,6 +150,16 @@ def augmented_embeddings(sf_dir: str) -> ray.data.Dataset:
 
 MAX_BUCKET = 64  # cap quadratic pair expansion per bucket
 
+
+def _cap_bucket(group: pa.Table, id_col: str, cap: int) -> pa.Table:
+    """Deterministically cap a bucket: keep the ``cap`` smallest ids.
+
+    A raw ``slice(0, cap)`` would keep whichever rows the shuffle
+    happened to order first — nondeterministic pair sets run-to-run."""
+    if group.num_rows <= cap:
+        return group
+    return group.sort_by(id_col).slice(0, cap)
+
 _MIX1 = np.uint64(0x9E3779B97F4A7C15)
 _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _MIX3 = np.uint64(0x165667B19E3779F9)
@@ -276,7 +287,7 @@ def _bucket_pairs_minhash(group: pa.Table, threshold: float) -> pa.Table:
     if n < 2:
         return empty
     if n > MAX_BUCKET:
-        group = group.slice(0, MAX_BUCKET)
+        group = _cap_bucket(group, "doc_id", MAX_BUCKET)
         n = MAX_BUCKET
     ids = np.asarray(group.column("doc_id"))
     sig = np.asarray(group.column("sig").combine_chunks().flatten()).reshape(n, -1)
@@ -425,7 +436,7 @@ def _bucket_pairs_simhash(group: pa.Table, max_hamming: int) -> pa.Table:
     if n < 2:
         return empty
     if n > MAX_BUCKET:
-        group = group.slice(0, MAX_BUCKET)
+        group = _cap_bucket(group, "doc_id", MAX_BUCKET)
         n = MAX_BUCKET
     ids = np.asarray(group.column("doc_id"))
     sim = np.asarray(group.column("simhash")).astype(np.uint64)
@@ -530,7 +541,7 @@ def _bucket_pairs_cosine(group: pa.Table, threshold: float) -> pa.Table:
     if n < 2:
         return empty
     if n > MAX_BUCKET * 4:
-        group = group.slice(0, MAX_BUCKET * 4)
+        group = _cap_bucket(group, "vec_id", MAX_BUCKET * 4)
         n = MAX_BUCKET * 4
     ids = np.asarray(group.column("vec_id"))
     emb = np.asarray(group.column("embedding").combine_chunks().flatten()).reshape(n, -1)

@@ -75,10 +75,13 @@ DISTINCT_TYPES_SQL = "SELECT DISTINCT event_type FROM events ORDER BY event_type
 # same rows are sampled on every run and on both engines (reproducible
 # experiment slices; the reference's random partition-key fallback,
 # producer/PutKinesisStream.java:267-269, is exactly what a lake must avoid).
+# Both sides reduce event_id mod 2^32 BEFORE the Knuth multiply (HUGEINT
+# on the SQL side): a raw BIGINT product overflows for event_id ≥ ~3.5e9,
+# i.e. exactly at the 10^10-event target scale.
 SAMPLE_SQL = """
 SELECT event_id, user_id, event_type, value
 FROM events
-WHERE (event_id * 2654435761) % 4294967296 % 100 < 10
+WHERE (CAST(event_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296 % 100 < 10
 ORDER BY event_id
 """
 
@@ -228,7 +231,7 @@ def sample_events(sf_dir: str) -> ray.data.Dataset:
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
 
     def pick(b: pa.Table) -> pa.Table:
-        eid = np.asarray(b.column("event_id")).astype(np.uint64)
+        eid = np.asarray(b.column("event_id")).astype(np.uint64) % np.uint64(4294967296)
         keep = (eid * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(100) < 10
         return b.filter(pa.array(keep))
 

@@ -53,14 +53,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    """(query ids, query matrix) — the first ``n_queries`` vectors by id."""
+    """(query ids, UNIT-NORM query matrix) — first ``n_queries`` by id.
+
+    Normalized once here, before the broadcast — not per batch in the
+    hot path."""
     import pyarrow.dataset as pads
 
     tbl = pads.dataset(f"{sf_dir.rstrip('/')}/embeddings.parquet").to_table(
         columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_queries
     )
     tbl = tbl.sort_by("vec_id")
-    return np.asarray(tbl.column("vec_id")), _to_matrix(tbl)
+    return np.asarray(tbl.column("vec_id")), _normalize(_to_matrix(tbl))
 
 
 def _partial_topk(batch: pa.Table, q_ref, k: int) -> pa.Table:
@@ -72,8 +75,7 @@ def _partial_topk(batch: pa.Table, q_ref, k: int) -> pa.Table:
     qids, qm = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
     ids = np.asarray(batch.column("vec_id"))
     emb = _normalize(_to_matrix(batch))
-    qn = _normalize(qm)
-    sims = emb @ qn.T  # (batch, Q)
+    sims = emb @ qm.T  # (batch, Q); qm ships unit-norm from load_queries
     self_rows = np.isin(ids, qids)
     if self_rows.any():
         sub = sims[self_rows]
@@ -189,7 +191,7 @@ def knn_ivf(
     """
     qids, qm = load_queries(sf_dir, n_queries)
     cent = train_centroids(sf_dir, n_cells=n_cells)
-    probes = np.argsort(-(_normalize(qm) @ cent.T), axis=1)[:, :nprobe]
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
     live_cells = np.unique(probes)
     cent_ref = ray.put(cent)
     q_ref = ray.put((qids, qm))

@@ -28,8 +28,9 @@ STOPWORDS = ("the", "a")
 TEXT_STATS_SQL = f"""
 WITH toks AS (
   SELECT doc_id, n_chars,
-         len(str_split(text, ' ')) AS n_tokens,
-         len(list_filter(str_split(text, ' '), x -> x IN {STOPWORDS!r})) AS stop_count
+         len(str_split(coalesce(text, ''), ' ')) AS n_tokens,
+         len(list_filter(str_split(coalesce(text, ''), ' '), x -> x IN {STOPWORDS!r}))
+           AS stop_count
   FROM documents
 )
 SELECT doc_id, n_chars, n_tokens, stop_count,
@@ -61,8 +62,12 @@ def _per_list_sum(flags: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
 
 def text_stats_batch(batch: pa.Table) -> pa.Table:
-    """doc_id → token/quality statistics (vectorized, zero Python loops)."""
-    text = batch.column("text")
+    """doc_id → token/quality statistics (vectorized, zero Python loops).
+
+    Null text counts as the empty document (mirrors the SQL twin's
+    ``coalesce(text, '')``) — without the fill, the null count_substring
+    result turns into an undefined NaN→int64 cast."""
+    text = pc.fill_null(batch.column("text"), "")
     n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
     n_tokens = (pc.count_substring(text, " ").to_numpy(zero_copy_only=False) + 1).astype(np.int64)
 
@@ -113,7 +118,7 @@ _LANGS = tuple(_LANG_PROFILES)
 
 
 def lang_id_batch(batch: pa.Table) -> pa.Table:
-    text = pc.utf8_lower(batch.column("text"))
+    text = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
     values, offsets = _token_lists(text)
     n_tokens = np.maximum(np.diff(offsets), 1)
 
@@ -160,7 +165,7 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """
     from ..functions.hashing import hash_strings_u64
 
-    values, offsets = _token_lists(batch.column("text"))
+    values, offsets = _token_lists(pc.fill_null(batch.column("text"), ""))
     tok_h = hash_strings_u64(values)
     counts = np.diff(offsets)
     n = len(counts)

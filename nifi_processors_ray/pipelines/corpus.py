@@ -44,7 +44,7 @@ ORDER BY doc_id
 def _quality_filter(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
-    text = batch.column("text")
+    text = pc.fill_null(batch.column("text"), "")
     n_tokens = (pc.count_substring(text, " ").to_numpy(zero_copy_only=False) + 1).astype(
         np.int64
     )
