@@ -36,7 +36,13 @@ from ..config import EngineConfig
 from ..functions.hashing import engine_hash_fingerprint
 from ..schema import LINEAGE_SCHEMA, REJECTED_SCHEMA
 from ..sources import tailer
-from ..stages.merge import LAKE_SCHEMA, TRANSCRIPT_COLS, MergeApplier, apply_merge_group
+from ..stages.merge import (
+    LAKE_SCHEMA,
+    TRANSCRIPT_COLS,
+    MergeApplier,
+    apply_merge_group,
+    merge_deltas,
+)
 from ..stages.partition import PARTITION_COL, add_partition_column
 from ..stages.validate import validate_batch
 from ..state.manifest import Manifest, ManifestStore
@@ -44,8 +50,6 @@ from ..state.manifest import Manifest, ManifestStore
 
 def _resolve_partition(batch: pa.Table) -> pa.Table:
     """Read + LWW-resolve one (or a few) partitions' file sets."""
-    from ..stages.merge import merge_deltas
-
     outs = []
     for row in batch.column("paths").to_pylist():
         tables = [pq.read_table(p) for p in row]
@@ -141,7 +145,15 @@ class CdcEngine:
 
     # ------------------------------------------------------------------
     def run_epoch(self, man: Manifest | None = None) -> EpochResult | None:
-        """Process the next seq window; returns None when caught up."""
+        """Process the next seq window; returns None when caught up.
+
+        Holds the lake's writer lock for the whole epoch: a second
+        concurrent writer would race the same deterministic output paths
+        and clobber this epoch's commit (single-writer contract)."""
+        with self.store.writer_lock():
+            return self._run_epoch_locked(man)
+
+    def _run_epoch_locked(self, man: Manifest | None) -> EpochResult | None:
         man = man or self.current_manifest()
         infos = self.log_infos()
         head = tailer.head_seq(infos)
@@ -154,7 +166,7 @@ class CdcEngine:
         ds = tailer.read_window(infos, wm, hi, num_blocks=self._read_num_blocks())
         if ds is None:
             # hole in the log (nothing in window) — just advance watermarks
-            self._commit(man, epoch, hi, [], [])
+            self._commit(man, epoch, hi, [])
             return EpochResult(epoch, wm + 1, hi, 0, 0, 0)
 
         P, S = self.cfg.num_partitions, self.cfg.salt_factor
@@ -196,7 +208,7 @@ class CdcEngine:
                 apply_merge_group, batch_format="pyarrow", fn_kwargs=fn_kwargs
             )
         rows = lineage_ds.take_all()  # ≤ P rows — tiny
-        self._commit(man, epoch, hi, rows, [])
+        self._commit(man, epoch, hi, rows)
         return EpochResult(
             epoch=epoch,
             seq_lo=wm + 1,
@@ -263,7 +275,7 @@ class CdcEngine:
             cpus = 8
         return max(2 * cpus, self.cfg.num_partitions)
 
-    def _commit(self, man: Manifest, epoch: int, hi: int, lineage_rows: list[dict], _unused) -> None:
+    def _commit(self, man: Manifest, epoch: int, hi: int, lineage_rows: list[dict]) -> None:
         files = dict(man.files)
         rows_count = dict(man.rows)
         rejected_files = list(man.rejected_files)
@@ -430,7 +442,8 @@ class CdcEngine:
             for dirpath, _, names in os.walk(root, topdown=False):
                 for name in names:
                     full = os.path.join(dirpath, name)
-                    rel = os.path.relpath(full, self.cfg.lake_dir)
+                    # normalize to '/' — manifest paths are stored POSIX-style
+                    rel = os.path.relpath(full, self.cfg.lake_dir).replace(os.sep, "/")
                     m = epoch_re.search(rel)
                     if rel in referenced or m is None or int(m.group(1)) > man.epoch:
                         continue

@@ -113,3 +113,27 @@ def align_to_schema(table: pa.Table, schema: pa.Schema) -> pa.Table:
 def unify_schemas(*schemas: pa.Schema) -> pa.Schema:
     """Unify schemas with type widening (promote_options='permissive')."""
     return pa.unify_schemas(list(schemas), promote_options="permissive")
+
+
+def align_to_schema_lenient(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Like :func:`align_to_schema`, but a column that cannot be safely
+    cast becomes all-null instead of raising.
+
+    Used by the validate stage so deterministic poison data (e.g. a
+    drifted file whose int64 turn_idx overflows int32) degrades into
+    per-row rejects (nulled key → reject_reason) rather than wedging the
+    stream — validate's skip-on-error contract at column granularity.
+    """
+    arrays = []
+    for field in schema:
+        if field.name in table.column_names:
+            col = table.column(field.name)
+            if col.type != field.type:
+                try:
+                    col = col.cast(field.type)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    col = pa.nulls(table.num_rows, type=field.type)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(table.num_rows, type=field.type))
+    return pa.Table.from_arrays(arrays, schema=schema)

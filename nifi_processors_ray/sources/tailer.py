@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
@@ -39,12 +40,26 @@ class LogFileInfo:
 
 
 def scan_log(paths: list[str]) -> list[LogFileInfo]:
-    """Read footer metadata (driver-side, cheap) for offset pruning."""
+    """Read footer metadata (driver-side, cheap) for offset pruning.
+
+    A file that cannot be opened as parquet is SKIPPED this scan (a
+    producer may still be mid-write when a follow poll lands — the next
+    poll retries it once complete; the engine's scan cache only caches
+    successful reads).  A readable file that is structurally wrong for a
+    changelog (no ``seq`` column, or only null seqs with no stats) is a
+    configuration error and raises with the filename — silence there
+    would hide real data loss.
+    """
     infos = []
     for p in sorted(paths):
-        md = pq.ParquetFile(p)
+        try:
+            md = pq.ParquetFile(p)
+        except (pa.ArrowInvalid, OSError):
+            continue  # half-written / vanished file: retry next scan
         schema = md.schema_arrow
         seq_idx = schema.get_field_index("seq")
+        if seq_idx < 0:
+            raise ValueError(f"changelog file has no 'seq' column: {p}")
         lo, hi = None, None
         meta = md.metadata
         for rg in range(meta.num_row_groups):
@@ -62,10 +77,10 @@ def scan_log(paths: list[str]) -> list[LogFileInfo]:
             seqs = pq.read_table(p, columns=["seq"]).column("seq")
             if len(seqs) == 0:
                 continue  # empty file: contributes nothing to any window
-            import pyarrow.compute as _pc
-
-            lo = _pc.min(seqs).as_py()
-            hi = _pc.max(seqs).as_py()
+            lo = pc.min(seqs).as_py()
+            hi = pc.max(seqs).as_py()
+            if lo is None:
+                raise ValueError(f"changelog file has only null seq values: {p}")
         infos.append(LogFileInfo(p, int(lo), int(hi), tuple(schema.names)))
     return infos
 
@@ -107,6 +122,12 @@ def read_window(
     if not live:
         return None
     flt = (pc.field("seq") > lo) & (pc.field("seq") <= hi)
+    if lo < 0:
+        # Initial (TRIM_HORIZON) window only: also surface null-seq rows
+        # so they reach validate's reject routing exactly once — a plain
+        # range filter silently drops them (null predicate → filtered),
+        # which would be unrecorded data loss.
+        flt = flt | pc.field("seq").is_null()
     by_schema: dict[tuple[str, ...], list[str]] = {}
     for i in live:
         by_schema.setdefault(i.columns, []).append(i.path)

@@ -215,9 +215,6 @@ class MergeApplier:
         valid, rejected = split_rejects(group)
 
         n_rejected = rejected.num_rows
-        seqs = group.column("seq")
-        seq_lo = pc.min(seqs).as_py()
-        seq_hi = pc.max(seqs).as_py()
 
         out_files: list[str] = []
         if n_rejected:
@@ -229,6 +226,15 @@ class MergeApplier:
         wm = self.watermarks.get(part, -1)
         if wm >= 0 and valid.num_rows:
             valid = valid.filter(pc.greater(valid.column("seq"), wm))
+
+        # lineage provenance spans APPLIED seqs only (rejected/dropped
+        # rows must not inflate the recorded applied range); null when
+        # nothing applied.
+        if valid.num_rows:
+            seq_lo = pc.min(valid.column("seq")).as_py()
+            seq_hi = pc.max(valid.column("seq")).as_py()
+        else:
+            seq_lo = seq_hi = None
 
         n_applied = valid.num_rows
         n_rows_after = 0

@@ -20,8 +20,9 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..schema import CHANGELOG_SCHEMA, align_to_schema
+from ..schema import CHANGELOG_SCHEMA, align_to_schema_lenient
 
+REJECT_NULL_SEQ = "null_seq"
 REJECT_NULL_CONV = "null_conv_id"
 REJECT_BAD_TURN = "bad_turn_idx"
 REJECT_BAD_OP = "bad_op"
@@ -35,13 +36,18 @@ def validate_batch(batch: pa.Table) -> pa.Table:
 
     Order of checks mirrors the oracle (first matching reason wins):
     null conv_id → bad turn_idx → bad op → null payload (non-delete).
+
+    Alignment is LENIENT: an un-castable column (poison data) is nulled
+    so the affected rows fall into the reject routing below instead of
+    raising on every retry and wedging the stream at this stage.
     """
-    batch = align_to_schema(batch, CHANGELOG_SCHEMA)
+    batch = align_to_schema_lenient(batch, CHANGELOG_SCHEMA)
     conv = batch.column("conv_id")
     turn = batch.column("turn_idx")
     op = batch.column("op")
     text = batch.column("text")
 
+    m_null_seq = pc.is_null(batch.column("seq"))
     m_null_conv = pc.is_null(conv)
     m_bad_turn = pc.or_kleene(pc.is_null(turn), pc.fill_null(pc.less(turn, 0), True))
     m_bad_op = pc.invert(pc.fill_null(pc.is_in(op, value_set=_VALID_OPS), False))
@@ -49,19 +55,18 @@ def validate_batch(batch: pa.Table) -> pa.Table:
         pc.fill_null(pc.not_equal(op, "D"), True), pc.is_null(text)
     )
 
-    reason = pc.if_else(
-        m_null_conv,
-        pa.scalar(REJECT_NULL_CONV),
-        pc.if_else(
-            m_bad_turn,
-            pa.scalar(REJECT_BAD_TURN),
-            pc.if_else(
-                m_bad_op,
-                pa.scalar(REJECT_BAD_OP),
-                pc.if_else(m_null_payload, pa.scalar(REJECT_NULL_PAYLOAD), pa.scalar(None, pa.string())),
-            ),
-        ),
-    )
+    # first matching reason wins, innermost-last
+    reason = pa.scalar(None, pa.string())
+    for mask, label in reversed(
+        [
+            (m_null_seq, REJECT_NULL_SEQ),
+            (m_null_conv, REJECT_NULL_CONV),
+            (m_bad_turn, REJECT_BAD_TURN),
+            (m_bad_op, REJECT_BAD_OP),
+            (m_null_payload, REJECT_NULL_PAYLOAD),
+        ]
+    ):
+        reason = pc.if_else(mask, pa.scalar(label), reason)
     return batch.append_column("reject_reason", reason)
 
 

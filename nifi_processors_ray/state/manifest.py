@@ -112,7 +112,21 @@ class ManifestStore:
             return None
         with open(cur) as f:
             name = f.read().strip()
-        with open(os.path.join(self.dir, name)) as f:
+        path = os.path.join(self.dir, name)
+        if not os.path.exists(path):
+            # Power-crash edge: CURRENT's rename persisted but the manifest
+            # file's didn't (rename ordering across a crash isn't
+            # guaranteed even with the dir fsyncs below, on some
+            # filesystems).  Fall back to the newest snapshot that DOES
+            # exist — always a previously committed, consistent state.
+            snaps = sorted(
+                f for f in os.listdir(self.dir)
+                if f.startswith("manifest-") and f.endswith(".json")
+            )
+            if not snaps:
+                return None
+            path = os.path.join(self.dir, snaps[-1])
+        with open(path) as f:
             return Manifest.from_json(f.read())
 
     def commit(self, manifest: Manifest) -> str:
@@ -120,8 +134,50 @@ class ManifestStore:
         manifest.committed_at = time.time()
         name = f"manifest-{manifest.epoch:010d}.json"
         self._atomic_write(os.path.join(self.dir, name), manifest.to_json())
+        self._fsync_dir()  # the snapshot must be durable BEFORE CURRENT names it
         self._atomic_write(os.path.join(self.dir, "CURRENT"), name)
+        self._fsync_dir()
         return name
+
+    def writer_lock(self):
+        """Exclusive advisory lock for the single-writer contract.
+
+        Two engine processes replaying the same lake would race the same
+        epoch's deterministic paths and clobber each other's commits —
+        acquiring this (``flock``, non-blocking) around each epoch makes
+        the second writer fail fast instead.  Advisory and local-host
+        only (flock over NFS is unreliable): cluster deployments must
+        still ensure one driver per lake via the job scheduler.
+        """
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def _lock():
+            fd = os.open(os.path.join(self.dir, "LOCK"), os.O_CREAT | os.O_RDWR)
+            try:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                except OSError as ex:
+                    raise RuntimeError(
+                        "another writer holds this lake's manifest lock "
+                        f"({self.dir}/LOCK); one writer per lake"
+                    ) from ex
+                yield
+            finally:
+                os.close(fd)  # releases the flock
+
+        return _lock()
+
+    def _fsync_dir(self) -> None:
+        try:
+            fd = os.open(self.dir, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        except OSError:  # platform without directory fsync
+            pass
 
     def _atomic_write(self, path: str, content: str) -> None:
         tmp = f"{path}.tmp.{uuid.uuid4().hex}"
