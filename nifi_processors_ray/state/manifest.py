@@ -150,7 +150,11 @@ class ManifestStore:
         still ensure one driver per lake via the job scheduler.
         """
         import contextlib
-        import fcntl
+
+        try:
+            import fcntl
+        except ImportError:  # non-POSIX: degrade to unenforced single-writer
+            return contextlib.nullcontext()
 
         @contextlib.contextmanager
         def _lock():
