@@ -47,6 +47,11 @@ def hash_ints_u64(values: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray
         x = values.to_numpy(zero_copy_only=False)
     else:
         x = values
+    if x.dtype.kind == "f":
+        # a nullable int column surfaces as float64 with NaN; NaN→uint64
+        # is undefined per C semantics (platform-dependent), so pin nulls
+        # to 0 deterministically before the cast
+        x = np.nan_to_num(x)
     z = x.astype(np.uint64, copy=True)
     z += np.uint64(0x9E3779B97F4A7C15)
     z ^= z >> np.uint64(30)

@@ -29,7 +29,16 @@ def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def hll_partial(col, p: int = DEFAULT_P) -> np.ndarray:
-    """One batch → its register array (uint8[2^p])."""
+    """One batch → its register array (uint8[2^p]).
+
+    Nulls are excluded (COUNT(DISTINCT) semantics).  ``p`` is bounded to
+    [12, 18]: below 12 the float64-log2 rho computation loses exactness
+    (rem exceeds 2^52), above 18 the register array stops being 'tiny'.
+    """
+    if not (12 <= p <= 18):
+        raise ValueError(f"p must be in [12, 18], got {p}")
+    if hasattr(col, "drop_null"):
+        col = col.drop_null()
     h = _hash_column(col)
     m = 1 << p
     idx = (h >> np.uint64(64 - p)).astype(np.int64)

@@ -27,11 +27,16 @@ def split_valid(changelog: pa.Table) -> tuple[pa.Table, pa.Table]:
     """(valid, rejected-with-reason) — single-process twin of stages.validate."""
     df = pl.from_arrow(align_to_schema(changelog, CHANGELOG_SCHEMA))
     reason = (
-        pl.when(pl.col("conv_id").is_null())
+        pl.when(pl.col("seq").is_null())
+        .then(pl.lit("null_seq"))
+        .when(pl.col("conv_id").is_null())
         .then(pl.lit("null_conv_id"))
         .when(pl.col("turn_idx").is_null() | (pl.col("turn_idx") < 0))
         .then(pl.lit("bad_turn_idx"))
-        .when(~pl.col("op").is_in(["I", "U", "D"]))
+        # fill_null(False): a NULL op must read as "not a valid op" →
+        # bad_op, matching stages/validate.py (a bare Kleene null here
+        # would skip the branch and classify the row as valid)
+        .when(~pl.col("op").is_in(["I", "U", "D"]).fill_null(False))
         .then(pl.lit("bad_op"))
         .when((pl.col("op") != "D") & pl.col("text").is_null())
         .then(pl.lit("null_payload"))

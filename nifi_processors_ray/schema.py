@@ -115,16 +115,21 @@ def unify_schemas(*schemas: pa.Schema) -> pa.Schema:
     return pa.unify_schemas(list(schemas), promote_options="permissive")
 
 
-def align_to_schema_lenient(table: pa.Table, schema: pa.Schema) -> pa.Table:
+def align_to_schema_lenient(
+    table: pa.Table, schema: pa.Schema
+) -> tuple[pa.Table, list[str]]:
     """Like :func:`align_to_schema`, but a column that cannot be safely
-    cast becomes all-null instead of raising.
+    cast becomes all-null instead of raising; returns ``(table,
+    nulled_columns)`` so the caller can route the damage.
 
     Used by the validate stage so deterministic poison data (e.g. a
     drifted file whose int64 turn_idx overflows int32) degrades into
-    per-row rejects (nulled key → reject_reason) rather than wedging the
-    stream — validate's skip-on-error contract at column granularity.
+    per-row rejects rather than wedging the stream.  Columns merely
+    ABSENT from the input (schema evolution) are added as nulls but NOT
+    reported — only cast failures are.
     """
     arrays = []
+    nulled: list[str] = []
     for field in schema:
         if field.name in table.column_names:
             col = table.column(field.name)
@@ -133,7 +138,8 @@ def align_to_schema_lenient(table: pa.Table, schema: pa.Schema) -> pa.Table:
                     col = col.cast(field.type)
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                     col = pa.nulls(table.num_rows, type=field.type)
+                    nulled.append(field.name)
             arrays.append(col)
         else:
             arrays.append(pa.nulls(table.num_rows, type=field.type))
-    return pa.Table.from_arrays(arrays, schema=schema)
+    return pa.Table.from_arrays(arrays, schema=schema), nulled

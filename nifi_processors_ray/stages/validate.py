@@ -39,9 +39,17 @@ def validate_batch(batch: pa.Table) -> pa.Table:
 
     Alignment is LENIENT: an un-castable column (poison data) is nulled
     so the affected rows fall into the reject routing below instead of
-    raising on every retry and wedging the stream at this stage.
+    raising on every retry and wedging the stream at this stage.  If the
+    damaged column is one the key checks would NOT catch (ts, role,
+    tool, batch_id), every row of the batch is rejected explicitly —
+    silently applying rows with a destroyed column would be unrecorded
+    corruption.
     """
-    batch = align_to_schema_lenient(batch, CHANGELOG_SCHEMA)
+    batch, nulled = align_to_schema_lenient(batch, CHANGELOG_SCHEMA)
+    unchecked_damage = [c for c in nulled if c not in ("conv_id", "turn_idx", "op", "text", "seq")]
+    if unchecked_damage:
+        reason = pa.repeat(pa.scalar(f"uncastable_column:{unchecked_damage[0]}"), batch.num_rows)
+        return batch.append_column("reject_reason", reason)
     conv = batch.column("conv_id")
     turn = batch.column("turn_idx")
     op = batch.column("op")

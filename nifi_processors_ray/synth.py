@@ -40,6 +40,40 @@ ROLES = np.array(["user", "assistant", "tool", "system"])
 TOOLS = np.array(["search", "code", "browser"])
 
 # ---------------------------------------------------------------------------
+# completion-marker helpers — the _DONE file records the EXACT file set
+# written, so a crash mid-write (no marker) triggers a clean regenerate
+# and a rerun with different parameters can never mix stale leftovers
+# into the returned log.
+# ---------------------------------------------------------------------------
+
+def _read_done_marker(out_dir: str) -> list[str] | None:
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        names = [ln for ln in f.read().split("\n") if ln and ln != "ok"]
+    if names:
+        paths = [os.path.join(out_dir, n) for n in names]
+        if all(os.path.exists(p) for p in paths):
+            return paths
+    # legacy "ok" marker or missing files: fall back to a full listing
+    return sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+
+
+def _clear_stale_parquet(out_dir: str) -> None:
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, f))
+
+
+def _write_done_marker(out_dir: str, paths: list[str]) -> None:
+    with open(os.path.join(out_dir, "_DONE"), "w") as f:
+        f.write("\n".join(os.path.basename(p) for p in paths))
+
+
+# ---------------------------------------------------------------------------
 # 1. SQL-mirrorable derivation from the `events` table
 # ---------------------------------------------------------------------------
 
@@ -87,6 +121,14 @@ def derive_changelog_from_events(events: pa.Table) -> pa.Table:
     eid = events.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
     uid = events.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
     etype = np.asarray(events.column("event_type").to_pylist(), dtype=object)
+    # The SQL/Python lockstep holds only for non-negative ids and
+    # non-null event types: DuckDB's % keeps the dividend's sign (numpy
+    # keeps the divisor's) and SQL NULL || '...' is NULL (Python would
+    # render 'None').  Fail loudly rather than derive divergent streams.
+    if (eid < 0).any() or (uid < 0).any():
+        raise ValueError("derive_changelog_from_events requires non-negative ids")
+    if events.column("event_type").null_count:
+        raise ValueError("derive_changelog_from_events requires non-null event_type")
 
     m10 = eid % 10
     m97 = eid % 97
@@ -111,7 +153,6 @@ def derive_changelog_from_events(events: pa.Table) -> pa.Table:
     tool_cutoff = lo + 3 * (hi - lo + 1) // 10
     m7 = eid % 7
     tool = np.where(m7 < 3, TOOLS[np.minimum(m7, 2)], None).astype(object)
-    tool[m7 >= 3] = None
     tool[is_del | (eid < tool_cutoff)] = None
 
     batch_id = np.char.add("b", (eid // 1000).astype(str))
@@ -142,12 +183,11 @@ def write_changelog_from_events(sf_dir: str, out_dir: str, files: int = 4) -> li
     Idempotent: skips work if the output already exists (same derivation
     is deterministic).
     """
-    done_marker = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done_marker):
-        return sorted(
-            os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
-        )
+    cached = _read_done_marker(out_dir)
+    if cached is not None:
+        return cached
     os.makedirs(out_dir, exist_ok=True)
+    _clear_stale_parquet(out_dir)  # crash-before-marker leftovers
     events = pq.read_table(sf_dir.rstrip("/") + "/events.parquet")
     ch = derive_changelog_from_events(events)
     eid = ch.column("seq").to_numpy()
@@ -168,8 +208,7 @@ def write_changelog_from_events(sf_dir: str, out_dir: str, files: int = 4) -> li
         p = os.path.join(out_dir, f"changelog-{i + 1:05d}.parquet")
         pq.write_table(part, p)
         paths.append(p)
-    with open(done_marker, "w") as f:
-        f.write("ok")
+    _write_done_marker(out_dir, paths)
     return paths
 
 
@@ -191,6 +230,8 @@ def generate_changelog(
     of all events (≈10^3× the median, the skew scenario), invalid rows are
     sprinkled at arbitrary positions, and ops are I/U/D mixed.
     """
+    if n_convs < 2:
+        raise ValueError("n_convs must be >= 2 (conv 0 is the reserved hot conversation)")
     rng = np.random.default_rng(seed)
     seq = np.arange(n_events, dtype=np.int64)
 
@@ -258,12 +299,11 @@ def write_generated_changelog(
     rows (size the ``files`` count so n_events/files stays in the 10^5-
     10^6 range at big n).  Idempotent via a ``_DONE`` marker.
     """
-    done_marker = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done_marker):
-        return sorted(
-            os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
-        )
+    cached = _read_done_marker(out_dir)
+    if cached is not None:
+        return cached
     os.makedirs(out_dir, exist_ok=True)
+    _clear_stale_parquet(out_dir)  # crash-before-marker leftovers
     seed = kwargs.pop("seed", 42)
     per_file = (n_events + files - 1) // files
     cutoff_files = int(files * tool_absent_frac)
@@ -289,6 +329,5 @@ def write_generated_changelog(
         pq.write_table(t, p)
         paths.append(p)
         offset += n
-    with open(done_marker, "w") as f:
-        f.write("ok")
+    _write_done_marker(out_dir, paths)
     return paths

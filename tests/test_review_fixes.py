@@ -75,7 +75,7 @@ def test_oracle_base_rows_survive_lww():
             "ts": pa.array([0, 0], pa.timestamp("us")),
         }
     )
-    ch = generate_changelog(0, n_convs=1).slice(0, 0)  # empty changelog
+    ch = generate_changelog(0, n_convs=2).slice(0, 0)  # empty changelog
     out = apply_changelog(ch, base=base).to_pydict()
     assert out["text"] == ["base-a", "base-b"]  # untouched base keys survive
 

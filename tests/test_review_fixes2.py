@@ -107,3 +107,28 @@ def test_lineage_bounds_cover_applied_rows_only(tmp_path):
     none_applied = lineage[lineage["n_applied"] == 0]
     if len(none_applied):
         assert none_applied["seq_lo"].isna().all()
+
+
+def test_uncastable_nonkey_column_rejects_batch_explicitly():
+    """Poison in a non-validated column (ts) must reject, not silently null."""
+    ch = generate_changelog(5, n_convs=3, invalid_frac=0.0)
+    bad = ch.set_column(
+        7, "ts", pa.array(["not a timestamp"] * 5, pa.string())
+    )
+    out = validate_batch(bad)
+    reasons = set(out.column("reject_reason").to_pylist())
+    assert reasons == {"uncastable_column:ts"}
+
+
+def test_done_marker_invalidates_on_crash_leftovers(tmp_path):
+    from nifi_processors_ray.synth import write_generated_changelog
+
+    out = str(tmp_path / "log")
+    # simulate a crashed 16-file run: files on disk, NO marker
+    write_generated_changelog(out, 800, files=16, n_convs=10)
+    os.remove(os.path.join(out, "_DONE"))
+    # rerun with different layout: stale files must not leak into the result
+    paths = write_generated_changelog(out, 800, files=4, n_convs=10)
+    assert len(paths) == 4
+    on_disk = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(on_disk) == 4
