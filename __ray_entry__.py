@@ -62,8 +62,18 @@ _ENGINE_CACHE: dict[tuple, CdcEngine] = {}
 
 
 def _replayed_engine(sf_dir: str, **over) -> CdcEngine:
-    """Converged lake for sf_dir (cached per override set)."""
-    key = (os.path.abspath(sf_dir), tuple(sorted(over.items())))
+    """Converged lake for sf_dir (cached per override set).
+
+    The key includes the source events.parquet's (mtime_ns, size): if the
+    table is regenerated mid-process the changelog cache rebuilds, and
+    without this the engine cache would keep serving the stale lake."""
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = (
+        os.path.abspath(sf_dir),
+        st.st_mtime_ns,
+        st.st_size,
+        tuple(sorted(over.items())),
+    )
     eng = _ENGINE_CACHE.get(key)
     if eng is not None:
         return eng

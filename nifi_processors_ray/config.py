@@ -14,6 +14,7 @@ data movement, like NiFi's flow-configuration-time validation.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 from dataclasses import dataclass, field, replace
 
 
@@ -74,7 +75,32 @@ class EngineConfig:
     merge_mode: str = "cow"
     compact_threshold: int = 8
     max_attempts: int = 3
+    # COW data writes split into files of at most this many rows — the
+    # reference's aggregation-max-size analog
+    # (``producer/AbstractKinesisProducerProcessor.java:40-68``); a
+    # resumable/parallel reader wants bounded files, never one giant one.
     target_rows_per_file: int = 1_000_000
+    # ------------------------------------------------------------------
+    # User-extension seam — the ``RecordsHandler`` analog
+    # (``consumer/RecordsHandler.java:29-52``; injected via ``makeWorker``
+    # / ``makeProducer``, ``consumer/GetKinesisStream.java:205-211``,
+    # ``producer/PutKinesisStream.java:207-209``).  Users plug logic into
+    # the per-shard machinery without forking the engine:
+    #
+    # - ``enrich``: ``Callable[[pa.Table], pa.Table]`` applied per batch
+    #   BETWEEN validate and partition.  May add/modify payload columns
+    #   (extra columns persist through the merge into the lake) but must
+    #   preserve the changelog envelope columns (seq/op/conv_id/turn_idx/
+    #   batch_id/reject_reason) — enforced at runtime.
+    # - ``merge_policy``: ``Callable[[pa.Table], pa.Table]`` receiving the
+    #   concatenated DELTA-shaped candidate rows for a partition (lake
+    #   prior + epoch changes, incl. ``deleted`` tombstone flags) and
+    #   returning the winning row per (conv_id, turn_idx) key.  ``None``
+    #   means last-writer-wins by max seq (``stages.merge.lww_policy``).
+    #   The policy must keep the input schema and emit at most one row
+    #   per key; winning tombstones are filtered by the engine afterward.
+    enrich: Callable | None = None
+    merge_policy: Callable | None = None
     # Credentials-style knobs kept for config-surface parity (the reference's
     # access-key/secret/credentials-file triple, validated together):
     access_key: str | None = None
@@ -103,6 +129,12 @@ class EngineConfig:
             raise ConfigError(f"merge_mode must be 'cow' or 'mor', got {self.merge_mode!r}")
         if self.compact_threshold < 1:
             raise ConfigError("compact_threshold must be >= 1")
+        if self.target_rows_per_file < 1:
+            raise ConfigError("target_rows_per_file must be >= 1")
+        if self.enrich is not None and not callable(self.enrich):
+            raise ConfigError("enrich must be a callable (pa.Table -> pa.Table) or None")
+        if self.merge_policy is not None and not callable(self.merge_policy):
+            raise ConfigError("merge_policy must be a callable (pa.Table -> pa.Table) or None")
         # Cross-field rules, mirroring customValidate
         # (consumer/AbstractKinesisConsumerProcessor.java:289-316):
         if (self.access_key is None) != (self.secret_key is None):

@@ -387,16 +387,30 @@ def minhash_dup_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(batch: pa.Table) -> pa.Table:
-    """64-bit SimHash over token hashes (unweighted)."""
-    values, offsets = _token_lists(pc.utf8_lower(batch.column("text")))
+    """64-bit SimHash over token hashes (unweighted).
+
+    Null text is filled to '' BEFORE tokenizing (like minhash) so every
+    doc has ≥1 token and the reduceat offsets stay strictly increasing —
+    zeroing an empty doc's offset instead would make idx[i] >= idx[i+1]
+    and collapse the PRECEDING doc's segment to its first token (r1
+    ADVICE: identical docs straddling a null doc got different hashes).
+    Empty/null docs are then masked to simhash 0, the documented contract.
+    """
+    text = pc.fill_null(pc.utf8_lower(batch.column("text")), "")
+    values, offsets = _token_lists(text)
     tok = hash_strings_u64(values)
     bits = ((tok[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
     contrib = bits * 2 - 1  # ±1 per bit
-    counts = np.diff(offsets)
-    idx = offsets[:-1].copy()
-    idx[counts == 0] = 0  # reduceat quirk guard; zero-token docs get garbage→masked below
-    sums = np.add.reduceat(contrib, idx, axis=0) if len(tok) else np.zeros((len(counts), 64), np.int32)
-    sums[counts == 0] = -1  # empty docs → simhash 0
+    counts = np.diff(offsets)  # >= 1 everywhere: '' splits to ['']
+    sums = (
+        np.add.reduceat(contrib, offsets[:-1], axis=0)
+        if len(tok)
+        else np.zeros((len(counts), 64), np.int32)
+    )
+    if len(counts):
+        tok_len = np.asarray(pc.utf8_length(values))
+        empty = (counts == 1) & (tok_len[offsets[:-1]] == 0)
+        sums[empty] = -1  # empty docs → simhash 0
     sim = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
         axis=1, dtype=np.uint64
     )

@@ -34,7 +34,10 @@ WINDOW_AGG_SQL = f"""
 SELECT CAST(epoch_us(ts) // {_US_PER_HOUR} AS BIGINT) AS window_hour,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents,
+       -- CAST around the SUM, not just the operand: DuckDB SUM(BIGINT)
+       -- returns HUGEINT, which pandas renders float64 and the driver's
+       -- value-hash then mismatches the engine's int64 (VERDICT r1 #1).
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -61,7 +64,7 @@ ORDER BY user_id
 
 TOPK_USERS_SQL = """
 SELECT user_id,
-       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
        COUNT(*) AS n_events
 FROM events
 GROUP BY user_id

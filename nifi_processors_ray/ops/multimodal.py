@@ -129,15 +129,25 @@ def media_features(
     a batch × concurrency must fit in worker heap — the knob is part of
     the contract even though the stub payloads are tiny.
     """
+    import ray as _ray
+
     ds = ray.data.read_parquet(
         f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text", "n_chars"]
     )
     ds = ds.map_batches(attach_media, batch_format="pyarrow")
+    # Autoscaling pool (1..N), with N capped BELOW the cluster's CPU count:
+    # a fixed pool equal to the whole cluster pins every slot to actors and
+    # starves the upstream read/attach tasks — the streaming executor
+    # deadlocks (observed on a 4-CPU test session with concurrency=4).
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
     ds = ds.map_batches(
         MediaFeatureExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, max(1, min(concurrency, cpus - 1))),
     )
     # sha1_16 is for lineage/debugging; the SQL twin can't compute it,
     # so the driver-facing result carries only the header features.

@@ -31,9 +31,11 @@ ORDER BY e.event_id
 LINEITEM_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_rows,
-       SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS qty_cents,
-       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS price_cents,
-       SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+       -- outer CASTs: DuckDB SUM(BIGINT) → HUGEINT → pandas float64,
+       -- which hash-mismatches the engine's int64 (VERDICT r1 #1)
+       CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
          AS disc_price_cents
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus

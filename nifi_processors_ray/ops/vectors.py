@@ -21,11 +21,14 @@ import ray.data
 QUANT = 1_000_000
 
 LABEL_VECTOR_SUMS_SQL = f"""
-SELECT label, ord AS dim,
+SELECT CAST(label AS BIGINT) AS label, ord AS dim,
        -- DOUBLE cast BEFORE the multiply: the parquet column is float32
        -- and a float32 multiply floors differently than the engine's
-       -- float64 path near integer boundaries
-       SUM(CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS comp_sum,
+       -- float64 path near integer boundaries.  Outer BIGINT cast on the
+       -- SUM: DuckDB SUM(BIGINT) → HUGEINT → pandas float64, which
+       -- hash-mismatches the engine's int64 (VERDICT r1 #1); same for
+       -- label, which parquet round-trips as int32 vs the engine's int64.
+       CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS BIGINT) AS comp_sum,
        COUNT(*) AS n_vecs
 FROM (
   SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS ord

@@ -48,15 +48,38 @@ from ..stages.validate import validate_batch
 from ..state.manifest import Manifest, ManifestStore
 
 
-def _resolve_partition(batch: pa.Table) -> pa.Table:
-    """Read + LWW-resolve one (or a few) partitions' file sets."""
+def _resolve_partition(batch: pa.Table, policy=None) -> pa.Table:
+    """Read + policy-resolve (default LWW) one or a few partitions' file
+    sets.  All columns except the internal ``seq`` survive — including
+    enrichment columns injected by the ``enrich`` hook."""
     outs = []
     for row in batch.column("paths").to_pylist():
         tables = [pq.read_table(p) for p in row]
-        outs.append(merge_deltas(tables).select(TRANSCRIPT_COLS))
+        outs.append(merge_deltas(tables, policy=policy).drop_columns(["seq"]))
     if not outs:
         return LAKE_SCHEMA.empty_table().select(TRANSCRIPT_COLS)
-    return pa.concat_tables(outs)
+    return pa.concat_tables(outs, promote_options="permissive")
+
+
+# Envelope columns the enrich hook must preserve (partition/merge/lineage
+# all key off them); payload columns may be added or rewritten freely.
+_ENRICH_REQUIRED = ("seq", "op", "conv_id", "turn_idx", "batch_id", "reject_reason")
+
+
+def _apply_enrich(batch: pa.Table, fn) -> pa.Table:
+    """Run the injected per-batch enrich callable (the RecordsHandler
+    seam, ``consumer/RecordsHandler.java:29-52``) and enforce its
+    contract: the changelog envelope must survive."""
+    out = fn(batch)
+    if not isinstance(out, pa.Table):
+        raise TypeError(f"enrich must return a pyarrow.Table, got {type(out).__name__}")
+    missing = [c for c in _ENRICH_REQUIRED if c not in out.column_names]
+    if missing:
+        raise RuntimeError(
+            f"enrich hook dropped required changelog columns {missing}; "
+            "it may add or modify payload columns only"
+        )
+    return out
 
 
 @dataclass
@@ -171,6 +194,12 @@ class CdcEngine:
 
         P, S = self.cfg.num_partitions, self.cfg.salt_factor
         ds = ds.map_batches(validate_batch, batch_format="pyarrow", batch_size=self.cfg.batch_size)
+        if self.cfg.enrich is not None:
+            # user-extension seam: injected parse/enrich stage between
+            # validate and partition (RecordsHandler analog)
+            ds = ds.map_batches(
+                _apply_enrich, batch_format="pyarrow", fn_kwargs={"fn": self.cfg.enrich}
+            )
         ds = ds.map_batches(
             add_partition_column,
             batch_format="pyarrow",
@@ -188,6 +217,10 @@ class CdcEngine:
             "manifest_ref": manifest_ref,
             "mode": self.cfg.merge_mode,
             "compact_threshold": self.cfg.compact_threshold,
+            "policy": self.cfg.merge_policy,
+            "max_attempts": self.cfg.max_attempts,
+            "target_rows_per_file": self.cfg.target_rows_per_file,
+            "staging_dir": self.cfg.staging_dir,
         }
         grouped = ds.groupby(PARTITION_COL)
         if self.cfg.merge_concurrency:
@@ -342,7 +375,12 @@ class CdcEngine:
         if not items:
             return ray.data.from_arrow(LAKE_SCHEMA.empty_table().select(TRANSCRIPT_COLS))
         ds = ray.data.from_items(items, override_num_blocks=len(items))
-        ds = ds.map_batches(_resolve_partition, batch_format="pyarrow", batch_size=None)
+        ds = ds.map_batches(
+            _resolve_partition,
+            batch_format="pyarrow",
+            batch_size=None,
+            fn_kwargs={"policy": self.cfg.merge_policy},
+        )
         if sort:
             ds = ds.sort(["conv_id", "turn_idx"])
         return ds
@@ -435,7 +473,10 @@ class CdcEngine:
             referenced.update(fs)
         epoch_re = re.compile(r"epoch=(\d+)")
         deleted = 0
-        for area in ("data", "rejected", "lineage", "deadletter"):
+        # _staging/attempts holds the per-(epoch, partition) attempt
+        # counters — never referenced by a manifest, removable once the
+        # epoch is committed (same N ≤ committed-epoch rule).
+        for area in ("data", "rejected", "lineage", "deadletter", "_staging/attempts"):
             root = os.path.join(self.cfg.lake_dir, area)
             if not os.path.isdir(root):
                 continue

@@ -65,24 +65,52 @@ TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 # flag: a winning delete must survive as data until compaction folds it.
 DELTA_SCHEMA = pa.schema(list(LAKE_SCHEMA) + [pa.field("deleted", pa.bool_())])
 
+# Columns that are engine envelope/bookkeeping, never user payload.  Any
+# OTHER column present on a change batch is an enrichment column (added by
+# the injected ``enrich`` hook — the RecordsHandler seam) and persists
+# through the merge into the lake, like the late ``tool`` column does.
+_ENVELOPE_COLS = frozenset(
+    [f.name for f in CHANGELOG_SCHEMA] + ["deleted", "reject_reason", PARTITION_COL]
+)
+
+
+def _extra_fields(schema: pa.Schema) -> list[pa.Field]:
+    """Enrichment fields (user payload beyond the core schemas), name-sorted
+    so every producer emits them in one deterministic order."""
+    return sorted(
+        (f for f in schema if f.name not in _ENVELOPE_COLS), key=lambda f: f.name
+    )
+
+
+def _delta_schema_for(extras: list[pa.Field]) -> pa.Schema:
+    return pa.schema(list(LAKE_SCHEMA) + list(extras) + [pa.field("deleted", pa.bool_())])
+
 
 def _changes_to_delta(changes: pa.Table) -> pa.Table:
-    """CHANGELOG rows → DELTA rows (op column → deleted flag)."""
-    t = align_to_schema(changes, CHANGELOG_SCHEMA)
+    """CHANGELOG rows → DELTA rows (op column → deleted flag).
+
+    Enrichment columns (anything beyond the changelog envelope) ride
+    through unchanged."""
+    extras = _extra_fields(changes.schema)
+    t = align_to_schema(changes, pa.schema(list(CHANGELOG_SCHEMA) + extras))
     deleted = pc.fill_null(pc.equal(t.column("op"), "D"), False)
-    out = t.select([f.name for f in LAKE_SCHEMA])
-    return out.append_column("deleted", deleted).cast(DELTA_SCHEMA)
+    out = t.select([f.name for f in LAKE_SCHEMA] + [f.name for f in extras])
+    return out.append_column("deleted", deleted).cast(_delta_schema_for(extras))
 
 
 def _as_delta(table: pa.Table) -> pa.Table:
-    """LAKE- or DELTA-shaped (possibly schema-drifted) table → DELTA."""
-    target = unify_schemas(DELTA_SCHEMA, table.schema)
-    t = align_to_schema(table, target).select([f.name for f in DELTA_SCHEMA])
+    """LAKE- or DELTA-shaped (possibly schema-drifted) table → DELTA
+    (+ any enrichment columns the file carries)."""
+    extras = _extra_fields(table.schema)
+    base = _delta_schema_for(extras)
+    target = unify_schemas(base, table.schema)
+    ordered = pa.schema([target.field(f.name) for f in base])
+    t = align_to_schema(table, ordered)
     return t.set_column(
         t.schema.get_field_index("deleted"),
         "deleted",
         pc.fill_null(t.column("deleted"), False),
-    ).cast(DELTA_SCHEMA)
+    )
 
 
 def _last_per_key(t: pa.Table) -> pa.Table:
@@ -113,40 +141,55 @@ def _last_per_key(t: pa.Table) -> pa.Table:
     return t.filter(pc.invert(pc.fill_null(not_last, False)))
 
 
-def merge_deltas(tables: list[pa.Table]) -> pa.Table:
-    """Resolve base + delta tables → live rows (LAKE_SCHEMA).
+# The default merge policy: last-writer-wins by max seq per key.  A
+# user-injected ``merge_policy`` (EngineConfig) receives the same
+# DELTA-shaped candidate table and must return the winning row per key —
+# the merge-policy half of the RecordsHandler seam.
+lww_policy = _last_per_key
 
-    LWW per key by max seq across all inputs; a winning tombstone
-    removes the key (compacted away — tombstones never reach the
-    output)."""
+
+def merge_deltas(tables: list[pa.Table], policy=None) -> pa.Table:
+    """Resolve base + delta tables → live rows (LAKE columns + extras).
+
+    ``policy`` (default LWW by max seq) picks the winning row per key
+    across all inputs; a winning tombstone removes the key (compacted
+    away — tombstones never reach the output)."""
     parts = [_as_delta(t) for t in tables if t is not None and t.num_rows]
     if not parts:
         return LAKE_SCHEMA.empty_table()
-    t = _last_per_key(pa.concat_tables(parts))
-    return (
-        t.filter(pc.invert(t.column("deleted")))
-        .drop_columns(["deleted"])
-        .cast(LAKE_SCHEMA)
+    target = unify_schemas(*[p.schema for p in parts])
+    extras = _extra_fields(target)
+    ordered = pa.schema([target.field(f.name) for f in _delta_schema_for(extras)])
+    parts = [align_to_schema(p, ordered) for p in parts]
+    t = (policy or lww_policy)(pa.concat_tables(parts))
+    live = t.filter(pc.invert(pc.fill_null(t.column("deleted"), False))).drop_columns(
+        ["deleted"]
     )
+    # core columns pinned to LAKE types; enrichment columns keep theirs
+    out_schema = pa.schema(
+        [LAKE_SCHEMA.field(f.name) if f.name in LAKE_SCHEMA.names else f for f in live.schema]
+    )
+    return live.cast(out_schema)
 
 
-def epoch_delta(changes: pa.Table) -> pa.Table:
-    """Changes → this epoch's delta file: LWW within the epoch only,
-    winning tombstones RETAINED as ``deleted=True`` rows (merge-on-read
-    needs them until compaction)."""
-    return _last_per_key(_changes_to_delta(changes)).cast(DELTA_SCHEMA)
+def epoch_delta(changes: pa.Table, policy=None) -> pa.Table:
+    """Changes → this epoch's delta file: policy resolution within the
+    epoch only, winning tombstones RETAINED as ``deleted=True`` rows
+    (merge-on-read needs them until compaction)."""
+    return (policy or lww_policy)(_changes_to_delta(changes))
 
 
-def lww_merge(prior: pa.Table | None, changes: pa.Table) -> pa.Table:
-    """Pure LWW upsert: prior lake rows + change rows → new lake rows.
+def lww_merge(prior: pa.Table | None, changes: pa.Table, policy=None) -> pa.Table:
+    """Policy upsert (default LWW): prior lake rows + change rows → new
+    lake rows.
 
     ``changes`` carries an ``op`` column; prior rows are treated as
-    already-applied upserts.  Winner per key = max seq; winning 'D'
-    deletes the key.  Output is LAKE_SCHEMA-shaped, sorted by
-    (conv_id, turn_idx) for stable ordering and read locality.
+    already-applied upserts.  Default winner per key = max seq; winning
+    'D' deletes the key.  Output is LAKE-shaped (+ enrichment columns),
+    sorted by (conv_id, turn_idx) for stable ordering and read locality.
     """
     tables = ([prior] if prior is not None else []) + [_changes_to_delta(changes)]
-    return merge_deltas(tables)
+    return merge_deltas(tables, policy=policy)
 
 
 def apply_merge_group(
@@ -156,6 +199,10 @@ def apply_merge_group(
     manifest_ref,
     mode: str = "cow",
     compact_threshold: int = 8,
+    policy=None,
+    max_attempts: int = 3,
+    target_rows_per_file: int | None = None,
+    staging_dir: str | None = None,
 ) -> pa.Table:
     """Task-based entry point for ``groupby(__part).map_groups``.
 
@@ -163,7 +210,17 @@ def apply_merge_group(
     the driver via ``ray.put``); ``ray.get`` here is a zero-copy read
     from the local object store, not a re-ship per batch.
     """
-    return MergeApplier(lake_dir, epoch, manifest_ref, mode, compact_threshold)(group)
+    return MergeApplier(
+        lake_dir,
+        epoch,
+        manifest_ref,
+        mode,
+        compact_threshold,
+        policy,
+        max_attempts,
+        target_rows_per_file,
+        staging_dir,
+    )(group)
 
 
 class MergeApplier:
@@ -196,11 +253,19 @@ class MergeApplier:
         manifest_ref,
         mode: str = "cow",
         compact_threshold: int = 8,
+        policy=None,
+        max_attempts: int = 3,
+        target_rows_per_file: int | None = None,
+        staging_dir: str | None = None,
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.mode = mode
         self.compact_threshold = compact_threshold
+        self.policy = policy
+        self.max_attempts = max_attempts
+        self.target_rows_per_file = target_rows_per_file
+        self.staging_dir = staging_dir
         man = manifest_ref
         if not isinstance(man, dict):
             man = ray.get(man)
@@ -208,10 +273,43 @@ class MergeApplier:
         self.part_files: dict[int, list[str]] = man["files"]
         self.part_rows: dict[int, int] = man.get("rows", {})
 
+    # ------------------------------------------------------------------
+    # Durable per-(epoch, partition) attempt counter — the per-attempt
+    # lineage the reference records (``producer/PutKinesisStream.java:
+    # 287-301,343-364``).  The marker is written ONLY on failure, so the
+    # success path (the overwhelmingly common case at scale) costs zero
+    # extra I/O; a crash/resume of the same epoch reads the last failed
+    # attempt and continues the count.  Single writer per (epoch,
+    # partition) by the groupby contract, so no lock is needed.
+    def _attempt_path(self, part: int) -> str:
+        return os.path.join(
+            self.staging_dir, "attempts", f"epoch={self.epoch}", f"part-{part:05d}.attempt"
+        )
+
+    def _first_attempt(self, part: int) -> int:
+        if not self.staging_dir:
+            return 1
+        try:
+            with open(self._attempt_path(part)) as f:
+                return int(f.read().strip() or 0) + 1
+        except (OSError, ValueError):
+            return 1
+
+    def _record_failed_attempt(self, part: int, attempt: int) -> None:
+        if not self.staging_dir:
+            return
+        path = self._attempt_path(part)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(attempt))
+        os.replace(tmp, path)
+
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         part = int(group.column(PARTITION_COL)[0].as_py())
         group = group.drop_columns([PARTITION_COL])
+        attempt = self._first_attempt(part)
         valid, rejected = split_rejects(group)
 
         n_rejected = rejected.num_rows
@@ -240,36 +338,47 @@ class MergeApplier:
         n_rows_after = 0
         error = None
         file_mode = None
-        if n_applied:
+        while n_applied:
             try:
                 n_prior_files = len(self.part_files.get(part, []))
                 if self.mode == "mor" and n_prior_files + 1 <= self.compact_threshold:
                     # delta write: only this epoch's changes hit disk
-                    delta = epoch_delta(valid)
+                    delta = epoch_delta(valid, policy=self.policy)
                     n_rows_after = self.part_rows.get(part, 0) + delta.num_rows
                     rel = f"data/epoch={self.epoch}/part-{part:05d}.delta.parquet"
                     self._write(delta, rel)
+                    out_files.append(rel)
                     file_mode = "append"
                 else:
                     # cow rewrite — also the mor compaction fold
                     prior = self._read_prior(part)
-                    merged = lww_merge(prior, valid)
+                    merged = lww_merge(prior, valid, policy=self.policy)
                     n_rows_after = merged.num_rows
-                    rel = f"data/epoch={self.epoch}/part-{part:05d}.parquet"
-                    self._write(merged, rel)
+                    out_files.extend(self._write_data_split(merged, part))
                     file_mode = "replace"
-                out_files.append(rel)
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError, KeyError, TypeError) as ex:
-                # DETERMINISTIC failure (poison data, corrupt prior file):
-                # retrying is pointless — quarantine the batch instead of
-                # failing the epoch.  The raw rows go to the dead-letter
-                # area, the error lands in lineage, the watermark still
-                # advances (explicitly recorded loss, not a stuck stream).
-                # Transient errors (OSError etc.) are NOT caught: they
-                # propagate so Ray's task retry handles them — the
-                # "retry-then-dead-letter" split of the reference's
-                # per-attempt routing (producer/PutKinesisStream.java:
-                # 287-301,329-333) by failure class.
+                break
+            except Exception as ex:
+                # Failure routing by class (the reference's per-attempt
+                # retry-then-dead-letter, producer/PutKinesisStream.java:
+                # 287-301,329-333):
+                # - Arrow decode/cast errors are DETERMINISTIC poison
+                #   (bad data, corrupt prior file) — retrying is pointless,
+                #   quarantine immediately.
+                # - Anything else (I/O blips, but also merge-kernel or
+                #   injected-policy bugs) retries HERE, in-task, up to
+                #   max_attempts total attempts — the durable counter in
+                #   _staging/attempts numbers every attempt, including ones
+                #   from a crashed prior process of the same epoch — and
+                #   only the final attempt dead-letters.  Transient faults
+                #   recover; a real bug fails K recorded times before
+                #   quarantining with the raw rows preserved for replay.
+                #   (Worker deaths are still covered by Ray's own task
+                #   retry; this loop is for application-level failures.)
+                deterministic = isinstance(ex, (pa.ArrowInvalid, pa.ArrowNotImplementedError))
+                self._record_failed_attempt(part, attempt)
+                if not deterministic and attempt < self.max_attempts:
+                    attempt += 1
+                    continue
                 error = f"{type(ex).__name__}: {ex}"[:500]
                 rel = f"deadletter/epoch={self.epoch}/part-{part:05d}.parquet"
                 self._write(valid, rel)
@@ -289,7 +398,7 @@ class MergeApplier:
                 "n_applied": [n_applied],
                 "n_rejected": [n_rejected],
                 "output_files": [out_files],
-                "attempt": [1],
+                "attempt": [attempt],
                 "commit_epoch": [self.epoch],
                 "wall_ms": [wall_ms],
                 "error": [error],
@@ -313,3 +422,24 @@ class MergeApplier:
         path = os.path.join(self.lake_dir, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         pq.write_table(table, path)
+
+    def _write_data_split(self, merged: pa.Table, part: int) -> list[str]:
+        """COW rewrite, split at ``target_rows_per_file`` rows per file.
+
+        Bounded files keep single-partition reads parallel and output
+        resumable (never one giant file) — the aggregation-max-size
+        analog (``producer/AbstractKinesisProducerProcessor.java:40-68``).
+        Slicing is deterministic, so a retried task rewrites the same
+        files at the same paths.
+        """
+        cap = self.target_rows_per_file
+        if not cap or merged.num_rows <= cap:
+            rel = f"data/epoch={self.epoch}/part-{part:05d}.parquet"
+            self._write(merged, rel)
+            return [rel]
+        rels = []
+        for i, lo in enumerate(range(0, merged.num_rows, cap)):
+            rel = f"data/epoch={self.epoch}/part-{part:05d}-{i:04d}.parquet"
+            self._write(merged.slice(lo, cap), rel)
+            rels.append(rel)
+        return rels
