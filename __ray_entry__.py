@@ -148,6 +148,27 @@ def _q_cdc_lineage_metrics(sf_dir: str):
     )
 
 
+def _q_cdc_lineage_totals(sf_dir: str):
+    """Stream-wide conservation totals from the lineage log: every change
+    event is either applied or rejected, exactly once.  Unlike the
+    per-partition metrics (engine-hash partition ids, rows-only), these
+    TOTALS are SQL-expressible from the changelog CTE, giving the
+    lineage/accounting path a real driver-checked oracle."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    eng = _replayed_engine(sf_dir)
+    tot = eng.lineage().aggregate(
+        Sum("n_applied", alias_name="applied"), Sum("n_rejected", alias_name="rejected")
+    )
+    return pa.table(
+        {
+            "applied": pa.array([int(tot["applied"] or 0)], pa.int64()),
+            "rejected": pa.array([int(tot["rejected"] or 0)], pa.int64()),
+        }
+    )
+
+
 def _q_approx_users(sf_dir: str):
     """HyperLogLog distinct users — a mergeable sketch, not SQL-hashable
     (estimate ≠ exact once register collisions start), so rows-only;
@@ -168,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_mor": _q_cdc_replay_mor,
         "cdc_rejected": _q_cdc_rejected,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
+        "cdc_lineage_totals": _q_cdc_lineage_totals,
         # text analysis (documents table)
         "text_stats": _text.text_stats,
         "lang_id": _text.lang_id,
@@ -241,6 +263,14 @@ SELECT seq, op, conv_id, turn_idx, role, text, tool, ts, batch_id,
 FROM _ch
 WHERE NOT ({VALID_PREDICATE_SQL})
 ORDER BY seq
+""",
+        # Conservation law: applied + rejected partitions the stream —
+        # the SQL twin counts valid/invalid rows straight off the CTE.
+        "cdc_lineage_totals": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE}
+SELECT CAST(SUM(CASE WHEN {VALID_PREDICATE_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS applied,
+       CAST(SUM(CASE WHEN NOT ({VALID_PREDICATE_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS rejected
+FROM _ch
 """,
         # Analysis operators with exact SQL twins.  Omitted on purpose
         # (rows-only check): lang_id / doc_fingerprint / *_dup_pairs /

@@ -1,0 +1,79 @@
+"""Debug-flag runtime invariant checks.
+
+Five operators (exact dedup, the three LSH pair generators, sessionize,
+the window finalize) rely on Ray sort CO-LOCATING equal keys: a sorted
+run of one key value is never split across output blocks.  That holds
+empirically and is pinned by ``tests/test_sort_colocation.py`` — but a
+Ray upgrade could break it silently, and the ops would then return
+subtly wrong results (extra "firsts", missed pairs) in production while
+CI is green against the old Ray.
+
+``NPR_DEBUG_COLOCATION=1`` turns on a cheap global check at the call
+sites: after the sort, each block reports its boundary keys and the
+driver asserts no key spans a block boundary, failing LOUD before any
+wrong result escapes.  Costs one extra pass over the sorted data, so it
+is a flag, not a default.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data
+
+ENV_FLAG = "NPR_DEBUG_COLOCATION"
+
+
+def colocation_check_enabled() -> bool:
+    return bool(os.environ.get(ENV_FLAG))
+
+
+def _boundary_batch(batch: pa.Table, keys: list[str]) -> pa.Table:
+    cols: dict[str, list] = {k: [] for k in keys}
+    cols["__n"] = []
+    if batch.num_rows:
+        for k in keys:
+            col = batch.column(k)
+            cols[k] = [col[0].as_py(), col[batch.num_rows - 1].as_py()]
+        cols["__n"] = [batch.num_rows, batch.num_rows]
+    return pa.table(
+        {
+            **{k: pa.array(cols[k]) for k in keys},
+            "__n": pa.array(cols["__n"], pa.int64()),
+        }
+    )
+
+
+def check_sort_colocation(ds: ray.data.Dataset, keys: list[str]) -> None:
+    """Assert no sort key value spans adjacent blocks of ``ds``.
+
+    ``ds`` must already be sorted by ``keys``.  Dataset row order is
+    stable through ``map_batches``, so the collected boundary rows come
+    back in block order: rows alternate (first, last) per non-empty
+    block, and the invariant is ``last(block i) != first(block i+1)``.
+    """
+    rows = ds.map_batches(
+        _boundary_batch, batch_format="pyarrow", batch_size=None, fn_kwargs={"keys": keys}
+    ).take_all()
+    assert len(rows) % 2 == 0
+    for i in range(1, len(rows) - 1, 2):
+        hi = tuple(rows[i][k] for k in keys)
+        lo = tuple(rows[i + 1][k] for k in keys)
+        if hi == lo:
+            raise AssertionError(
+                f"Ray sort split an equal-key run across blocks: key {hi!r} is the "
+                f"last row of one block and the first of the next. The blockwise "
+                f"group operators (dedup/sessionize/window finalize) are NOT safe "
+                f"on this Ray version — see tests/test_sort_colocation.py."
+            )
+
+
+def checked_sort(ds: ray.data.Dataset, keys) -> ray.data.Dataset:
+    """``ds.sort(keys)``, with the co-location invariant verified when
+    ``NPR_DEBUG_COLOCATION`` is set (costs one extra pass; debug only)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    out = ds.sort(keys)
+    if colocation_check_enabled():
+        check_sort_colocation(out, key_list)
+    return out

@@ -27,6 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..functions.debug import checked_sort
 from ..functions.hashing import hash_strings_u64
 from .text import _token_lists
 
@@ -77,8 +78,7 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     """
     ds = ray.data.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
     return (
-        ds.map_batches(_add_text_hash, batch_format="pyarrow")
-        .sort("__h")
+        checked_sort(ds.map_batches(_add_text_hash, batch_format="pyarrow"), "__h")
         .map_batches(_first_per_text, batch_format="pyarrow", batch_size=None)
         .sort("doc_id")
     )
@@ -343,7 +343,7 @@ def _dedup_pairs(
     consumption from re-executing the whole signature pipeline.
     """
     out = (
-        ds.sort(["doc_a", "doc_b"])
+        checked_sort(ds, ["doc_a", "doc_b"])
         .map_batches(_first_per_pair, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
@@ -373,7 +373,7 @@ def minhash_dup_pairs(
         batch_format="pyarrow",
         fn_kwargs={"bands": bands, "rows_per_band": rows},
     )
-    pairs = exploded.sort("bucket").map_batches(
+    pairs = checked_sort(exploded, "bucket").map_batches(
         _pairs_blockwise,
         batch_format="pyarrow",
         batch_size=None,
@@ -489,7 +489,7 @@ def simhash_dup_pairs(
     exploded = sigs.map_batches(
         _explode_simhash_bands, batch_format="pyarrow", fn_kwargs={"bands": bands}
     )
-    pairs = exploded.sort("bucket").map_batches(
+    pairs = checked_sort(exploded, "bucket").map_batches(
         _pairs_blockwise,
         batch_format="pyarrow",
         batch_size=None,
@@ -597,7 +597,7 @@ def embedding_dup_pairs(
     bucketed = embeddings.map_batches(
         _embedding_buckets, batch_format="pyarrow", fn_kwargs={"planes": planes}
     )
-    pairs = bucketed.sort("bucket").map_batches(
+    pairs = checked_sort(bucketed, "bucket").map_batches(
         _pairs_blockwise,
         batch_format="pyarrow",
         batch_size=None,

@@ -27,6 +27,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..functions.debug import checked_sort
+
 _US_PER_HOUR = 3_600_000_000
 _SESSION_GAP_US = 1_800_000_000  # 30 min
 
@@ -113,47 +115,84 @@ def _add_window_and_cents(batch: pa.Table) -> pa.Table:
 
 
 def _window_partials(batch: pa.Table) -> pa.Table:
-    """Partial per-batch combine BEFORE the shuffle (pre-aggregation):
-    only (window, type) partials and small user-sets move, not rows."""
-    import pandas as pd
-
-    df = batch.to_pandas()
-    g = df.groupby(["window_hour", "event_type"], sort=False).agg(
-        n_events=("user_id", "size"),
-        value_cents=("value_cents", "sum"),
-        users=("user_id", lambda s: list(set(s))),
+    """Partial per-batch combine BEFORE the shuffle: one row per distinct
+    (window, type, user) TRIPLE in the batch, carrying its local count and
+    cent sum.  This is the two-level exact-distinct shape — the shuffle
+    moves bounded flat partial rows, never per-group Python sets of user
+    ids (round-1's list-of-users partial was ~the raw user column at
+    scale).  Pure Arrow ``Table.group_by`` (C++ hash agg), no pandas — the
+    pandas round-trip both cost a copy and stuck dict metadata on the
+    schema, flooding the log with Ray schema-dedup warnings."""
+    g = batch.group_by(["window_hour", "event_type", "user_id"]).aggregate(
+        [("value_cents", "sum"), ("value_cents", "count")]
     )
-    return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+    return g.rename_columns(
+        ["window_hour", "event_type", "user_id", "value_cents", "n_events"]
+    )
 
 
 def _window_finalize(block: pa.Table) -> pa.Table:
-    """Merge partials inside a window_hour-sorted block (vectorized per key)."""
-    import pandas as pd
-
-    df = block.to_pandas()
-    g = (
-        df.groupby(["window_hour", "event_type"], sort=True)
-        .agg(
-            n_events=("n_events", "sum"),
-            value_cents=("value_cents", "sum"),
-            users=("users", lambda ls: len(set().union(*ls))),
-        )
-        .rename(columns={"users": "n_users"})
-        .reset_index()
+    """Merge triple-partials inside a (window_hour, event_type)-sorted
+    block: fully vectorized run detection — counts/sums via cumsum
+    windows, exact distinct users via lexsort + change-point bincount.
+    No Python loop over groups."""
+    n = block.num_rows
+    empty = pa.table(
+        {
+            "window_hour": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "value_cents": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
     )
-    return pa.Table.from_pandas(g, preserve_index=False)
+    if n == 0:
+        return empty
+    wh = np.asarray(block.column("window_hour"))
+    et = np.asarray(block.column("event_type").combine_chunks().dictionary_encode().indices)
+    uid = np.asarray(block.column("user_id"))
+    cents = np.asarray(block.column("value_cents"))
+    cnt = np.asarray(block.column("n_events"))
+
+    # rows arrive sorted by (window_hour, event_type) — runs are contiguous
+    new_run = np.concatenate([[True], (wh[1:] != wh[:-1]) | (et[1:] != et[:-1])])
+    run_id = np.cumsum(new_run) - 1
+    starts = np.nonzero(new_run)[0]
+    ends = np.concatenate([starts[1:], [n]])
+
+    cs_cnt = np.concatenate([[0], np.cumsum(cnt, dtype=np.int64)])
+    cs_cents = np.concatenate([[0], np.cumsum(cents, dtype=np.int64)])
+    n_events = cs_cnt[ends] - cs_cnt[starts]
+    value_cents = cs_cents[ends] - cs_cents[starts]
+
+    # exact COUNT(DISTINCT user): order (run, user), count change points
+    order = np.lexsort((uid, run_id))
+    r, u = run_id[order], uid[order]
+    first = np.concatenate([[True], (r[1:] != r[:-1]) | (u[1:] != u[:-1])])
+    n_users = np.bincount(r[first], minlength=len(starts))
+
+    return pa.table(
+        {
+            "window_hour": pa.array(wh[starts]),
+            "event_type": block.column("event_type").take(pa.array(starts)),
+            "n_events": pa.array(n_events),
+            "value_cents": pa.array(value_cents),
+            "n_users": pa.array(n_users.astype(np.int64)),
+        }
+    )
 
 
 def window_agg(sf_dir: str) -> ray.data.Dataset:
-    """Tumbling 1-hour windows × event_type with partial pre-aggregation:
-    the shuffle moves (window, type) partials, not events."""
+    """Tumbling 1-hour windows × event_type (counts, cent sums, exact
+    distinct users): per-batch triple partials → ONE sort on both keys →
+    vectorized block finalize.  Round 1 shipped per-group user-id lists
+    and sorted twice; this moves flat Arrow rows through a single
+    exchange."""
     ds = _events(sf_dir, ["ts", "event_type", "value", "user_id"])
     ds = ds.map_batches(_add_window_and_cents, batch_format="pyarrow")
     ds = ds.map_batches(_window_partials, batch_format="pyarrow")
-    return (
-        ds.sort("window_hour")
-        .map_batches(_window_finalize, batch_format="pyarrow", batch_size=None)
-        .sort(["window_hour", "event_type"])
+    return checked_sort(ds, ["window_hour", "event_type"]).map_batches(
+        _window_finalize, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -198,7 +237,7 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
     semantics, computed as sort-co-location + vectorized gap detection."""
     ds = _events(sf_dir, ["user_id", "ts", "event_id"])
     return (
-        ds.sort("user_id")
+        checked_sort(ds, "user_id")
         .map_batches(_sessionize_block, batch_format="pyarrow", batch_size=None)
         .sort("user_id")
     )

@@ -39,7 +39,40 @@ class LogFileInfo:
     columns: tuple[str, ...]
 
 
-def scan_log(paths: list[str]) -> list[LogFileInfo]:
+def _scan_one(p: str) -> LogFileInfo | None:
+    try:
+        md = pq.ParquetFile(p)
+    except (pa.ArrowInvalid, OSError):
+        return None  # half-written / vanished file: retry next scan
+    schema = md.schema_arrow
+    seq_idx = schema.get_field_index("seq")
+    if seq_idx < 0:
+        raise ValueError(f"changelog file has no 'seq' column: {p}")
+    lo, hi = None, None
+    meta = md.metadata
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(seq_idx).statistics
+        if st is None or not st.has_min_max:
+            lo, hi = None, None
+            break
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        # No footer stats (producer wrote with write_statistics=False).
+        # Read the seq column itself for exact bounds — a sentinel
+        # range would poison head_seq() and send replay() into a
+        # near-endless empty-epoch loop toward a 2^62 "head".
+        seqs = pq.read_table(p, columns=["seq"]).column("seq")
+        if len(seqs) == 0:
+            return None  # empty file: contributes nothing to any window
+        lo = pc.min(seqs).as_py()
+        hi = pc.max(seqs).as_py()
+        if lo is None:
+            raise ValueError(f"changelog file has only null seq values: {p}")
+    return LogFileInfo(p, int(lo), int(hi), tuple(schema.names))
+
+
+def scan_log(paths: list[str], max_workers: int = 16) -> list[LogFileInfo]:
     """Read footer metadata (driver-side, cheap) for offset pruning.
 
     A file that cannot be opened as parquet is SKIPPED this scan (a
@@ -49,40 +82,22 @@ def scan_log(paths: list[str]) -> list[LogFileInfo]:
     changelog (no ``seq`` column, or only null seqs with no stats) is a
     configuration error and raises with the filename — silence there
     would hide real data loss.
+
+    Footer reads are I/O-bound and release the GIL in Arrow, so a large
+    backlog (first scan of a 10^5-file retained log, or a follow poll
+    landing on a burst of new segments) fans out over a thread pool
+    instead of serializing the driver; output order stays deterministic
+    (sorted by path).
     """
-    infos = []
-    for p in sorted(paths):
-        try:
-            md = pq.ParquetFile(p)
-        except (pa.ArrowInvalid, OSError):
-            continue  # half-written / vanished file: retry next scan
-        schema = md.schema_arrow
-        seq_idx = schema.get_field_index("seq")
-        if seq_idx < 0:
-            raise ValueError(f"changelog file has no 'seq' column: {p}")
-        lo, hi = None, None
-        meta = md.metadata
-        for rg in range(meta.num_row_groups):
-            st = meta.row_group(rg).column(seq_idx).statistics
-            if st is None or not st.has_min_max:
-                lo, hi = None, None
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if lo is None:
-            # No footer stats (producer wrote with write_statistics=False).
-            # Read the seq column itself for exact bounds — a sentinel
-            # range would poison head_seq() and send replay() into a
-            # near-endless empty-epoch loop toward a 2^62 "head".
-            seqs = pq.read_table(p, columns=["seq"]).column("seq")
-            if len(seqs) == 0:
-                continue  # empty file: contributes nothing to any window
-            lo = pc.min(seqs).as_py()
-            hi = pc.max(seqs).as_py()
-            if lo is None:
-                raise ValueError(f"changelog file has only null seq values: {p}")
-        infos.append(LogFileInfo(p, int(lo), int(hi), tuple(schema.names)))
-    return infos
+    sorted_paths = sorted(paths)
+    if len(sorted_paths) <= 4:
+        infos = [_scan_one(p) for p in sorted_paths]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(max_workers, len(sorted_paths))) as ex:
+            infos = list(ex.map(_scan_one, sorted_paths))
+    return [i for i in infos if i is not None]
 
 
 def discover_log_files(paths_or_dirs: list[str] | tuple[str, ...]) -> list[str]:

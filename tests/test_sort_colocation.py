@@ -32,3 +32,42 @@ def test_sorted_equal_keys_never_straddle_blocks():
         for k in b["uniq"]:
             assert owner.setdefault(k, i) == i, f"key {k} straddles blocks"
     assert sum(len(b["uniq"]) for b in blocks) == 40
+
+
+# ---------------------------------------------------------------------------
+# debug-flag runtime guard (functions/debug.py)
+# ---------------------------------------------------------------------------
+
+def test_colocation_checker_accepts_clean_blocks(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from nifi_processors_ray.functions.debug import check_sort_colocation
+
+    t1 = pa.table({"k": pa.array([1, 1, 2], pa.int64())})
+    t2 = pa.table({"k": pa.array([3, 4, 4], pa.int64())})
+    check_sort_colocation(ray.data.from_arrow([t1, t2]), ["k"])  # no raise
+
+
+def test_colocation_checker_catches_split_run(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from nifi_processors_ray.functions.debug import check_sort_colocation
+
+    t1 = pa.table({"k": pa.array([1, 2, 2], pa.int64())})
+    t2 = pa.table({"k": pa.array([2, 3], pa.int64())})  # run of 2 straddles
+    with pytest.raises(AssertionError, match="split an equal-key run"):
+        check_sort_colocation(ray.data.from_arrow([t1, t2]), ["k"])
+
+
+def test_exact_dedup_under_debug_flag(ray_session, monkeypatch):
+    """End-to-end with the guard armed: same result, no false positive."""
+    from nifi_processors_ray.functions.debug import ENV_FLAG
+    from nifi_processors_ray.ops.dedup import exact_dedup
+
+    plain = exact_dedup("/root/testdata/sf0.001").to_pandas()
+    monkeypatch.setenv(ENV_FLAG, "1")
+    checked = exact_dedup("/root/testdata/sf0.001").to_pandas()
+    assert plain.equals(checked)
