@@ -25,6 +25,7 @@ from typing import Any
 from nifi_processors_ray.config import EngineConfig
 from nifi_processors_ray.ops import dedup as _dedup
 from nifi_processors_ray.ops import events as _ev
+from nifi_processors_ray.ops import joins as _joins
 from nifi_processors_ray.ops import relational as _rel
 from nifi_processors_ray.ops import multimodal as _mm
 from nifi_processors_ray.ops import similarity as _sim
@@ -220,6 +221,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_enrich": _rel.events_user_enrich,
         "lineitem_pricing_summary": _rel.lineitem_pricing_summary,
         "events_asof_order": _rel.events_asof_order,
+        # joins beyond broadcast: co-partitioned shuffle join, top-N per
+        # group, range (interval) join
+        "order_priority_revenue": _joins.order_priority_revenue,
+        "top_orders_per_cust": _joins.top_orders_per_cust,
+        "quantity_band_counts": _joins.quantity_band_counts,
         "events_approx_users": _q_approx_users,
         # vector aggregation (embeddings table)
         "label_vector_sums": _vec.label_vector_sums,
@@ -289,6 +295,9 @@ FROM _ch
         "events_user_enrich": _rel.EVENTS_USER_ENRICH_SQL,
         "lineitem_pricing_summary": _rel.LINEITEM_PRICING_SQL,
         "events_asof_order": _rel.EVENTS_ASOF_ORDER_SQL,
+        "order_priority_revenue": _joins.ORDER_PRIORITY_REVENUE_SQL,
+        "top_orders_per_cust": _joins.TOP_ORDERS_PER_CUST_SQL,
+        "quantity_band_counts": _joins.QUANTITY_BAND_COUNTS_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
     }

@@ -92,24 +92,35 @@ def cmd_status(args) -> int:
 
 
 def cmd_metrics(args) -> int:
-    """Per-partition throughput/lag from the lineage log (north-rule metric)."""
+    """Throughput/lag metrics from the lineage log (north-rule metric).
+
+    Granularity mirrors the reference's CloudWatch metrics-level knob
+    NONE/SUMMARY/DETAILED (``consumer/AbstractKinesisConsumerProcessor
+    .java:193-224``): ``none`` emits nothing (metrics off), ``summary``
+    one stream-wide rollup row, ``detailed`` the per-partition breakdown.
+    """
+    if args.metrics_level == "none":
+        print(json.dumps([]))
+        return 0
     _ensure_ray()
     from ray.data.aggregate import Count, Max, Min, Sum
 
     eng = _engine(args)
+    aggs = (
+        Sum("n_applied", alias_name="applied"),
+        Sum("n_rejected", alias_name="rejected"),
+        Sum("wall_ms", alias_name="wall_ms"),
+        Min("seq_lo", alias_name="seq_lo"),
+        Max("seq_hi", alias_name="seq_hi"),
+        Count(alias_name="batches"),
+    )
+    if args.metrics_level == "summary":
+        row = eng.lineage().aggregate(*aggs)
+        print(json.dumps([{k: row.get(k) for k in
+                           ("applied", "rejected", "wall_ms", "seq_lo", "seq_hi", "batches")}]))
+        return 0
     table = (
-        eng.lineage()
-        .groupby("partition")
-        .aggregate(
-            Sum("n_applied", alias_name="applied"),
-            Sum("n_rejected", alias_name="rejected"),
-            Sum("wall_ms", alias_name="wall_ms"),
-            Min("seq_lo", alias_name="seq_lo"),
-            Max("seq_hi", alias_name="seq_hi"),
-            Count(alias_name="batches"),
-        )
-        .sort("partition")
-        .to_pandas()
+        eng.lineage().groupby("partition").aggregate(*aggs).sort("partition").to_pandas()
     )
     print(table.to_json(orient="records"))
     return 0
@@ -144,6 +155,12 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--follow", action="store_true", help="continuous tail mode")
         p.add_argument("--poll-ms", type=int, default=1000)
         p.add_argument("--max-polls", type=int, default=None)
+        p.add_argument(
+            "--metrics-level",
+            default="detailed",
+            choices=["none", "summary", "detailed"],
+            help="metrics granularity (the reference's NONE/SUMMARY/DETAILED knob)",
+        )
         p.set_defaults(fn=fn)
     args = ap.parse_args(argv)
     return args.fn(args)

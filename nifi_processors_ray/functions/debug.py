@@ -69,11 +69,15 @@ def check_sort_colocation(ds: ray.data.Dataset, keys: list[str]) -> None:
             )
 
 
-def checked_sort(ds: ray.data.Dataset, keys) -> ray.data.Dataset:
-    """``ds.sort(keys)``, with the co-location invariant verified when
-    ``NPR_DEBUG_COLOCATION`` is set (costs one extra pass; debug only)."""
+def checked_sort(ds: ray.data.Dataset, keys, *, descending=None, check_keys=None) -> ray.data.Dataset:
+    """``ds.sort(keys, descending=...)``, with the co-location invariant
+    verified when ``NPR_DEBUG_COLOCATION`` is set (one extra pass; debug
+    only).  ``check_keys`` narrows the boundary check to the group-key
+    prefix when the trailing sort keys are only an intra-group order
+    (e.g. top-N per group sorts (group, -price) but only the group key
+    must not straddle blocks)."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
-    out = ds.sort(keys)
+    out = ds.sort(keys, descending=descending) if descending is not None else ds.sort(keys)
     if colocation_check_enabled():
-        check_sort_colocation(out, key_list)
+        check_sort_colocation(out, check_keys or key_list)
     return out

@@ -1,0 +1,283 @@
+"""Join operators beyond the broadcast lookup: shuffle equi-join,
+top-N per group, range (interval) join.
+
+The reference has no joins (SURVEY §2.4); these are the engine-side
+primitives a lakehouse pipeline needs, each expressed Ray-Data-first:
+
+- :func:`order_priority_revenue` — a FACT-TO-FACT equi-join
+  (lineitem ⋈ orders on orderkey).  Neither side fits a broadcast at
+  100 TB, so both sides are co-partitioned through ONE sort exchange on
+  the join key (build rows sorting immediately before their probe rows)
+  and joined block-wise with vectorized run detection — the Ray Data
+  restatement of a shuffle hash join.  Contrast with
+  ``relational.events_user_enrich`` (broadcast join, small side only).
+- :func:`top_orders_per_cust` — top-N per group via ONE sort on
+  (group, -rank keys) + vectorized block-local ranking.  No per-group
+  Python, no global window function.
+- :func:`quantity_band_counts` — range join against a tiny interval
+  table: the band edges broadcast as constants and each batch resolves
+  membership with one ``np.searchsorted`` — rows never shuffle for the
+  join itself (only the final per-band partials do).
+
+Numeric determinism vs the SQL twins: money is floored cents (identical
+IEEE double op order both sides), and every SUM is CAST back to BIGINT
+in SQL (DuckDB SUM(BIGINT)→HUGEINT→float64 would break the value hash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.debug import checked_sort
+
+ORDER_PRIORITY_REVENUE_SQL = """
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+def _orders_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("o_orderkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "priority": batch.column("o_orderpriority"),
+            "cents": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _lineitem_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    p = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+    d = np.asarray(batch.column("l_discount"), dtype=np.float64)
+    return pa.table(
+        {
+            "key": batch.column("l_orderkey").cast(pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "priority": pa.nulls(n, pa.string()),
+            "cents": pa.array(np.floor(p * (1.0 - d) * 100).astype(np.int64)),
+        }
+    )
+
+
+def _join_block_partials(block: pa.Table) -> pa.Table:
+    """One co-located block: runs of equal key start with the (single)
+    build row (side 0), followed by its probe rows (side 1).  Broadcast
+    the build attribute down each run with np.repeat, then pre-aggregate
+    per priority — only (priority, count, cents) partials leave the task.
+    """
+    empty = pa.table(
+        {
+            "priority": pa.array([], pa.string()),
+            "n_items": pa.array([], pa.int64()),
+            "revenue_cents": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    # The exchange sorts on `key` ALONE: Ray's co-location guarantee
+    # covers runs of the full sort key, not of a prefix — sorting on
+    # (key, side) was observed to split runs of bare `key` across block
+    # boundaries (caught by NPR_DEBUG_COLOCATION).  The build-first
+    # order within each run is established locally instead.
+    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
+    key = np.asarray(block.column("key"))
+    side = np.asarray(block.column("side"))
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    starts = np.nonzero(new_run)[0]
+    ends = np.concatenate([starts[1:], [n]])
+    # a run joins iff its first row is the build side (orders pk is unique)
+    has_build = side[starts] == 0
+    run_len = ends - starts
+    # per-row index of its run's build row (or -1 when the run has none)
+    build_idx = np.repeat(np.where(has_build, starts, -1), run_len)
+    probe = (side == 1) & (build_idx >= 0)
+    if not probe.any():
+        return empty
+    pr_codes_all = block.column("priority").combine_chunks().dictionary_encode()
+    pr_idx = np.asarray(pr_codes_all.indices.fill_null(-1))
+    matched_pr = pr_idx[build_idx[probe]]
+    cents = np.asarray(pc.fill_null(block.column("cents"), 0).combine_chunks())[probe]
+    # partial agg by priority code
+    n_codes = len(pr_codes_all.dictionary)
+    cnt = np.bincount(matched_pr, minlength=n_codes)
+    csum = np.bincount(matched_pr, weights=cents.astype(np.float64), minlength=n_codes)
+    nz = cnt > 0
+    # float64 bincount weights are exact for |sum| < 2^53 per (block,
+    # priority) partial — block sums are bounded by block size × max
+    # cents, far under 2^53; the global sum happens in int64 downstream.
+    return pa.table(
+        {
+            "priority": pr_codes_all.dictionary.take(pa.array(np.nonzero(nz)[0], pa.int32())),
+            "n_items": pa.array(cnt[nz].astype(np.int64)),
+            "revenue_cents": pa.array(csum[nz].astype(np.int64)),
+        }
+    )
+
+
+def order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Revenue per order priority: co-partitioned shuffle join + agg.
+
+    Documented partitioning assumption: ``o_orderkey`` is unique in
+    orders (a true primary key), so each key run holds at most one build
+    row.  Both fact tables move through exactly one sort exchange; the
+    post-join shuffle carries only ≤5-row priority partials per block.
+    """
+    sf = sf_dir.rstrip("/")
+    orders = ray.data.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(_orders_side, batch_format="pyarrow")
+    items = ray.data.read_parquet(
+        f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(_lineitem_side, batch_format="pyarrow")
+    both = orders.union(items)
+    partials = checked_sort(both, "key").map_batches(
+        _join_block_partials, batch_format="pyarrow", batch_size=None
+    )
+    from ray.data.aggregate import Sum
+
+    return (
+        partials.groupby("priority")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .sort("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-N per group
+# ---------------------------------------------------------------------------
+
+TOP_ORDERS_PER_CUST_SQL = """
+SELECT o_custkey, o_orderkey, price_cents, rn
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+         ) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+def _project_price_cents(batch: pa.Table) -> pa.Table:
+    p = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
+    return pa.table(
+        {
+            "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "price_cents": pa.array(np.floor(p * 100).astype(np.int64)),
+        }
+    )
+
+
+def _rank_block(block: pa.Table, n_top: int) -> pa.Table:
+    """Rank within co-located customer runs.
+
+    The exchange sorts on the GROUP key alone (a multi-key sort only
+    co-locates runs of the full tuple, not the group-key prefix — the
+    NPR_DEBUG_COLOCATION guard caught exactly that); the rank order is
+    established block-locally."""
+    n = block.num_rows
+    if n == 0:
+        return block.append_column("rn", pa.array([], pa.int64()))
+    block = block.sort_by(
+        [("o_custkey", "ascending"), ("price_cents", "descending"), ("o_orderkey", "ascending")]
+    )
+    cust = np.asarray(block.column("o_custkey"))
+    new_run = np.concatenate([[True], cust[1:] != cust[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    rn = np.arange(n, dtype=np.int64) - np.repeat(starts, run_len) + 1
+    keep = rn <= n_top
+    return block.filter(pa.array(keep)).append_column("rn", pa.array(rn[keep]))
+
+
+def top_orders_per_cust(sf_dir: str, n_top: int = 3) -> ray.data.Dataset:
+    """Each customer's top-``n_top`` orders by price: the top-N-per-group
+    primitive as ONE sort on (group asc, price desc, key asc) + a
+    vectorized block-local rank — no window-function engine needed, no
+    per-group Python."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    ).map_batches(_project_price_cents, batch_format="pyarrow")
+    ds = checked_sort(ds, "o_custkey")
+    return ds.map_batches(
+        _rank_block, batch_format="pyarrow", batch_size=None, fn_kwargs={"n_top": n_top}
+    )
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join
+# ---------------------------------------------------------------------------
+
+# Quantity bands [lo, hi): l_quantity in TPC-H is integer-valued 1..50.
+QUANTITY_BANDS = (("q1", 1, 13), ("q2", 13, 26), ("q3", 26, 38), ("q4", 38, 51))
+
+QUANTITY_BAND_COUNTS_SQL = f"""
+WITH bands(band, lo, hi) AS (VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in QUANTITY_BANDS)})
+SELECT b.band,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY b.band
+ORDER BY b.band
+"""
+
+
+def _band_partials(batch: pa.Table) -> pa.Table:
+    """Interval membership via one searchsorted against the band edges —
+    the vectorized form of a BETWEEN join against a broadcast-small
+    interval table — then a per-batch partial aggregate."""
+    q = np.asarray(batch.column("l_quantity"), dtype=np.float64)
+    p = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+    cents = np.floor(p * 100).astype(np.int64)
+    edges = np.array([b[1] for b in QUANTITY_BANDS] + [QUANTITY_BANDS[-1][2]], dtype=np.float64)
+    idx = np.searchsorted(edges, q, side="right") - 1
+    in_band = (idx >= 0) & (idx < len(QUANTITY_BANDS)) & (q < edges[-1])
+    idx = idx[in_band]
+    cents = cents[in_band]
+    cnt = np.bincount(idx, minlength=len(QUANTITY_BANDS))
+    csum = np.bincount(idx, weights=cents.astype(np.float64), minlength=len(QUANTITY_BANDS))
+    nz = cnt > 0
+    labels = np.array([b[0] for b in QUANTITY_BANDS])
+    return pa.table(
+        {
+            "band": pa.array(labels[nz]),
+            "n_rows": pa.array(cnt[nz].astype(np.int64)),
+            "price_cents": pa.array(csum[nz].astype(np.int64)),
+        }
+    )
+
+
+def quantity_band_counts(sf_dir: str) -> ray.data.Dataset:
+    """Row counts + price sums per quantity band (range join + agg)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+    partials = ds.map_batches(_band_partials, batch_format="pyarrow")
+    return (
+        partials.groupby("band")
+        .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("price_cents", alias_name="price_cents"))
+        .sort("band")
+    )

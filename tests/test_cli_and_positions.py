@@ -94,3 +94,29 @@ def test_cli_replay_status_metrics(tmp_path):
         out = json.loads(r2.stdout.strip().splitlines()[-1])
         for k in checks:
             assert k in out
+
+
+def test_cli_metrics_levels(tmp_path):
+    """NONE/SUMMARY/DETAILED granularity knob (the reference's CloudWatch
+    metrics-level descriptor, consumer/AbstractKinesisConsumerProcessor
+    .java:193-224)."""
+    log = str(tmp_path / "log")
+    write_generated_changelog(log, 1200, files=2, n_convs=20)
+    lake = str(tmp_path / "lake")
+    base = [sys.executable, "-m", "nifi_processors_ray", "replay",
+            "--lake", lake, "--log", log, "--partitions", "4"]
+    r = subprocess.run(base, capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-1500:]
+
+    def metrics(level):
+        argv = [a if a != "replay" else "metrics" for a in base] + ["--metrics-level", level]
+        r2 = subprocess.run(argv, capture_output=True, text=True, cwd="/root/repo")
+        assert r2.returncode == 0, r2.stderr[-1500:]
+        return json.loads(r2.stdout.strip().splitlines()[-1])
+
+    assert metrics("none") == []
+    summary = metrics("summary")
+    assert len(summary) == 1 and summary[0]["applied"] > 0
+    detailed = metrics("detailed")
+    assert len(detailed) >= 1 and {"partition", "applied"} <= set(detailed[0])
+    assert sum(row["applied"] for row in detailed) == summary[0]["applied"]

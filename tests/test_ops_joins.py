@@ -1,0 +1,81 @@
+"""Unit tests for the join primitives (ops/joins.py) — hand-crafted edge
+cases; end-to-end SQL parity is covered by test_oracle_dtype_parity."""
+
+import numpy as np
+import pyarrow as pa
+
+from nifi_processors_ray.ops import joins as J
+
+
+def _block(rows):
+    return pa.table(
+        {
+            "key": pa.array([r[0] for r in rows], pa.int64()),
+            "side": pa.array([r[1] for r in rows], pa.int8()),
+            "priority": pa.array([r[2] for r in rows], pa.string()),
+            "cents": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def test_join_block_matches_and_orphans():
+    # key 1: build + 2 probes; key 2: probe with NO build (dropped, inner
+    # join); key 3: build with no probes (contributes nothing)
+    block = _block(
+        [
+            (1, 0, "HI", None),
+            (1, 1, None, 10),
+            (1, 1, None, 5),
+            (2, 1, None, 99),
+            (3, 0, "LO", None),
+        ]
+    )
+    out = J._join_block_partials(block).to_pylist()
+    assert out == [{"priority": "HI", "n_items": 2, "revenue_cents": 15}]
+
+
+def test_join_block_unsorted_input_is_sorted_locally():
+    # co-location guarantees same-block, not intra-block order
+    block = _block(
+        [
+            (1, 1, None, 7),
+            (1, 0, "HI", None),
+        ]
+    )
+    out = J._join_block_partials(block).to_pylist()
+    assert out == [{"priority": "HI", "n_items": 1, "revenue_cents": 7}]
+
+
+def test_join_block_empty():
+    assert J._join_block_partials(_block([])).num_rows == 0
+
+
+def test_rank_block_orders_within_group():
+    block = pa.table(
+        {
+            "o_custkey": pa.array([7, 7, 7, 7, 9], pa.int64()),
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "price_cents": pa.array([50, 80, 80, 10, 30], pa.int64()),
+        }
+    )
+    out = J._rank_block(block, n_top=3).to_pylist()
+    # cust 7: price desc, tie on 80 broken by orderkey asc → 2, 3, then 50
+    assert [(r["o_custkey"], r["o_orderkey"], r["rn"]) for r in out] == [
+        (7, 2, 1),
+        (7, 3, 2),
+        (7, 1, 3),
+        (9, 5, 1),
+    ]
+
+
+def test_band_partials_edges():
+    batch = pa.table(
+        {
+            # 1 → q1 (inclusive lo); 12.99 → q1; 13 → q2 (exclusive hi);
+            # 50.9 → q4; 51 → out of range; 0.5 → below all bands
+            "l_quantity": pa.array([1.0, 12.99, 13.0, 50.9, 51.0, 0.5]),
+            "l_extendedprice": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0]),
+        }
+    )
+    out = {r["band"]: (r["n_rows"], r["price_cents"]) for r in J._band_partials(batch).to_pylist()}
+    assert out == {"q1": (2, 300), "q2": (1, 400), "q4": (1, 800)}
