@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _text.text_stats,
         "lang_id": _text.lang_id,
         "doc_fingerprint": _text.doc_fingerprint,
+        "token_counts": _text.token_counts,
         # deduplication
         "exact_dedup": _dedup.exact_dedup,
         "minhash_dup_pairs": lambda sf: _dedup.minhash_dup_pairs(
@@ -217,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_users": _ev.topk_users,
         "events_distinct_types": _ev.distinct_types,
         "events_sample": _ev.sample_events,
+        "events_value_quantiles": _ev.value_quantiles,
         # relational primitives (broadcast lookup join, wide aggregation)
         "events_user_enrich": _rel.events_user_enrich,
         "lineitem_pricing_summary": _rel.lineitem_pricing_summary,
@@ -284,6 +286,7 @@ FROM _ch
         # can't reproduce; their correctness oracles live in tests/
         # (crafted corpora vs brute-force references).
         "text_stats": _text.TEXT_STATS_SQL,
+        "token_counts": _text.TOKEN_COUNTS_SQL,
         "exact_dedup": _dedup.EXACT_DEDUP_SQL,
         "knn_brute": _sim.KNN_BRUTE_SQL_TEMPLATE.format(n_queries=8, k=10),
         "media_features": _mm.MEDIA_FEATURES_SQL,
@@ -292,6 +295,7 @@ FROM _ch
         "events_topk_users": _ev.TOPK_USERS_SQL,
         "events_distinct_types": _ev.DISTINCT_TYPES_SQL,
         "events_sample": _ev.SAMPLE_SQL,
+        "events_value_quantiles": _ev.VALUE_QUANTILES_SQL,
         "events_user_enrich": _rel.EVENTS_USER_ENRICH_SQL,
         "lineitem_pricing_summary": _rel.LINEITEM_PRICING_SQL,
         "events_asof_order": _rel.EVENTS_ASOF_ORDER_SQL,

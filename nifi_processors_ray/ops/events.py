@@ -280,6 +280,94 @@ def sample_events(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(pick, batch_format="pyarrow").sort("event_id")
 
 
+# DuckDB quantile_disc(x, q) = the element at 1-based rank ceil(q*n),
+# clamped to >= 1 (calibrated empirically; exact integer output).
+VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.95) AS p95_cents,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _quantile_partials(batch: pa.Table) -> pa.Table:
+    """Compress each batch to a (type, value_cents) → count histogram.
+
+    Exact grouped quantiles fundamentally need each group's value
+    multiset in one place; the scale lever is that the shuffle moves the
+    DISTINCT (type, cents) pairs with counts, not rows — bounded by the
+    value domain (cents of a bounded metric), not by event count.  For
+    unbounded domains the approx path is a sketch (see
+    ``functions/sketches.py`` for the HLL precedent), not this operator.
+    """
+    t = pa.table(
+        {
+            "event_type": batch.column("event_type"),
+            "value_cents": _cents(batch.column("value")),
+        }
+    )
+    g = t.group_by(["event_type", "value_cents"]).aggregate([("value_cents", "count")])
+    return g.rename_columns(["event_type", "value_cents", "n"])
+
+
+def _quantile_finalize(block: pa.Table, qs: tuple[float, ...] = (0.5, 0.95)) -> pa.Table:
+    """Per co-located event_type run: merge histograms, read quantiles off
+    the cumulative counts (rank ceil(q*n), the quantile_disc contract)."""
+    cols = {
+        "event_type": pa.array([], pa.string()),
+        **{f"p{int(q * 100)}_cents": pa.array([], pa.int64()) for q in qs},
+        "n_events": pa.array([], pa.int64()),
+    }
+    if block.num_rows == 0:
+        return pa.table(cols)
+    b = block.sort_by([("event_type", "ascending"), ("value_cents", "ascending")])
+    et = np.asarray(b.column("event_type").combine_chunks().dictionary_encode().indices)
+    vals = np.asarray(b.column("value_cents"))
+    cnt = np.asarray(b.column("n"))
+    new_run = np.concatenate([[True], et[1:] != et[:-1]])
+    starts = np.nonzero(new_run)[0]
+    ends = np.concatenate([starts[1:], [len(et)]])
+    out: dict[str, list] = {"event_type": [], "n_events": []}
+    for q in qs:
+        out[f"p{int(q * 100)}_cents"] = []
+    types = b.column("event_type")
+    for s, e in zip(starts, ends):  # one iteration per GROUP (tiny), not per row
+        w = cnt[s:e]
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        out["event_type"].append(types[int(s)].as_py())
+        out["n_events"].append(n)
+        for q in qs:
+            rank = max(1, int(np.ceil(q * n)))
+            out[f"p{int(q * 100)}_cents"].append(int(vals[s + np.searchsorted(cum, rank)]))
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            **{
+                f"p{int(q * 100)}_cents": pa.array(out[f"p{int(q * 100)}_cents"], pa.int64())
+                for q in qs
+            },
+            "n_events": pa.array(out["n_events"], pa.int64()),
+        }
+    )
+
+
+def value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact p50/p95 of value (in cents) per event_type.
+
+    Histogram partials per batch → ONE sort on the group key → per-run
+    cumulative-count quantile read.  Matches DuckDB ``quantile_disc``
+    exactly (integer element, rank ceil(q*n))."""
+    ds = _events(sf_dir, ["event_type", "value"])
+    partials = ds.map_batches(_quantile_partials, batch_format="pyarrow")
+    return checked_sort(partials, "event_type").map_batches(
+        _quantile_finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
 def distinct_types(sf_dir: str) -> ray.data.Dataset:
     """Distinct event types (the set-op primitive), sorted."""
     ds = _events(sf_dir, ["event_type"])

@@ -193,3 +193,46 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# token counting: whitespace + BPE-ish regex (SQL-mirrorable)
+# ---------------------------------------------------------------------------
+
+# Subword-ish tokenization: letter runs, digit runs, single punctuation.
+# ASCII-only, alternatives disjoint — so RE2 (pyarrow's and DuckDB's
+# shared regex engine) and any leftmost-first engine agree exactly.  The
+# regex is compiled once per process inside Arrow's C++ kernel; the hot
+# path is one vectorized `count_substring_regex` call per batch.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       len(str_split(coalesce(text, ''), ' ')) AS ws_tokens,
+       len(regexp_extract_all(coalesce(text, ''), '{BPE_ISH_PATTERN}')) AS bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def token_counts_batch(batch: pa.Table) -> pa.Table:
+    text = pc.fill_null(batch.column("text"), "")
+    ws = (pc.count_substring(text, " ").to_numpy(zero_copy_only=False) + 1).astype(np.int64)
+    bpe = pc.count_substring_regex(text, BPE_ISH_PATTERN).cast(pa.int64())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "ws_tokens": pa.array(ws),
+            "bpe_tokens": bpe,
+        }
+    )
+
+
+def token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace + BPE-ish-regex token counts per document — the token
+    budgeting primitive for training-data pipelines, fully vectorized
+    (the regex runs compiled inside Arrow's RE2 kernel)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(token_counts_batch, batch_format="pyarrow").sort("doc_id")
