@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _sim.knn_ivf,
         # multimodal binary plumbing
         "media_features": _mm.media_features,
+        "media_frame_sample": _mm.media_frame_sample,
         # stream analytics (events table)
         "events_window_agg": _ev.window_agg,
         "events_sessionize": _ev.sessionize,
@@ -290,6 +291,7 @@ FROM _ch
         "exact_dedup": _dedup.EXACT_DEDUP_SQL,
         "knn_brute": _sim.KNN_BRUTE_SQL_TEMPLATE.format(n_queries=8, k=10),
         "media_features": _mm.MEDIA_FEATURES_SQL,
+        "media_frame_sample": _mm.MEDIA_FRAME_SAMPLE_SQL,
         "events_window_agg": _ev.WINDOW_AGG_SQL,
         "events_sessionize": _ev.SESSIONIZE_SQL,
         "events_topk_users": _ev.TOPK_USERS_SQL,

@@ -27,6 +27,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..sources.reader import read_parquet as read_parquet_clean
+
 from ..functions.debug import checked_sort
 from ..functions.hashing import hash_strings_u64
 from .text import _token_lists
@@ -76,7 +78,7 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     The shuffle key is the 64-bit text hash (tiny sort payload vs
     sorting full text).
     """
-    ds = ray.data.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    ds = read_parquet_clean(f"{sf_dir.rstrip('/')}/documents.parquet")
     return (
         checked_sort(ds.map_batches(_add_text_hash, batch_format="pyarrow"), "__h")
         .map_batches(_first_per_text, batch_format="pyarrow", batch_size=None)
@@ -119,7 +121,7 @@ def augmented_documents(sf_dir: str) -> ray.data.Dataset:
     near-dup queries plant them: every 10th document gets a copy with
     ~14% of tokens dropped (id + AUG_ID_OFFSET).  Detection itself is
     blind to the planting."""
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
     )
     return docs.union(docs.map_batches(_perturb_docs, batch_format="pyarrow"))
@@ -138,7 +140,7 @@ def _dup_embeddings(batch: pa.Table) -> pa.Table:
 
 def augmented_embeddings(sf_dir: str) -> ray.data.Dataset:
     """embeddings ∪ exact copies of every 25th vector (id + AUG_ID_OFFSET)."""
-    emb = ray.data.read_parquet(
+    emb = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return emb.union(emb.map_batches(_dup_embeddings, batch_format="pyarrow"))

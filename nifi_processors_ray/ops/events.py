@@ -27,6 +27,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..sources.reader import read_parquet as read_parquet_clean
+
 from ..functions.debug import checked_sort
 
 _US_PER_HOUR = 3_600_000_000
@@ -92,7 +94,7 @@ ORDER BY event_id
 
 
 def _events(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir.rstrip('/')}/events.parquet", columns=columns)
 
 
 def _cents(value_col) -> pa.Array:

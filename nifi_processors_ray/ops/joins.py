@@ -31,6 +31,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..sources.reader import read_parquet as read_parquet_clean
+
 from ..functions.debug import checked_sort
 
 ORDER_PRIORITY_REVENUE_SQL = """
@@ -135,10 +137,10 @@ def order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
     post-join shuffle carries only ≤5-row priority partials per block.
     """
     sf = sf_dir.rstrip("/")
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     ).map_batches(_orders_side, batch_format="pyarrow")
-    items = ray.data.read_parquet(
+    items = read_parquet_clean(
         f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(_lineitem_side, batch_format="pyarrow")
     both = orders.union(items)
@@ -215,7 +217,7 @@ def top_orders_per_cust(sf_dir: str, n_top: int = 3) -> ray.data.Dataset:
     primitive as ONE sort on (group asc, price desc, key asc) + a
     vectorized block-local rank — no window-function engine needed, no
     per-group Python."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_totalprice"],
     ).map_batches(_project_price_cents, batch_format="pyarrow")
@@ -272,7 +274,7 @@ def quantity_band_counts(sf_dir: str) -> ray.data.Dataset:
     """Row counts + price sums per quantity band (range join + agg)."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
     )
     partials = ds.map_batches(_band_partials, batch_format="pyarrow")

@@ -30,6 +30,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..sources.reader import read_parquet as read_parquet_clean
+
 MEDIA_MAGIC = b"NPRM"
 _HEADER = struct.Struct(">4sHHB")  # magic, width, height, n_frames
 HEADER_LEN = _HEADER.size  # 9 bytes
@@ -120,6 +122,58 @@ class MediaFeatureExtractor:
         )
 
 
+FRAME_STRIDE = 4
+
+# SQL twin: explode each doc's synthesized frame count (doc_id % 24 + 1,
+# the attach_media header rule) into every FRAME_STRIDE-th frame index.
+MEDIA_FRAME_SAMPLE_SQL = f"""
+SELECT doc_id,
+       unnest(generate_series(0, CAST(doc_id % 24 AS BIGINT), {FRAME_STRIDE})) AS frame_idx,
+       CAST(doc_id % 24 + 1 AS BIGINT) AS n_frames
+FROM documents
+ORDER BY doc_id, frame_idx
+"""
+
+
+def _sample_frames(batch: pa.Table, stride: int) -> pa.Table:
+    """Explode each media payload into every ``stride``-th frame row.
+
+    The fan-out (one input row → ceil(n_frames/stride) output rows) is
+    fully vectorized: np.repeat for the doc axis, arange arithmetic for
+    the frame axis — the flat_map pattern without per-row Python.  A
+    real decoder would slice the frame bytes here; the deterministic
+    stub keeps the Ray plumbing (explode shape, small batches for big
+    payloads, downstream schema) real and SQL-verified.
+    """
+    media = batch.column("media").combine_chunks()
+    headers = [bytes(media[i].as_py()[:HEADER_LEN]) for i in range(len(media))]
+    n_frames = np.array([_HEADER.unpack(h)[3] for h in headers], dtype=np.int64)
+    n_out = (n_frames + stride - 1) // stride
+    doc_rep = np.repeat(np.asarray(batch.column("doc_id")), n_out)
+    starts = np.concatenate([[0], np.cumsum(n_out)])
+    frame_idx = (np.arange(int(starts[-1])) - starts[:-1][np.repeat(np.arange(len(n_out)), n_out)]) * stride
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_rep),
+            "frame_idx": pa.array(frame_idx.astype(np.int64)),
+            "n_frames": pa.array(np.repeat(n_frames, n_out)),
+        }
+    )
+
+
+def media_frame_sample(sf_dir: str, *, stride: int = FRAME_STRIDE, batch_size: int = 256) -> ray.data.Dataset:
+    """Every ``stride``-th frame of each media payload — the frame-sample
+    plumbing stage of a video pipeline (decode stubbed; explode real)."""
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    ds = ds.map_batches(attach_media, batch_format="pyarrow")
+    ds = ds.map_batches(
+        _sample_frames, batch_format="pyarrow", batch_size=batch_size, fn_kwargs={"stride": stride}
+    )
+    return ds.sort(["doc_id", "frame_idx"])
+
+
 def media_features(
     sf_dir: str, *, concurrency: int = 4, batch_size: int = 256
 ) -> ray.data.Dataset:
@@ -131,7 +185,7 @@ def media_features(
     """
     import ray as _ray
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text", "n_chars"]
     )
     ds = ds.map_batches(attach_media, batch_format="pyarrow")

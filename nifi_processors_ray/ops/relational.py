@@ -22,6 +22,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..sources.reader import read_parquet as read_parquet_clean
+
 EVENTS_USER_ENRICH_SQL = """
 SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
@@ -67,7 +69,7 @@ def events_user_enrich(sf_dir: str) -> ray.data.Dataset:
         columns=["c_custkey", "c_name", "c_mktsegment"],
     )
     dim_ref = ray.put(dim)
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/events.parquet", columns=["event_id", "user_id"]
     )
     return ds.map_batches(
@@ -176,7 +178,7 @@ def events_asof_order(sf_dir: str) -> ray.data.Dataset:
         columns=["o_custkey", "o_orderdate", "o_orderkey"],
     )
     index_ref = ray.put(build_asof_index(orders))
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     return ds.map_batches(
@@ -219,7 +221,7 @@ def lineitem_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H-Q1-style summary; rows never shuffle, only per-batch partials."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )

@@ -18,6 +18,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..sources.reader import read_parquet as read_parquet_clean
+
 KNN_BRUTE_SQL_TEMPLATE = """
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}
@@ -132,7 +134,7 @@ def knn_brute(sf_dir: str, *, k: int = 10, n_queries: int = 8) -> pa.Table:
     """Exact cosine top-k for the first ``n_queries`` vectors."""
     qids, qm = load_queries(sf_dir, n_queries)
     q_ref = ray.put((qids, qm))
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     partials = ds.map_batches(
@@ -196,7 +198,7 @@ def knn_ivf(
     cent_ref = ray.put(cent)
     q_ref = ray.put((qids, qm))
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     ds = ds.map_batches(_assign_cells, batch_format="pyarrow", fn_kwargs={"cent_ref": cent_ref})

@@ -19,6 +19,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..sources.reader import read_parquet as read_parquet_clean
+
 STOPWORDS = ("the", "a")
 
 # ---------------------------------------------------------------------------
@@ -94,7 +96,7 @@ def text_stats_batch(batch: pa.Table) -> pa.Table:
 
 
 def text_stats(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text", "n_chars"]
     )
     return ds.map_batches(text_stats_batch, batch_format="pyarrow").sort("doc_id")
@@ -142,7 +144,7 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 
 
 def lang_id(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(lang_id_batch, batch_format="pyarrow").sort("doc_id")
@@ -189,7 +191,7 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 
 def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow").sort("doc_id")
@@ -232,7 +234,7 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
     """Whitespace + BPE-ish-regex token counts per document — the token
     budgeting primitive for training-data pipelines, fully vectorized
     (the regex runs compiled inside Arrow's RE2 kernel)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(token_counts_batch, batch_format="pyarrow").sort("doc_id")

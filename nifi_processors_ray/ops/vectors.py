@@ -18,6 +18,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..sources.reader import read_parquet as read_parquet_clean
+
 QUANT = 1_000_000
 
 LABEL_VECTOR_SUMS_SQL = f"""
@@ -69,7 +71,7 @@ def label_vector_sums(sf_dir: str) -> ray.data.Dataset:
     """Quantized per-label component sums (the centroid numerator)."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["label", "embedding"]
     )
     partials = ds.map_batches(_label_partials, batch_format="pyarrow")

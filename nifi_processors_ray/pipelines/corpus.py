@@ -13,6 +13,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..sources.reader import read_parquet as read_parquet_clean
+
 from ..ops.dedup import EXACT_DEDUP_SQL, _add_text_hash, _first_per_text
 from ..ops.text import STOPWORDS, _per_list_sum, _token_lists
 
@@ -58,7 +60,7 @@ def _quality_filter(batch: pa.Table) -> pa.Table:
 
 
 def corpus_clean(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    ds = read_parquet_clean(f"{sf_dir.rstrip('/')}/documents.parquet")
     return (
         ds.map_batches(_add_text_hash, batch_format="pyarrow")
         .sort("__h")
