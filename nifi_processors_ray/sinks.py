@@ -1,0 +1,134 @@
+"""Resumable hash-partitioned Parquet sink.
+
+The engine's lake writes are already partitioned and resumable (2PC
+manifest); this is the GENERIC export sink for analysis outputs — the
+"write partitioned Parquet so a failed run can skip finished
+partitions; never one giant file" rule as a reusable stage:
+
+- output layout: ``out_dir/part=NNNNN/data.parquet`` + a ``_DONE``
+  marker written AFTER the data file (write-then-rename is not needed:
+  the marker is the commit point, and a partition without a marker is
+  re-written from scratch on resume);
+- partition assignment is a pure function of the key (same
+  ``hash_strings_u64``/``hash_ints_u64`` family as the lake), so a
+  resumed run reproduces identical partition contents;
+- finished partitions are detected on the DRIVER before the run and
+  filtered OUT of the Dataset, so a resume does not even read the
+  already-exported key ranges' shuffled blocks — work skipped, not
+  redone.
+
+Reference lineage: the producer's per-batch success routing + retry
+(``producer/PutKinesisStream.java:287-334``) — a failed export re-run
+must neither duplicate nor lose records.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from .functions.hashing import hash_ints_u64, hash_strings_u64
+
+_PART_COL = "__export_part"
+
+
+def _assign_partition(batch: pa.Table, key: str, num_partitions: int) -> pa.Table:
+    col = batch.column(key)
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        h = hash_strings_u64(col)
+    else:
+        h = hash_ints_u64(np.asarray(col.cast(pa.int64())).astype(np.int64))
+    part = (h % np.uint64(num_partitions)).astype(np.int32)
+    return batch.append_column(_PART_COL, pa.array(part))
+
+
+def _partition_dir(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, f"part={part:05d}")
+
+
+def _write_group(group: pa.Table, out_dir: str, sort_key: str | None) -> pa.Table:
+    part = int(group.column(_PART_COL)[0].as_py())
+    group = group.drop_columns([_PART_COL])
+    if sort_key:
+        group = group.sort_by(sort_key)
+    d = _partition_dir(out_dir, part)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(group, os.path.join(d, "data.parquet"))
+    with open(os.path.join(d, "_DONE"), "w") as f:
+        f.write(str(group.num_rows))
+    return pa.table(
+        {"partition": pa.array([part], pa.int32()), "rows": pa.array([group.num_rows], pa.int64())}
+    )
+
+
+def write_partitioned_parquet(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    key: str,
+    *,
+    num_partitions: int = 64,
+    sort_key: str | None = None,
+) -> dict:
+    """Export ``ds`` as hash-partitioned Parquet, resumably.
+
+    Returns ``{"written": n, "skipped": n, "rows_written": n}``.  A
+    second call with the same inputs writes only the partitions whose
+    ``_DONE`` marker is missing (crashed or never-started ones).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = {
+        p
+        for p in range(num_partitions)
+        if os.path.exists(os.path.join(_partition_dir(out_dir, p), "_DONE"))
+    }
+    if len(done) == num_partitions:
+        return {"written": 0, "skipped": num_partitions, "rows_written": 0}
+
+    tagged = ds.map_batches(
+        _assign_partition,
+        batch_format="pyarrow",
+        fn_kwargs={"key": key, "num_partitions": num_partitions},
+    )
+    if done:
+        done_arr = np.array(sorted(done), dtype=np.int32)
+
+        def _drop_done(batch: pa.Table) -> pa.Table:
+            part = np.asarray(batch.column(_PART_COL))
+            keep = ~np.isin(part, done_arr)
+            return batch.filter(pa.array(keep))
+
+        tagged = tagged.map_batches(_drop_done, batch_format="pyarrow")
+
+    results = (
+        tagged.groupby(_PART_COL)
+        .map_groups(
+            _write_group,
+            batch_format="pyarrow",
+            fn_kwargs={"out_dir": out_dir, "sort_key": sort_key},
+        )
+        .take_all()
+    )
+    return {
+        "written": len(results),
+        "skipped": len(done),
+        "rows_written": sum(r["rows"] for r in results),
+    }
+
+
+def read_partitioned_parquet(out_dir: str) -> ray.data.Dataset:
+    """Read back a completed export (only partitions with ``_DONE``)."""
+    paths = []
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if name.startswith("part=") and os.path.exists(os.path.join(d, "_DONE")):
+            paths.append(os.path.join(d, "data.parquet"))
+    if not paths:
+        raise FileNotFoundError(f"no completed partitions under {out_dir}")
+    # columns pinned to the file schema so the part=NNNNN path segment is
+    # not hive-inferred as an extra column
+    cols = [f.name for f in pq.read_schema(paths[0])]
+    return ray.data.read_parquet(paths, columns=cols)
