@@ -70,10 +70,16 @@ def attach_media(batch: pa.Table) -> pa.Table:
 
 
 class MediaFeatureExtractor:
-    """Callable-class actor: decoder loaded once per actor, used per batch."""
+    """Callable-class actor: decoder loaded once per actor, used per batch.
 
-    def __init__(self) -> None:
+    ``digest=True`` additionally emits a per-payload sha1 prefix for
+    lineage/debugging — inherently scalar work (one hash per payload),
+    so the feature path leaves it off and stays fully vectorized.
+    """
+
+    def __init__(self, digest: bool = False) -> None:
         # The model-load / codec-init slot: once per actor, NOT per batch.
+        self.digest = digest
         try:  # real decoders are absent in this environment
             import PIL.Image  # noqa: F401  # pragma: no cover
 
@@ -82,7 +88,7 @@ class MediaFeatureExtractor:
             self._codec = "stub"
 
     def _decode(self, payload: bytes) -> tuple[int, int, int]:
-        """Parse the typed header → (width, height, n_frames).
+        """Parse one typed header → (width, height, n_frames).
 
         With a real codec installed this is where pixel decode would
         happen; the stub path only reads the header (deterministic) and
@@ -99,27 +105,41 @@ class MediaFeatureExtractor:
         return width, height, n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        media = batch.column("media")
-        n_bytes = np.asarray(
-            pa.compute.binary_length(media).combine_chunks(), dtype=np.int64
-        )
-        widths, heights, frames, digests = [], [], [], []
-        for payload in media.to_pylist():  # per-payload decode is inherently scalar
-            w, h, f = self._decode(payload)
-            widths.append(w)
-            heights.append(h)
-            frames.append(f)
-            digests.append(hashlib.sha1(payload).hexdigest()[:16])
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "n_bytes": pa.array(n_bytes),
-                "width": pa.array(widths, pa.int64()),
-                "height": pa.array(heights, pa.int64()),
-                "n_frames": pa.array(frames, pa.int64()),
-                "sha1_16": pa.array(digests, pa.string()),
-            }
-        )
+        media = batch.column("media").combine_chunks()
+        n = len(media)
+        n_bytes = np.asarray(pa.compute.binary_length(media), dtype=np.int64)
+        # Vectorized header parse straight off the Arrow binary buffers:
+        # one flat uint8 view + per-payload offsets, big-endian fields
+        # assembled with fancy indexing — no per-payload Python on the
+        # feature path.
+        # BinaryArray exposes no .offsets accessor — read the raw offsets
+        # buffer (int32 for binary, honoring any slice offset).
+        offsets_buf = np.frombuffer(media.buffers()[1], dtype=np.int32)
+        off = offsets_buf[media.offset : media.offset + n].astype(np.int64)
+        buf = np.frombuffer(media.buffers()[2], dtype=np.uint8)
+        if n and ((n_bytes < HEADER_LEN).any() or not (
+            (buf[off[:, None] + np.arange(4)] == np.frombuffer(MEDIA_MAGIC, np.uint8)).all()
+        )):
+            raise NotImplementedError(
+                "non-NPRM payload: real media decode requires a codec library "
+                "not present in this environment"
+            )
+        b = buf.astype(np.int64)
+        width = (b[off + 4] << 8) | b[off + 5]
+        height = (b[off + 6] << 8) | b[off + 7]
+        n_frames = b[off + 8]
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "n_bytes": pa.array(n_bytes),
+            "width": pa.array(width),
+            "height": pa.array(height),
+            "n_frames": pa.array(n_frames),
+        }
+        if self.digest:  # lineage/debug path: per-payload hash is scalar by nature
+            cols["sha1_16"] = pa.array(
+                [hashlib.sha1(p).hexdigest()[:16] for p in media.to_pylist()], pa.string()
+            )
+        return pa.table(cols)
 
 
 FRAME_STRIDE = 4

@@ -54,8 +54,10 @@ def test_sha_digest_stable():
             "n_chars": pa.array([3], pa.int64()),
         }
     )
-    ex = M.MediaFeatureExtractor()
+    ex = M.MediaFeatureExtractor(digest=True)  # digest is the opt-in lineage path
     out1 = ex(M.attach_media(batch)).to_pylist()[0]
     out2 = ex(M.attach_media(batch)).to_pylist()[0]
     assert out1["sha1_16"] == out2["sha1_16"]
     assert out1["n_bytes"] == 3 + M.HEADER_LEN
+    # the default (feature) path is fully vectorized and skips the digest
+    assert "sha1_16" not in M.MediaFeatureExtractor()(M.attach_media(batch)).column_names
