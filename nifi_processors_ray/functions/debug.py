@@ -71,13 +71,20 @@ def check_sort_colocation(ds: ray.data.Dataset, keys: list[str]) -> None:
 
 def checked_sort(ds: ray.data.Dataset, keys, *, descending=None, check_keys=None) -> ray.data.Dataset:
     """``ds.sort(keys, descending=...)``, with the co-location invariant
-    verified when ``NPR_DEBUG_COLOCATION`` is set (one extra pass; debug
-    only).  ``check_keys`` narrows the boundary check to the group-key
-    prefix when the trailing sort keys are only an intra-group order
-    (e.g. top-N per group sorts (group, -price) but only the group key
-    must not straddle blocks)."""
+    verified when ``NPR_DEBUG_COLOCATION`` is set (debug only).
+    ``check_keys`` narrows the boundary check to the group-key prefix
+    when the trailing sort keys are only an intra-group order.
+
+    When the guard is armed the sorted dataset is MATERIALIZED first and
+    the materialized handle is both checked and returned: a lazy plan
+    re-executes per consumption, and sample-based range partitioning may
+    split blocks differently each run — checking one execution while the
+    downstream consumes another would let the exact violation the guard
+    exists for slip through.
+    """
     key_list = [keys] if isinstance(keys, str) else list(keys)
     out = ds.sort(keys, descending=descending) if descending is not None else ds.sort(keys)
     if colocation_check_enabled():
+        out = out.materialize()
         check_sort_colocation(out, check_keys or key_list)
     return out

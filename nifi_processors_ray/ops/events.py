@@ -98,8 +98,13 @@ def _events(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
 
 
 def _cents(value_col) -> pa.Array:
-    v = np.asarray(value_col, dtype=np.float64)
-    return pa.array(np.floor(v * 100).astype(np.int64))
+    """Floored cents, NULL-preserving: the numpy path would surface null
+    as NaN and NaN→int64 is a C-undefined cast.  Arrow kernels keep the
+    same IEEE double op order as the SQL twin (×100, floor)."""
+    import pyarrow.compute as pc
+
+    v = pc.multiply(pc.cast(value_col, pa.float64()), 100.0)
+    return pc.cast(pc.floor(v), pa.int64())
 
 
 # ---------------------------------------------------------------------------
@@ -125,8 +130,10 @@ def _window_partials(batch: pa.Table) -> pa.Table:
     scale).  Pure Arrow ``Table.group_by`` (C++ hash agg), no pandas — the
     pandas round-trip both cost a copy and stuck dict metadata on the
     schema, flooding the log with Ray schema-dedup warnings."""
+    # count_all = COUNT(*) semantics: a plain ("col", "count") skips null
+    # values and would undercount rows with null `value` vs the SQL twin
     g = batch.group_by(["window_hour", "event_type", "user_id"]).aggregate(
-        [("value_cents", "sum"), ("value_cents", "count")]
+        [("value_cents", "sum"), ([], "count_all")]
     )
     return g.rename_columns(
         ["window_hour", "event_type", "user_id", "value_cents", "n_events"]
@@ -150,10 +157,14 @@ def _window_finalize(block: pa.Table) -> pa.Table:
     )
     if n == 0:
         return empty
+    import pyarrow.compute as pc
+
     wh = np.asarray(block.column("window_hour"))
     et = np.asarray(block.column("event_type").combine_chunks().dictionary_encode().indices)
     uid = np.asarray(block.column("user_id"))
-    cents = np.asarray(block.column("value_cents"))
+    # a triple whose values were ALL null sums to null — treat as 0
+    # (matches SQL unless an entire (window, type) group is all-null)
+    cents = np.asarray(pc.fill_null(block.column("value_cents"), 0).combine_chunks())
     cnt = np.asarray(block.column("n_events"))
 
     # rows arrive sorted by (window_hour, event_type) — runs are contiguous
@@ -311,13 +322,18 @@ def _quantile_partials(batch: pa.Table) -> pa.Table:
             "value_cents": _cents(batch.column("value")),
         }
     )
-    g = t.group_by(["event_type", "value_cents"]).aggregate([("value_cents", "count")])
+    g = t.group_by(["event_type", "value_cents"]).aggregate([([], "count_all")])
     return g.rename_columns(["event_type", "value_cents", "n"])
 
 
 def _quantile_finalize(block: pa.Table, qs: tuple[float, ...] = (0.5, 0.95)) -> pa.Table:
     """Per co-located event_type run: merge histograms, read quantiles off
-    the cumulative counts (rank ceil(q*n), the quantile_disc contract)."""
+    the cumulative counts (rank ceil(q*n), the quantile_disc contract).
+
+    Null-cents bins (rows whose value was null) count toward ``n_events``
+    (SQL ``COUNT(*)``) but are EXCLUDED from the quantile ranks (SQL
+    aggregate functions skip nulls); an all-null group yields null
+    quantiles, exactly like ``quantile_disc``."""
     cols = {
         "event_type": pa.array([], pa.string()),
         **{f"p{int(q * 100)}_cents": pa.array([], pa.int64()) for q in qs},
@@ -327,7 +343,7 @@ def _quantile_finalize(block: pa.Table, qs: tuple[float, ...] = (0.5, 0.95)) -> 
         return pa.table(cols)
     b = block.sort_by([("event_type", "ascending"), ("value_cents", "ascending")])
     et = np.asarray(b.column("event_type").combine_chunks().dictionary_encode().indices)
-    vals = np.asarray(b.column("value_cents"))
+    vals = np.asarray(b.column("value_cents"), dtype=np.float64)  # null → NaN
     cnt = np.asarray(b.column("n"))
     new_run = np.concatenate([[True], et[1:] != et[:-1]])
     starts = np.nonzero(new_run)[0]
@@ -338,13 +354,19 @@ def _quantile_finalize(block: pa.Table, qs: tuple[float, ...] = (0.5, 0.95)) -> 
     types = b.column("event_type")
     for s, e in zip(starts, ends):  # one iteration per GROUP (tiny), not per row
         w = cnt[s:e]
-        cum = np.cumsum(w)
-        n = int(cum[-1])
+        v = vals[s:e]
+        valid = ~np.isnan(v)
         out["event_type"].append(types[int(s)].as_py())
-        out["n_events"].append(n)
+        out["n_events"].append(int(w.sum()))
+        wv, xv = w[valid], v[valid]
+        cum = np.cumsum(wv)
+        m = int(cum[-1]) if len(cum) else 0
         for q in qs:
-            rank = max(1, int(np.ceil(q * n)))
-            out[f"p{int(q * 100)}_cents"].append(int(vals[s + np.searchsorted(cum, rank)]))
+            if m == 0:
+                out[f"p{int(q * 100)}_cents"].append(None)
+            else:
+                rank = max(1, int(np.ceil(q * m)))
+                out[f"p{int(q * 100)}_cents"].append(int(xv[np.searchsorted(cum, rank)]))
     return pa.table(
         {
             "event_type": pa.array(out["event_type"], pa.string()),

@@ -124,10 +124,13 @@ class MediaFeatureExtractor:
                 "non-NPRM payload: real media decode requires a codec library "
                 "not present in this environment"
             )
-        b = buf.astype(np.int64)
-        width = (b[off + 4] << 8) | b[off + 5]
-        height = (b[off + 6] << 8) | b[off + 7]
-        n_frames = b[off + 8]
+        # gather ONLY the header bytes before widening: widening the whole
+        # payload buffer to int64 would transiently allocate 8× the batch's
+        # media bytes — fatal at real payload sizes
+        hdr = buf[off[:, None] + np.arange(4, HEADER_LEN)].astype(np.int64)
+        width = (hdr[:, 0] << 8) | hdr[:, 1]
+        height = (hdr[:, 2] << 8) | hdr[:, 3]
+        n_frames = hdr[:, 4]
         cols = {
             "doc_id": batch.column("doc_id"),
             "n_bytes": pa.array(n_bytes),
@@ -166,8 +169,13 @@ def _sample_frames(batch: pa.Table, stride: int) -> pa.Table:
     payloads, downstream schema) real and SQL-verified.
     """
     media = batch.column("media").combine_chunks()
-    headers = [bytes(media[i].as_py()[:HEADER_LEN]) for i in range(len(media))]
-    n_frames = np.array([_HEADER.unpack(h)[3] for h in headers], dtype=np.int64)
+    # header decode straight off the Arrow buffers (as_py() would copy the
+    # WHOLE payload per row just to slice 9 bytes — O(total media bytes)
+    # of Python-object churn on the path documented for big payloads)
+    offsets_buf = np.frombuffer(media.buffers()[1], dtype=np.int32)
+    off = offsets_buf[media.offset : media.offset + len(media)].astype(np.int64)
+    buf = np.frombuffer(media.buffers()[2], dtype=np.uint8)
+    n_frames = buf[off + (HEADER_LEN - 1)].astype(np.int64) if len(media) else np.zeros(0, np.int64)
     n_out = (n_frames + stride - 1) // stride
     doc_rep = np.repeat(np.asarray(batch.column("doc_id")), n_out)
     starts = np.concatenate([[0], np.cumsum(n_out)])

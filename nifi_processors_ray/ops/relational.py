@@ -207,8 +207,9 @@ def _pricing_partials(batch: pa.Table) -> pa.Table:
     Arrow-native ``Table.group_by`` (C++ hash agg) — the round-1 pandas
     round-trip cost a copy per batch and left dict metadata on the schema
     that flooded the log with Ray schema-dedup warnings."""
+    # count_all = COUNT(*) (a plain column count skips nulls)
     g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-        [("qty_cents", "count"), ("qty_cents", "sum"), ("price_cents", "sum"),
+        [([], "count_all"), ("qty_cents", "sum"), ("price_cents", "sum"),
          ("disc_price_cents", "sum")]
     )
     return g.rename_columns(

@@ -41,7 +41,14 @@ def _assign_partition(batch: pa.Table, key: str, num_partitions: int) -> pa.Tabl
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         h = hash_strings_u64(col)
     else:
-        h = hash_ints_u64(np.asarray(col.cast(pa.int64())).astype(np.int64))
+        # Null ints surface as NaN in the numpy view; NaN→int64 is a
+        # C-undefined cast (platform/numpy-version dependent), which would
+        # break the pure-function-of-the-key resume contract — pin nulls
+        # to 0 BEFORE the cast (same convention as stages/partition.py).
+        arr = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if arr.dtype.kind == "f":
+            arr = np.nan_to_num(arr)
+        h = hash_ints_u64(arr.astype(np.int64))
     part = (h % np.uint64(num_partitions)).astype(np.int32)
     return batch.append_column(_PART_COL, pa.array(part))
 
@@ -112,8 +119,21 @@ def write_partitioned_parquet(
         )
         .take_all()
     )
+    # Hash partitions that received zero rows produce no group — mark them
+    # done (marker only, no data file) so the next call's all-done fast
+    # path is reachable and a resume never re-shuffles the dataset just to
+    # write nothing.
+    written_parts = {r["partition"] for r in results}
+    empties = 0
+    for p in range(num_partitions):
+        if p not in done and p not in written_parts:
+            d = _partition_dir(out_dir, p)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "_DONE"), "w") as f:
+                f.write("0")
+            empties += 1
     return {
-        "written": len(results),
+        "written": len(results) + empties,
         "skipped": len(done),
         "rows_written": sum(r["rows"] for r in results),
     }
@@ -124,8 +144,10 @@ def read_partitioned_parquet(out_dir: str) -> ray.data.Dataset:
     paths = []
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
-        if name.startswith("part=") and os.path.exists(os.path.join(d, "_DONE")):
-            paths.append(os.path.join(d, "data.parquet"))
+        data = os.path.join(d, "data.parquet")
+        # a _DONE marker without a data file is a committed EMPTY partition
+        if name.startswith("part=") and os.path.exists(os.path.join(d, "_DONE")) and os.path.exists(data):
+            paths.append(data)
     if not paths:
         raise FileNotFoundError(f"no completed partitions under {out_dir}")
     # columns pinned to the file schema so the part=NNNNN path segment is

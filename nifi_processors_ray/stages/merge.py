@@ -364,21 +364,28 @@ class MergeApplier:
                 # - Arrow decode/cast errors are DETERMINISTIC poison
                 #   (bad data, corrupt prior file) — retrying is pointless,
                 #   quarantine immediately.
-                # - Anything else (I/O blips, but also merge-kernel or
-                #   injected-policy bugs) retries HERE, in-task, up to
-                #   max_attempts total attempts — the durable counter in
-                #   _staging/attempts numbers every attempt, including ones
-                #   from a crashed prior process of the same epoch — and
-                #   only the final attempt dead-letters.  Transient faults
-                #   recover; a real bug fails K recorded times before
-                #   quarantining with the raw rows preserved for replay.
-                #   (Worker deaths are still covered by Ray's own task
-                #   retry; this loop is for application-level failures.)
+                # - ENVIRONMENTAL faults (OSError: disk full, NFS blip)
+                #   retry in-task with exponential backoff; if they outlast
+                #   every attempt they PROPAGATE and fail the epoch — the
+                #   2PC manifest makes the rerun exactly-once, so a sick
+                #   environment can never become recorded data loss.
+                # - Anything else (merge-kernel or injected-policy bugs)
+                #   retries the same way, then dead-letters on the final
+                #   attempt: a real bug fails K recorded times before
+                #   quarantining WITH the raw rows preserved for replay.
+                # The durable counter in _staging/attempts numbers every
+                # attempt, including ones from a crashed prior process of
+                # the same epoch.  (Worker deaths are still covered by
+                # Ray's own task retry.)
                 deterministic = isinstance(ex, (pa.ArrowInvalid, pa.ArrowNotImplementedError))
+                environmental = isinstance(ex, OSError)
                 self._record_failed_attempt(part, attempt)
                 if not deterministic and attempt < self.max_attempts:
+                    time.sleep(min(2.0, 0.05 * (2 ** (attempt - 1))))
                     attempt += 1
                     continue
+                if environmental:
+                    raise
                 error = f"{type(ex).__name__}: {ex}"[:500]
                 rel = f"deadletter/epoch={self.epoch}/part-{part:05d}.parquet"
                 self._write(valid, rel)

@@ -69,3 +69,102 @@ def test_simhash_pairs_survive_null_neighbor(ray_session):
     )
     pairs = simhash_dup_pairs(ray.data.from_arrow(t)).to_pandas()
     assert {(0, 2)} <= set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+# ---------------------------------------------------------------------------
+# round-2 code-review fixes
+# ---------------------------------------------------------------------------
+
+def test_window_partials_count_star_semantics():
+    """n_events must be COUNT(*), counting rows whose value is null."""
+    from nifi_processors_ray.ops.events import _add_window_and_cents, _window_finalize, _window_partials
+
+    batch = pa.table(
+        {
+            "ts": pa.array([1_000_000, 2_000_000, 3_000_000], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "event_type": pa.array(["a", "a", "a"]),
+            "value": pa.array([1.0, None, 3.0], pa.float64()),
+            "user_id": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    part = _window_partials(_add_window_and_cents(batch))
+    fin = _window_finalize(part.sort_by([("window_hour", "ascending"), ("event_type", "ascending")])).to_pylist()
+    assert fin[0]["n_events"] == 3          # COUNT(*), not COUNT(value)
+    assert fin[0]["value_cents"] == 400     # null skipped by SUM
+    assert fin[0]["n_users"] == 3
+
+
+def test_quantile_null_values_match_sql_semantics():
+    """COUNT(*) includes null-value rows; quantile_disc skips them."""
+    from nifi_processors_ray.ops.events import _quantile_finalize, _quantile_partials
+
+    batch = pa.table(
+        {
+            "event_type": pa.array(["a"] * 4 + ["b"]),
+            "value": pa.array([1.0, 2.0, 3.0, None, None], pa.float64()),
+        }
+    )
+    part = _quantile_partials(batch)
+    fin = {r["event_type"]: r for r in _quantile_finalize(part).to_pylist()}
+    assert fin["a"]["n_events"] == 4 and fin["a"]["p50_cents"] == 200
+    assert fin["b"]["n_events"] == 1 and fin["b"]["p50_cents"] is None
+
+
+def test_sink_null_int_key_partition_is_defined():
+    from nifi_processors_ray.sinks import _assign_partition
+    from nifi_processors_ray.functions.hashing import hash_ints_u64
+
+    batch = pa.table({"k": pa.array([1, None, 3], pa.int64()), "x": pa.array([1, 2, 3])})
+    out = _assign_partition(batch, "k", 8).column("__export_part").to_pylist()
+    # note int() BEFORE the modulo: numpy uint64 % python-int promotes to
+    # float64 and garbles the low bits
+    expected_null = int(hash_ints_u64(np.array([0], dtype=np.int64))[0]) % 8
+    assert out[1] == expected_null  # nulls pin to hash(0), platform-independent
+
+
+def test_sink_all_done_fast_path_with_empty_partitions(ray_session, tmp_path):
+    """Empty hash partitions get markers too — resume must not re-shuffle."""
+    import ray.data
+
+    from nifi_processors_ray.sinks import read_partitioned_parquet, write_partitioned_parquet
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()), "v": pa.array(list("abcd"))})
+    )
+    out = str(tmp_path / "exp")
+    res1 = write_partitioned_parquet(ds, out, key="k", num_partitions=16)
+    assert res1["skipped"] == 0 and res1["written"] == 16  # incl. empty markers
+    res2 = write_partitioned_parquet(ds, out, key="k", num_partitions=16)
+    assert res2 == {"written": 0, "skipped": 16, "rows_written": 0}
+    assert read_partitioned_parquet(out).count() == 4
+
+
+def test_environmental_failure_propagates_not_quarantined(ray_session, tmp_path):
+    """OSError outlasting max_attempts must FAIL the epoch (exactly-once
+    rerun), never dead-letter: a sick disk is not recorded data loss."""
+    import pytest
+
+    from nifi_processors_ray.config import EngineConfig
+    from nifi_processors_ray.pipelines.replay import CdcEngine
+    from nifi_processors_ray.synth import write_changelog_from_events
+
+    log = str(tmp_path / "log")
+    write_changelog_from_events("/root/testdata/sf0.001", log, files=2)
+
+    def always_os_error(t):
+        raise OSError("disk on fire")
+
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        EngineConfig(
+            lake_dir=lake, changelog_paths=(log,), num_partitions=1, salt_factor=1,
+            merge_policy=always_os_error, max_attempts=2,
+        )
+    )
+    with pytest.raises(Exception):
+        eng.replay()
+    # nothing committed, nothing quarantined — the epoch simply failed
+    man = eng.store.latest()
+    assert man is None or (man.epoch == 0 and not man.deadletter_files)
