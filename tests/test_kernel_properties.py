@@ -1,0 +1,233 @@
+"""Property tests for the vectorized per-block kernels against naive
+references (pandas/python loops).  These kernels replaced per-row /
+per-group Python in round 2; the properties pin their semantics across
+randomized inputs (derandomized for CI stability).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+SETTINGS = settings(max_examples=40, deadline=None, derandomize=True)
+
+
+# ---------------------------------------------------------------------------
+# as-of join kernel
+# ---------------------------------------------------------------------------
+
+@SETTINGS
+@given(seed=st.integers(0, 10_000), n_orders=st.integers(0, 60), n_events=st.integers(0, 80))
+def test_asof_batch_matches_naive(seed, n_orders, n_events):
+    from nifi_processors_ray.ops.relational import _asof_batch, build_asof_index
+
+    rng = np.random.default_rng(seed)
+    orders = pa.table(
+        {
+            "o_custkey": pa.array(rng.integers(0, 8, n_orders), pa.int64()),
+            "o_orderdate": pa.array(rng.integers(0, 50, n_orders), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "o_orderkey": pa.array(rng.permutation(n_orders).astype(np.int64)),
+        }
+    )
+    batch = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_events, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 10, n_events), pa.int64()),
+            "ts": pa.array(rng.integers(0, 60, n_events), pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    got = _asof_batch(batch, build_asof_index(orders)).to_pylist()
+
+    od = orders.to_pylist()
+    events = batch.to_pylist()
+    for row, ev in zip(got, events):
+        cands = [
+            (o["o_orderdate"], o["o_orderkey"])
+            for o in od
+            if o["o_custkey"] == ev["user_id"] and o["o_orderdate"] <= ev["ts"]
+        ]
+        expected = max(cands)[1] if cands else None
+        assert row["last_orderkey"] == expected
+
+
+# ---------------------------------------------------------------------------
+# shuffle-join block kernel
+# ---------------------------------------------------------------------------
+
+@SETTINGS
+@given(seed=st.integers(0, 10_000), n_orders=st.integers(0, 30), n_items=st.integers(0, 80))
+def test_join_block_partials_match_pandas(seed, n_orders, n_items):
+    from nifi_processors_ray.ops.joins import _join_block_partials
+
+    rng = np.random.default_rng(seed)
+    okeys = rng.choice(100, size=n_orders, replace=False).astype(np.int64)
+    prios = rng.choice(["HI", "MED", "LO"], size=n_orders)
+    ikeys = rng.choice(100, size=n_items).astype(np.int64)
+    cents = rng.integers(0, 1000, n_items).astype(np.int64)
+
+    block = pa.table(
+        {
+            "key": pa.array(np.concatenate([okeys, ikeys])),
+            "side": pa.array(
+                np.concatenate([np.zeros(n_orders, np.int8), np.ones(n_items, np.int8)])
+            ),
+            "priority": pa.array(list(prios) + [None] * n_items, pa.string()),
+            "cents": pa.array([None] * n_orders + list(cents), pa.int64()),
+        }
+    )
+    got = (
+        _join_block_partials(block)
+        .to_pandas()
+        .sort_values("priority")
+        .reset_index(drop=True)
+    )
+
+    odf = pd.DataFrame({"key": okeys, "priority": prios})
+    idf = pd.DataFrame({"key": ikeys, "cents": cents})
+    j = idf.merge(odf, on="key")
+    if len(j) == 0:
+        assert len(got) == 0
+        return
+    want = (
+        j.groupby("priority")
+        .agg(n_items=("cents", "size"), revenue_cents=("cents", "sum"))
+        .reset_index()
+        .sort_values("priority")
+        .reset_index(drop=True)
+    )
+    assert got["priority"].tolist() == want["priority"].tolist()
+    assert got["n_items"].tolist() == want["n_items"].tolist()
+    assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# top-N rank kernel
+# ---------------------------------------------------------------------------
+
+@SETTINGS
+@given(seed=st.integers(0, 10_000), n=st.integers(0, 100), n_top=st.integers(1, 5))
+def test_rank_block_matches_pandas(seed, n, n_top):
+    from nifi_processors_ray.ops.joins import _rank_block
+
+    rng = np.random.default_rng(seed)
+    block = pa.table(
+        {
+            "o_custkey": pa.array(rng.integers(0, 10, n), pa.int64()),
+            "o_orderkey": pa.array(rng.permutation(n).astype(np.int64)),
+            "price_cents": pa.array(rng.integers(0, 50, n), pa.int64()),
+        }
+    )
+    got = _rank_block(block, n_top=n_top).to_pandas()
+
+    df = block.to_pandas()
+    df["rn"] = (
+        df.sort_values(["price_cents", "o_orderkey"], ascending=[False, True])
+        .groupby("o_custkey")
+        .cumcount()
+        + 1
+    )
+    want = df[df["rn"] <= n_top].sort_values(["o_custkey", "rn"]).reset_index(drop=True)
+    got = got.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
+    assert got.equals(want[got.columns.tolist()])
+
+
+# ---------------------------------------------------------------------------
+# window finalize kernel (incl. null values)
+# ---------------------------------------------------------------------------
+
+@SETTINGS
+@given(seed=st.integers(0, 10_000), n=st.integers(0, 120))
+def test_window_pipeline_matches_pandas(seed, n):
+    from nifi_processors_ray.ops.events import (
+        _add_window_and_cents,
+        _window_finalize,
+        _window_partials,
+    )
+
+    rng = np.random.default_rng(seed)
+    vals = rng.uniform(0, 100, n)
+    nulls = rng.random(n) < 0.15
+    batch = pa.table(
+        {
+            "ts": pa.array(rng.integers(0, 4 * 3_600_000_000, n).astype(np.int64)).cast(
+                pa.timestamp("us")
+            ),
+            "event_type": pa.array(rng.choice(["a", "b"], n)),
+            "value": pa.array([None if m else float(v) for v, m in zip(vals, nulls)], pa.float64()),
+            "user_id": pa.array(rng.integers(0, 6, n), pa.int64()),
+        }
+    )
+    # split into 2 partial batches (simulating separate map tasks), then merge
+    t = _add_window_and_cents(batch)
+    p1, p2 = _window_partials(t.slice(0, n // 2)), _window_partials(t.slice(n // 2))
+    merged = pa.concat_tables([p1, p2]).sort_by(
+        [("window_hour", "ascending"), ("event_type", "ascending")]
+    )
+    got = _window_finalize(merged).to_pandas().reset_index(drop=True)
+
+    df = t.to_pandas()
+    if len(df) == 0:
+        assert len(got) == 0
+        return
+    want = (
+        df.groupby(["window_hour", "event_type"])
+        .agg(
+            n_events=("user_id", "size"),
+            value_cents=("value_cents", lambda s: int(s.dropna().sum())),
+            n_users=("user_id", "nunique"),
+        )
+        .reset_index()
+        .sort_values(["window_hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["window_hour", "event_type"]).reset_index(drop=True)
+    for c in ("window_hour", "n_events", "value_cents", "n_users"):
+        assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist(), c
+
+
+# ---------------------------------------------------------------------------
+# grouped quantiles vs DuckDB
+# ---------------------------------------------------------------------------
+
+@SETTINGS
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 120))
+def test_quantile_pipeline_matches_duckdb(seed, n):
+    import duckdb
+
+    from nifi_processors_ray.ops.events import _quantile_finalize, _quantile_partials
+
+    rng = np.random.default_rng(seed)
+    vals = rng.uniform(0, 20, n)
+    nulls = rng.random(n) < 0.1
+    batch = pa.table(
+        {
+            "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+            "value": pa.array([None if m else float(v) for v, m in zip(vals, nulls)], pa.float64()),
+        }
+    )
+    p1, p2 = _quantile_partials(batch.slice(0, n // 2)), _quantile_partials(batch.slice(n // 2))
+    merged = pa.concat_tables([p1, p2]).sort_by([("event_type", "ascending")])
+    got = _quantile_finalize(merged).to_pandas().sort_values("event_type").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("events", batch)
+    want = con.sql(
+        """
+        SELECT event_type,
+               quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.5) AS p50_cents,
+               quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.95) AS p95_cents,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+        """
+    ).df()
+    con.close()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    for c in ("p50_cents", "p95_cents"):
+        a = [None if pd.isna(x) else int(x) for x in got[c]]
+        b = [None if pd.isna(x) else int(x) for x in want[c]]
+        assert a == b, c
