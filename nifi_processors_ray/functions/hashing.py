@@ -44,13 +44,21 @@ def hash_ints_u64(values: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray
     for the salt component (``turn_idx``) of the partitioner.
     """
     if isinstance(values, (pa.ChunkedArray, pa.Array)):
+        # fill nulls ARROW-side: letting a nullable int column surface as
+        # float64 would both make NaN→uint64 platform-undefined AND round
+        # every key ≥ 2^53 (so the same key could hash differently
+        # depending on whether its batch happened to contain a null)
+        if values.null_count:
+            import pyarrow.compute as pc
+
+            values = pc.fill_null(values, 0)
         x = values.to_numpy(zero_copy_only=False)
     else:
         x = values
     if x.dtype.kind == "f":
-        # a nullable int column surfaces as float64 with NaN; NaN→uint64
-        # is undefined per C semantics (platform-dependent), so pin nulls
-        # to 0 deterministically before the cast
+        # numpy-float caller fallback (e.g. the partitioner's already-
+        # converted turn_idx): NaN pins to 0; int32-range values only,
+        # so no 2^53 concern on this path
         x = np.nan_to_num(x)
     z = x.astype(np.uint64, copy=True)
     z += np.uint64(0x9E3779B97F4A7C15)

@@ -157,14 +157,15 @@ def _window_finalize(block: pa.Table) -> pa.Table:
     )
     if n == 0:
         return empty
-    import pyarrow.compute as pc
-
     wh = np.asarray(block.column("window_hour"))
     et = np.asarray(block.column("event_type").combine_chunks().dictionary_encode().indices)
     uid = np.asarray(block.column("user_id"))
-    # a triple whose values were ALL null sums to null — treat as 0
-    # (matches SQL unless an entire (window, type) group is all-null)
-    cents = np.asarray(pc.fill_null(block.column("value_cents"), 0).combine_chunks())
+    # float view: a triple whose values were ALL null has a null partial
+    # sum → NaN here.  Per-run sums skip NaN (SQL SUM skips nulls) and a
+    # run with NO non-null partial emits NULL, exactly like SUM over an
+    # all-null group.  Exact while per-value magnitude < 2^53 (cents of a
+    # bounded metric — the int64 reduceat below does the actual summing).
+    cents_f = np.asarray(block.column("value_cents"), dtype=np.float64)
     cnt = np.asarray(block.column("n_events"))
 
     # rows arrive sorted by (window_hour, event_type) — runs are contiguous
@@ -174,9 +175,14 @@ def _window_finalize(block: pa.Table) -> pa.Table:
     ends = np.concatenate([starts[1:], [n]])
 
     cs_cnt = np.concatenate([[0], np.cumsum(cnt, dtype=np.int64)])
-    cs_cents = np.concatenate([[0], np.cumsum(cents, dtype=np.int64)])
     n_events = cs_cnt[ends] - cs_cnt[starts]
-    value_cents = cs_cents[ends] - cs_cents[starts]
+    valid = ~np.isnan(cents_f)
+    cents_i = np.where(valid, np.nan_to_num(cents_f), 0).astype(np.int64)
+    value_sums = np.add.reduceat(cents_i, starts)
+    any_valid = np.add.reduceat(valid.astype(np.int64), starts) > 0
+    value_cents = pa.array(
+        [int(v) if ok else None for v, ok in zip(value_sums, any_valid)], pa.int64()
+    )
 
     # exact COUNT(DISTINCT user): order (run, user), count change points
     order = np.lexsort((uid, run_id))
@@ -189,7 +195,7 @@ def _window_finalize(block: pa.Table) -> pa.Table:
             "window_hour": pa.array(wh[starts]),
             "event_type": block.column("event_type").take(pa.array(starts)),
             "n_events": pa.array(n_events),
-            "value_cents": pa.array(value_cents),
+            "value_cents": value_cents,
             "n_users": pa.array(n_users.astype(np.int64)),
         }
     )

@@ -112,18 +112,7 @@ class MediaFeatureExtractor:
         # one flat uint8 view + per-payload offsets, big-endian fields
         # assembled with fancy indexing — no per-payload Python on the
         # feature path.
-        # BinaryArray exposes no .offsets accessor — read the raw offsets
-        # buffer (int32 for binary, honoring any slice offset).
-        offsets_buf = np.frombuffer(media.buffers()[1], dtype=np.int32)
-        off = offsets_buf[media.offset : media.offset + n].astype(np.int64)
-        buf = np.frombuffer(media.buffers()[2], dtype=np.uint8)
-        if n and ((n_bytes < HEADER_LEN).any() or not (
-            (buf[off[:, None] + np.arange(4)] == np.frombuffer(MEDIA_MAGIC, np.uint8)).all()
-        )):
-            raise NotImplementedError(
-                "non-NPRM payload: real media decode requires a codec library "
-                "not present in this environment"
-            )
+        off, buf = _validated_header_offsets(media)
         # gather ONLY the header bytes before widening: widening the whole
         # payload buffer to int64 would transiently allocate 8× the batch's
         # media bytes — fatal at real payload sizes
@@ -143,6 +132,38 @@ class MediaFeatureExtractor:
                 [hashlib.sha1(p).hexdigest()[:16] for p in media.to_pylist()], pa.string()
             )
         return pa.table(cols)
+
+
+def _validated_header_offsets(media: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Per-payload start offsets (int64) + flat uint8 view, VALIDATED:
+    every payload is ≥ HEADER_LEN bytes and starts with the NPRM magic
+    (raises NotImplementedError otherwise — a short/foreign payload
+    would otherwise silently read the NEXT payload's bytes).  Handles
+    both binary (int32 offsets) and large_binary (int64 offsets); the
+    raw buffer read honors any slice offset (BinaryArray exposes no
+    .offsets accessor).
+    """
+    if pa.types.is_large_binary(media.type):
+        odt = np.int64
+    elif pa.types.is_binary(media.type):
+        odt = np.int32
+    else:
+        raise TypeError(f"media column must be binary/large_binary, got {media.type}")
+    n = len(media)
+    offsets = np.frombuffer(media.buffers()[1], dtype=odt)[
+        media.offset : media.offset + n + 1
+    ].astype(np.int64)
+    buf = np.frombuffer(media.buffers()[2], dtype=np.uint8)
+    off = offsets[:-1]
+    if n and (
+        (np.diff(offsets) < HEADER_LEN).any()
+        or not (buf[off[:, None] + np.arange(4)] == np.frombuffer(MEDIA_MAGIC, np.uint8)).all()
+    ):
+        raise NotImplementedError(
+            "non-NPRM payload: real media decode requires a codec library "
+            "not present in this environment"
+        )
+    return off, buf
 
 
 FRAME_STRIDE = 4
@@ -171,10 +192,9 @@ def _sample_frames(batch: pa.Table, stride: int) -> pa.Table:
     media = batch.column("media").combine_chunks()
     # header decode straight off the Arrow buffers (as_py() would copy the
     # WHOLE payload per row just to slice 9 bytes — O(total media bytes)
-    # of Python-object churn on the path documented for big payloads)
-    offsets_buf = np.frombuffer(media.buffers()[1], dtype=np.int32)
-    off = offsets_buf[media.offset : media.offset + len(media)].astype(np.int64)
-    buf = np.frombuffer(media.buffers()[2], dtype=np.uint8)
+    # of Python-object churn on the path documented for big payloads);
+    # offsets are validated (length + magic) like the feature extractor's
+    off, buf = _validated_header_offsets(media)
     n_frames = buf[off + (HEADER_LEN - 1)].astype(np.int64) if len(media) else np.zeros(0, np.int64)
     n_out = (n_frames + stride - 1) // stride
     doc_rep = np.repeat(np.asarray(batch.column("doc_id")), n_out)

@@ -41,14 +41,10 @@ def _assign_partition(batch: pa.Table, key: str, num_partitions: int) -> pa.Tabl
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         h = hash_strings_u64(col)
     else:
-        # Null ints surface as NaN in the numpy view; NaN→int64 is a
-        # C-undefined cast (platform/numpy-version dependent), which would
-        # break the pure-function-of-the-key resume contract — pin nulls
-        # to 0 BEFORE the cast (same convention as stages/partition.py).
-        arr = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        if arr.dtype.kind == "f":
-            arr = np.nan_to_num(arr)
-        h = hash_ints_u64(arr.astype(np.int64))
+        # hash_ints_u64 fills nulls arrow-side (int64-preserving) so the
+        # partition stays a pure function of the key even with nulls in
+        # the batch and keys ≥ 2^53 — the resume contract depends on it
+        h = hash_ints_u64(col.cast(pa.int64()).combine_chunks())
     part = (h % np.uint64(num_partitions)).astype(np.int32)
     return batch.append_column(_PART_COL, pa.array(part))
 
@@ -140,16 +136,37 @@ def write_partitioned_parquet(
 
 
 def read_partitioned_parquet(out_dir: str) -> ray.data.Dataset:
-    """Read back a completed export (only partitions with ``_DONE``)."""
+    """Read back a completed export (only partitions with ``_DONE``).
+
+    The marker records the committed row count, so a marker whose data
+    file is MISSING distinguishes two cases: count 0 is a committed
+    empty partition (markers only, no file — skipped), while a nonzero
+    count means the data file was lost after commit — that raises loud
+    instead of silently returning a dataset missing those rows.
+    """
     paths = []
+    n_markers = 0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
+        marker = os.path.join(d, "_DONE")
+        if not (name.startswith("part=") and os.path.exists(marker)):
+            continue
+        n_markers += 1
         data = os.path.join(d, "data.parquet")
-        # a _DONE marker without a data file is a committed EMPTY partition
-        if name.startswith("part=") and os.path.exists(os.path.join(d, "_DONE")) and os.path.exists(data):
+        if os.path.exists(data):
             paths.append(data)
-    if not paths:
+            continue
+        with open(marker) as f:
+            committed_rows = int(f.read().strip() or 0)
+        if committed_rows:
+            raise FileNotFoundError(
+                f"{data} is missing but its _DONE marker committed "
+                f"{committed_rows} rows — the export is damaged, not empty"
+            )
+    if not n_markers:
         raise FileNotFoundError(f"no completed partitions under {out_dir}")
+    if not paths:  # a committed export of a genuinely empty dataset
+        return ray.data.from_items([])
     # columns pinned to the file schema so the part=NNNNN path segment is
     # not hive-inferred as an extra column
     cols = [f.name for f in pq.read_schema(paths[0])]

@@ -368,7 +368,15 @@ class MergeApplier:
                 #   retry in-task with exponential backoff; if they outlast
                 #   every attempt they PROPAGATE and fail the epoch — the
                 #   2PC manifest makes the rerun exactly-once, so a sick
-                #   environment can never become recorded data loss.
+                #   environment can never become recorded data loss.  But
+                #   a DETERMINISTIC OSError (typo'd path in an injected
+                #   policy, truncated prior file raising ArrowIOError)
+                #   would wedge the stream forever: the durable counter
+                #   keeps growing across epoch reruns, so once attempts
+                #   exceed 3× max_attempts (≥ 2 full rerun cycles of pure
+                #   failure) the fault is treated as deterministic and
+                #   quarantined like any other poison — loud in lineage,
+                #   raw rows preserved, stream advances.
                 # - Anything else (merge-kernel or injected-policy bugs)
                 #   retries the same way, then dead-letters on the final
                 #   attempt: a real bug fails K recorded times before
@@ -384,7 +392,7 @@ class MergeApplier:
                     time.sleep(min(2.0, 0.05 * (2 ** (attempt - 1))))
                     attempt += 1
                     continue
-                if environmental:
+                if environmental and attempt < 3 * self.max_attempts:
                     raise
                 error = f"{type(ex).__name__}: {ex}"[:500]
                 rel = f"deadletter/epoch={self.epoch}/part-{part:05d}.parquet"

@@ -177,7 +177,11 @@ def test_window_pipeline_matches_pandas(seed, n):
         df.groupby(["window_hour", "event_type"])
         .agg(
             n_events=("user_id", "size"),
-            value_cents=("value_cents", lambda s: int(s.dropna().sum())),
+            # SQL SUM over an all-null group is NULL, else skips nulls
+            value_cents=(
+                "value_cents",
+                lambda s: None if s.dropna().empty else int(s.dropna().sum()),
+            ),
             n_users=("user_id", "nunique"),
         )
         .reset_index()
@@ -185,8 +189,11 @@ def test_window_pipeline_matches_pandas(seed, n):
         .reset_index(drop=True)
     )
     got = got.sort_values(["window_hour", "event_type"]).reset_index(drop=True)
-    for c in ("window_hour", "n_events", "value_cents", "n_users"):
+    for c in ("window_hour", "n_events", "n_users"):
         assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist(), c
+    a = [None if pd.isna(x) else int(x) for x in got["value_cents"]]
+    b = [None if pd.isna(x) else int(x) for x in want["value_cents"]]
+    assert a == b
 
 
 # ---------------------------------------------------------------------------

@@ -141,9 +141,11 @@ def test_sink_all_done_fast_path_with_empty_partitions(ray_session, tmp_path):
     assert read_partitioned_parquet(out).count() == 4
 
 
-def test_environmental_failure_propagates_not_quarantined(ray_session, tmp_path):
-    """OSError outlasting max_attempts must FAIL the epoch (exactly-once
-    rerun), never dead-letter: a sick disk is not recorded data loss."""
+def test_environmental_failure_propagates_then_escalates(ray_session, tmp_path):
+    """OSError outlasting max_attempts FAILS the epoch (exactly-once rerun,
+    no silent loss); only after attempts exceed 3×max_attempts — i.e. the
+    fault survived multiple full reruns, so it is deterministic — does it
+    quarantine like poison, with the stream advancing and rows preserved."""
     import pytest
 
     from nifi_processors_ray.config import EngineConfig
@@ -168,3 +170,18 @@ def test_environmental_failure_propagates_not_quarantined(ray_session, tmp_path)
     # nothing committed, nothing quarantined — the epoch simply failed
     man = eng.store.latest()
     assert man is None or (man.epoch == 0 and not man.deadletter_files)
+
+    # keep rerunning: the durable attempt counter crosses 3×max_attempts
+    # and the fault escalates to quarantine instead of wedging forever
+    for _ in range(8):
+        try:
+            eng.replay()
+            break
+        except Exception:
+            continue
+    man = eng.store.latest()
+    assert man is not None and man.deadletter_files
+    assert eng.deadletter().count() > 0
+    assert eng.replay() == []  # stream advanced, not stuck
+    lin = eng.lineage().to_pandas()
+    assert lin["attempt"].max() >= 6  # every attempt recorded
