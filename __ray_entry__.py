@@ -170,6 +170,15 @@ def _q_cdc_lineage_totals(sf_dir: str):
     )
 
 
+def _q_cdc_conversations(sf_dir: str):
+    """Whole conversations in turn order, folded from the converged lake —
+    the reader-facing payoff of the transcript CDC pipeline."""
+    from nifi_processors_ray.pipelines.conversations import reconstruct
+
+    eng = _replayed_engine(sf_dir)
+    return reconstruct(eng.final_state()).sort("conv_id")
+
+
 def _q_approx_users(sf_dir: str):
     """HyperLogLog distinct users — a mergeable sketch, not SQL-hashable
     (estimate ≠ exact once register collisions start), so rows-only;
@@ -191,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rejected": _q_cdc_rejected,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         "cdc_lineage_totals": _q_cdc_lineage_totals,
+        "cdc_conversations": _q_cdc_conversations,
         # text analysis (documents table)
         "text_stats": _text.text_stats,
         "lang_id": _text.lang_id,
@@ -272,6 +282,22 @@ SELECT seq, op, conv_id, turn_idx, role, text, tool, ts, batch_id,
 FROM _ch
 WHERE NOT ({VALID_PREDICATE_SQL})
 ORDER BY seq
+""",
+        # Whole-conversation reconstruction off the converged LWW state
+        "cdc_conversations": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+)
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       string_agg(coalesce(role, ''), chr(31) ORDER BY turn_idx) AS roles,
+       string_agg(coalesce(text, ''), chr(31) ORDER BY turn_idx) AS transcript
+FROM latest WHERE rn = 1 AND op <> 'D'
+GROUP BY conv_id
+ORDER BY conv_id
 """,
         # Conservation law: applied + rejected partitions the stream —
         # the SQL twin counts valid/invalid rows straight off the CTE.

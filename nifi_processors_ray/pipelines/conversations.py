@@ -1,0 +1,76 @@
+"""Conversation reconstruction — the consumer-facing payoff of the
+transcript lake.
+
+The whole point of replaying the change stream into a converged lake
+(``consumer/GetKinesisStream.java`` per-shard ordered delivery →
+``pipelines/replay.py`` LWW lake) is that a reader can ask for WHOLE
+conversations in turn order.  This operator folds the lake's
+``(conv_id, turn_idx)`` rows into one row per conversation:
+
+    conv_id, n_turns, roles (unit-separated), transcript (unit-separated)
+
+Shape: ONE sort exchange on the group key (``conv_id`` alone — Ray
+sort co-location covers full-tuple runs only), then a block-local
+vectorized fold: per-run ordering via ``Table.sort_by``, per-run string
+concatenation via ``pc.binary_join`` over a ListArray built straight
+from the run offsets — no per-conversation Python strings.
+
+The separator is ASCII unit separator (0x1F), which the synthetic text
+corpus can never contain (printable ASCII words), making the fold
+reversible and the SQL twin (``string_agg(..., chr(31) ORDER BY
+turn_idx)``) exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.debug import checked_sort
+
+SEP = "\x1f"
+
+
+def fold_conversations_block(block: pa.Table) -> pa.Table:
+    """One co-located block of transcript rows → one row per conv_id."""
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_turns": pa.array([], pa.int64()),
+            "roles": pa.array([], pa.string()),
+            "transcript": pa.array([], pa.string()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    b = block.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    conv = b.column("conv_id").combine_chunks()
+    codes = np.asarray(conv.dictionary_encode().indices)
+    new_run = np.concatenate([[True], codes[1:] != codes[:-1]])
+    starts = np.nonzero(new_run)[0]
+    offsets = pa.array(np.concatenate([starts, [n]]).astype(np.int32))
+
+    def join(col_name: str) -> pa.Array:
+        vals = pc.fill_null(b.column(col_name).combine_chunks(), "")
+        return pc.binary_join(pa.ListArray.from_arrays(offsets, vals), SEP)
+
+    return pa.table(
+        {
+            "conv_id": conv.take(pa.array(starts)),
+            "n_turns": pa.array(np.diff(np.concatenate([starts, [n]])).astype(np.int64)),
+            "roles": join("role"),
+            "transcript": join("text"),
+        }
+    )
+
+
+def reconstruct(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Fold a transcript-shaped Dataset (conv_id, turn_idx, role, text,
+    ...) into one ordered row per conversation."""
+    ds = transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
+    return checked_sort(ds, "conv_id").map_batches(
+        fold_conversations_block, batch_format="pyarrow", batch_size=None
+    )

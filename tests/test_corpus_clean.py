@@ -40,3 +40,50 @@ def test_quality_filter_hand_cases():
     out = C._quality_filter(batch).to_pylist()
     assert [r["doc_id"] for r in out] == [0]
     assert out[0]["n_tokens"] == 25
+
+
+# ---------------------------------------------------------------------------
+# conversation reconstruction (pipelines/conversations.py)
+# ---------------------------------------------------------------------------
+
+def test_fold_conversations_block_orders_and_joins():
+    import pyarrow as pa
+
+    from nifi_processors_ray.pipelines.conversations import SEP, fold_conversations_block
+
+    block = pa.table(
+        {
+            "conv_id": pa.array(["b", "a", "a", "b"]),
+            "turn_idx": pa.array([1, 1, 0, 0], pa.int32()),
+            "role": pa.array(["assistant", "assistant", "user", None]),
+            "text": pa.array(["B1", "A1", "A0", "B0"]),
+        }
+    )
+    out = {r["conv_id"]: r for r in fold_conversations_block(block).to_pylist()}
+    assert out["a"]["transcript"] == f"A0{SEP}A1"
+    assert out["a"]["roles"] == f"user{SEP}assistant"
+    assert out["a"]["n_turns"] == 2
+    assert out["b"]["transcript"] == f"B0{SEP}B1"
+    assert out["b"]["roles"] == f"{SEP}assistant"  # null role folds as ''
+    assert fold_conversations_block(block.slice(0, 0)).num_rows == 0
+
+
+def test_reconstruct_roundtrip_on_lake(ray_session, tmp_path):
+    """Reconstructed transcripts split back into exactly the lake's rows."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from nifi_processors_ray.pipelines.conversations import SEP, reconstruct
+
+    docs = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * 3 + ["c2"] * 2),
+            "turn_idx": pa.array([0, 1, 2, 0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant", "user", "user", "assistant"]),
+            "text": pa.array(["u0", "a1", "u2", "x0", "y1"]),
+        }
+    )
+    out = reconstruct(ray.data.from_arrow(docs)).to_pandas().set_index("conv_id")
+    assert out.loc["c1", "transcript"].split(SEP) == ["u0", "a1", "u2"]
+    assert out.loc["c2", "transcript"].split(SEP) == ["x0", "y1"]
+    assert int(out["n_turns"].sum()) == docs.num_rows
