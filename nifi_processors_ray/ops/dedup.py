@@ -72,18 +72,17 @@ def _first_per_text(block: pa.Table) -> pa.Table:
     return g.drop_columns(["__h"])
 
 
-def exact_dedup(sf_dir: str) -> ray.data.Dataset:
+def exact_dedup(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     """First document per exact text — hash co-location + block-local first.
 
     The shuffle key is the 64-bit text hash (tiny sort payload vs
     sorting full text).
     """
     ds = read_parquet_clean(f"{sf_dir.rstrip('/')}/documents.parquet")
-    return (
-        checked_sort(ds.map_batches(_add_text_hash, batch_format="pyarrow"), "__h")
-        .map_batches(_first_per_text, batch_format="pyarrow", batch_size=None)
-        .sort("doc_id")
-    )
+    out = checked_sort(
+        ds.map_batches(_add_text_hash, batch_format="pyarrow"), "__h"
+    ).map_batches(_first_per_text, batch_format="pyarrow", batch_size=None)
+    return out.sort("doc_id") if sort else out
 
 
 # ---------------------------------------------------------------------------

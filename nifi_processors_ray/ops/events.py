@@ -283,7 +283,7 @@ def topk_users(sf_dir: str) -> ray.data.Dataset:
     return agg.sort(["value_cents", "user_id"], descending=[True, False]).limit(10)
 
 
-def sample_events(sf_dir: str) -> ray.data.Dataset:
+def sample_events(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     """Deterministic ~10% sample by Knuth multiplicative hash of event_id.
 
     Filter pushed into ``map_batches`` right at the read — sampled-out
@@ -296,7 +296,8 @@ def sample_events(sf_dir: str) -> ray.data.Dataset:
         keep = (eid * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(100) < 10
         return b.filter(pa.array(keep))
 
-    return ds.map_batches(pick, batch_format="pyarrow").sort("event_id")
+    out = ds.map_batches(pick, batch_format="pyarrow")
+    return out.sort("event_id") if sort else out
 
 
 # DuckDB quantile_disc(x, q) = the element at 1-based rank ceil(q*n),

@@ -209,7 +209,7 @@ def _sample_frames(batch: pa.Table, stride: int) -> pa.Table:
     )
 
 
-def media_frame_sample(sf_dir: str, *, stride: int = FRAME_STRIDE, batch_size: int = 256) -> ray.data.Dataset:
+def media_frame_sample(sf_dir: str, *, stride: int = FRAME_STRIDE, batch_size: int = 256, sort: bool = True) -> ray.data.Dataset:
     """Every ``stride``-th frame of each media payload — the frame-sample
     plumbing stage of a video pipeline (decode stubbed; explode real)."""
     ds = read_parquet_clean(
@@ -219,7 +219,7 @@ def media_frame_sample(sf_dir: str, *, stride: int = FRAME_STRIDE, batch_size: i
     ds = ds.map_batches(
         _sample_frames, batch_format="pyarrow", batch_size=batch_size, fn_kwargs={"stride": stride}
     )
-    return ds.sort(["doc_id", "frame_idx"])
+    return ds.sort(["doc_id", "frame_idx"]) if sort else ds
 
 
 def media_features(

@@ -55,7 +55,7 @@ def _lookup_batch(batch: pa.Table, dim_ref, key: str, cols: list[str]) -> pa.Tab
     return out
 
 
-def events_user_enrich(sf_dir: str) -> ray.data.Dataset:
+def events_user_enrich(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     """events LEFT JOIN customer on user_id — broadcast hash lookup.
 
     The dimension ships through the object store once; the fact table
@@ -72,11 +72,12 @@ def events_user_enrich(sf_dir: str) -> ray.data.Dataset:
     ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/events.parquet", columns=["event_id", "user_id"]
     )
-    return ds.map_batches(
+    out = ds.map_batches(
         _lookup_batch,
         batch_format="pyarrow",
         fn_kwargs={"dim_ref": dim_ref, "key": "user_id", "cols": ["c_name", "c_mktsegment"]},
-    ).sort("event_id")
+    )
+    return out.sort("event_id") if sort else out
 
 
 EVENTS_ASOF_ORDER_SQL = """
@@ -161,7 +162,7 @@ def _asof_batch(batch: pa.Table, index_ref) -> pa.Table:
     )
 
 
-def events_asof_order(sf_dir: str) -> ray.data.Dataset:
+def events_asof_order(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     """As-of join: each event → the user's latest order at event time.
 
     Ray Data has no native as-of join; this composes one from a
@@ -181,9 +182,10 @@ def events_asof_order(sf_dir: str) -> ray.data.Dataset:
     ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-    return ds.map_batches(
+    out = ds.map_batches(
         _asof_batch, batch_format="pyarrow", fn_kwargs={"index_ref": index_ref}
-    ).sort("event_id")
+    )
+    return out.sort("event_id") if sort else out
 
 
 def _pricing_cents(batch: pa.Table) -> pa.Table:

@@ -230,11 +230,12 @@ def token_counts_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def token_counts(sf_dir: str) -> ray.data.Dataset:
+def token_counts(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     """Whitespace + BPE-ish-regex token counts per document — the token
     budgeting primitive for training-data pipelines, fully vectorized
     (the regex runs compiled inside Arrow's RE2 kernel)."""
     ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
     )
-    return ds.map_batches(token_counts_batch, batch_format="pyarrow").sort("doc_id")
+    out = ds.map_batches(token_counts_batch, batch_format="pyarrow")
+    return out.sort("doc_id") if sort else out
