@@ -217,6 +217,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": lambda sf: _dedup.embedding_dup_pairs(
             _dedup.augmented_embeddings(sf)
         ),
+        "jaccard_dup_pairs": lambda sf: _dedup.jaccard_dup_pairs(
+            _dedup.augmented_documents(sf)
+        ),
         # similarity search (embeddings table)
         "knn_brute": _sim.knn_brute,
         "knn_ivf": _sim.knn_ivf,

@@ -514,6 +514,64 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / union if union else 1.0
 
 
+def _verify_pairs_batch(batch: pa.Table, texts_ref, threshold: float, k: int) -> pa.Table:
+    """Exact-Jaccard verification of candidate pairs (broadcast text map)."""
+    texts = ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
+    a = batch.column("doc_a").to_pylist()
+    b = batch.column("doc_b").to_pylist()
+    jac = [exact_jaccard(texts.get(x, ""), texts.get(y, ""), k) for x, y in zip(a, b)]
+    out = pa.table(
+        {
+            "doc_a": batch.column("doc_a"),
+            "doc_b": batch.column("doc_b"),
+            "jaccard": pa.array(jac, pa.float64()),
+        }
+    )
+    return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+
+def jaccard_dup_pairs(
+    docs: ray.data.Dataset, *, threshold: float = 0.5, k: int = 3, **minhash_kw
+) -> ray.data.Dataset:
+    """EXACT n-gram (k-token-shingle) Jaccard near-dup pairs — the classic
+    candidate-then-verify pipeline: MinHash+LSH proposes candidates (the
+    only all-to-all; recall governed by the band S-curve), then each
+    candidate pair is verified with the exact shingle Jaccard and kept
+    iff ``jaccard ≥ threshold`` — no estimate error in the OUTPUT, while
+    the corpus-sized work stays signature-only.
+
+    Documented scale assumption: the candidate PAIR set (not the corpus)
+    and the candidate documents' texts fit the object store — true by
+    LSH construction (candidates ≈ near-dups, a small fraction).  The
+    per-pair verify is inherently per-pair work; it runs distributed in
+    ``map_batches`` over the tiny pair set with the texts broadcast once.
+    """
+    cands = minhash_dup_pairs(docs, threshold=threshold, **minhash_kw)
+    pair_tbl = pa.Table.from_pylist(
+        cands.select_columns(["doc_a", "doc_b"]).take_all(),
+        schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
+    ids = set(pair_tbl.column("doc_a").to_pylist()) | set(pair_tbl.column("doc_b").to_pylist())
+    if not ids:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+            ).empty_table()
+        )
+
+    def collect_texts(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("doc_id"), value_set=pa.array(sorted(ids), pa.int64()))
+        return batch.filter(keep).select(["doc_id", "text"])
+
+    hits = docs.map_batches(collect_texts, batch_format="pyarrow").take_all()
+    texts_ref = ray.put({r["doc_id"]: (r["text"] or "") for r in hits})
+    return ray.data.from_arrow(pair_tbl).map_batches(
+        _verify_pairs_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"texts_ref": texts_ref, "threshold": threshold, "k": k},
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (random-hyperplane LSH + in-bucket verify)
 # ---------------------------------------------------------------------------

@@ -120,3 +120,28 @@ def test_bucket_cap_bounds_quadratic_blowup():
     pairs = D.minhash_dup_pairs(_docs(texts), threshold=0.9).to_pandas()
     assert len(pairs) <= D.MAX_BUCKET * (D.MAX_BUCKET - 1) // 2
     assert len(pairs) > 0
+
+
+def test_jaccard_dup_pairs_exact_verification():
+    """Candidate-then-verify: every output pair's jaccard is the EXACT
+    shingle jaccard and clears the threshold; planted near-copies found."""
+    import ray.data
+
+    from nifi_processors_ray.ops.dedup import (
+        AUG_ID_OFFSET,
+        augmented_documents,
+        exact_jaccard,
+        jaccard_dup_pairs,
+    )
+
+    docs = augmented_documents(SF_DIR)
+    texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
+    pairs = jaccard_dup_pairs(docs, threshold=0.5).to_pandas()
+    assert len(pairs) > 0
+    for _, p in pairs.iterrows():
+        j = exact_jaccard(texts[p["doc_a"]], texts[p["doc_b"]])
+        assert abs(j - p["jaccard"]) < 1e-12  # exact, not estimated
+        assert j >= 0.5
+    # the planted near-copies (doc, doc+OFFSET) are recovered
+    planted = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"]) if b == a + AUG_ID_OFFSET}
+    assert len(planted) >= 0.8 * sum(1 for d in texts if d >= AUG_ID_OFFSET)
