@@ -1,7 +1,9 @@
 """Debug-flag runtime invariant checks.
 
-Five operators (exact dedup, the three LSH pair generators, sessionize,
-the window finalize) rely on Ray sort CO-LOCATING equal keys: a sorted
+The blockwise group operators (exact dedup, the LSH pair generators,
+sessionize, the window/quantile finalizes, the shuffle join, top-N per
+group, and the conversation fold) rely on Ray sort CO-LOCATING equal
+keys: a sorted
 run of one key value is never split across output blocks.  That holds
 empirically and is pinned by ``tests/test_sort_colocation.py`` — but a
 Ray upgrade could break it silently, and the ops would then return

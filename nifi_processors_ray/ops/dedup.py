@@ -359,6 +359,7 @@ def minhash_dup_pairs(
     num_perms: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    shingle_k: int = 3,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -367,7 +368,9 @@ def minhash_dup_pairs(
     """
     rows = num_perms // bands
     sigs = docs.map_batches(
-        minhash_signatures, batch_format="pyarrow", fn_kwargs={"num_perms": num_perms}
+        minhash_signatures,
+        batch_format="pyarrow",
+        fn_kwargs={"num_perms": num_perms, "shingle_k": shingle_k},
     )
     exploded = sigs.map_batches(
         _explode_bands,
@@ -546,7 +549,15 @@ def jaccard_dup_pairs(
     per-pair verify is inherently per-pair work; it runs distributed in
     ``map_batches`` over the tiny pair set with the texts broadcast once.
     """
-    cands = minhash_dup_pairs(docs, threshold=threshold, **minhash_kw)
+    # Candidate generation runs at a LOWERED estimate threshold (-3σ of
+    # the 64-perm estimator, σ = sqrt(t(1-t)/num_perms) ≈ 0.0625) so true
+    # pairs sitting just above `threshold` are not discarded by estimate
+    # noise before the exact verify can rule on them — only the exact
+    # Jaccard applies the real threshold.  shingle_k flows through so the
+    # candidate S-curve is calibrated to the SAME similarity being
+    # verified.
+    cand_threshold = max(0.0, threshold - 0.19)
+    cands = minhash_dup_pairs(docs, threshold=cand_threshold, shingle_k=k, **minhash_kw)
     pair_tbl = pa.Table.from_pylist(
         cands.select_columns(["doc_a", "doc_b"]).take_all(),
         schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
@@ -559,11 +570,15 @@ def jaccard_dup_pairs(
             ).empty_table()
         )
 
-    def collect_texts(batch: pa.Table) -> pa.Table:
-        keep = pc.is_in(batch.column("doc_id"), value_set=pa.array(sorted(ids), pa.int64()))
+    id_set = pa.array(sorted(ids), pa.int64())  # built ONCE, shipped via fn_kwargs
+
+    def collect_texts(batch: pa.Table, value_set) -> pa.Table:
+        keep = pc.is_in(batch.column("doc_id"), value_set=value_set)
         return batch.filter(keep).select(["doc_id", "text"])
 
-    hits = docs.map_batches(collect_texts, batch_format="pyarrow").take_all()
+    hits = docs.map_batches(
+        collect_texts, batch_format="pyarrow", fn_kwargs={"value_set": id_set}
+    ).take_all()
     texts_ref = ray.put({r["doc_id"]: (r["text"] or "") for r in hits})
     return ray.data.from_arrow(pair_tbl).map_batches(
         _verify_pairs_batch,

@@ -68,10 +68,8 @@ def test_fold_conversations_block_orders_and_joins():
     assert fold_conversations_block(block.slice(0, 0)).num_rows == 0
 
 
-def test_reconstruct_roundtrip_on_lake(ray_session, tmp_path):
-    """Reconstructed transcripts split back into exactly the lake's rows."""
-    import pyarrow.parquet as pq
-
+def test_reconstruct_roundtrip(ray_session):
+    """Reconstructed transcripts split back into exactly the input rows."""
     import ray.data
     from nifi_processors_ray.pipelines.conversations import SEP, reconstruct
 
