@@ -77,6 +77,8 @@ def test_join_block_partials_match_pandas(seed, n_orders, n_items):
             ),
             "priority": pa.array(list(prios) + [None] * n_items, pa.string()),
             "cents": pa.array([None] * n_orders + list(cents), pa.int64()),
+            # un-preaggregated probe partials: n=1 per original lineitem row
+            "n": pa.array([None] * n_orders + [1] * n_items, pa.int64()),
         }
     )
     got = (

@@ -8,12 +8,14 @@ from nifi_processors_ray.ops import joins as J
 
 
 def _block(rows):
+    """rows: (key, side, priority, cents) — probe rows get partial n=1."""
     return pa.table(
         {
             "key": pa.array([r[0] for r in rows], pa.int64()),
             "side": pa.array([r[1] for r in rows], pa.int8()),
             "priority": pa.array([r[2] for r in rows], pa.string()),
             "cents": pa.array([r[3] for r in rows], pa.int64()),
+            "n": pa.array([1 if r[1] == 1 else None for r in rows], pa.int64()),
         }
     )
 
