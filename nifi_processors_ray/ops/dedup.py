@@ -1,4 +1,5 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, embedding-cosine.
+"""Deduplication operators: exact, MinHash+LSH, SimHash, embedding-cosine,
+and exact n-gram Jaccard (LSH candidates → exact verify).
 
 Shared shape (the scalable pattern): a stateless vectorized
 ``map_batches`` stage computes per-document signatures, signatures are

@@ -2,17 +2,20 @@
 
 The reference's only "aggregation" is CloudWatch metrics emitted by the
 AWS libs (``consumer/AbstractKinesisConsumerProcessor.java:193-224``);
-a real ingest engine needs the event-stream analytics itself.  Four
-operators, each a native Ray Data aggregate/sort pipeline with an exact
+a real ingest engine needs the event-stream analytics itself.  Each
+operator is a native Ray Data aggregate/sort pipeline with an exact
 ANSI-SQL twin:
 
 - :func:`window_agg` — tumbling 1-hour event-time windows × event_type
-  (counts + value sums).
+  (counts, value sums, exact distinct users via triple partials).
 - :func:`sessionize` — per-user session stats with a 30-minute
   inactivity gap (the classic streaming sessionization, computed
   batch-side: sort-by-user co-location + vectorized gap detection).
 - :func:`topk_users` — top 10 users by total value (sort + limit).
 - :func:`distinct_types` — distinct event types (set op).
+- :func:`sample_events` — deterministic hash-based 10% sample.
+- :func:`value_quantiles` — exact p50/p95 per type via histogram
+  partials (``quantile_disc`` semantics).
 
 Determinism contract with the oracles: every exposed numeric is
 integer-exact — values become floored cents (``floor(value*100)``,
