@@ -304,3 +304,38 @@ def test_cow_writes_split_at_target_rows(tmp_lake, tmp_path):
     final = eng.final_state(sort=True).to_pandas().reset_index(drop=True)
     oracle = apply_changelog(read_log(paths)).to_pandas().reset_index(drop=True)
     assert final.equals(oracle)
+
+
+def test_split_cow_crash_resume_identical(tmp_lake, tmp_path):
+    """Crash between epochs with target_rows_per_file splitting active:
+    a fresh engine resumes and the split file set + state are identical
+    to an uninterrupted run (deterministic slicing at the same paths)."""
+    log = str(tmp_path / "log")
+    paths = write_changelog_from_events(SF_DIR, log, files=3)
+
+    # uninterrupted reference run
+    ref_lake = str(tmp_path / "ref_lake")
+    ref = make_engine(ref_lake, log, num_partitions=2, target_rows_per_file=40,
+                      epoch_events=400)
+    ref.replay()
+    ref_state = ref.final_state(sort=True).to_pandas().reset_index(drop=True)
+    ref_files = {p: sorted(fs) for p, fs in ref.store.latest().files.items()}
+
+    # crashed-and-resumed run
+    eng1 = make_engine(tmp_lake, log, num_partitions=2, target_rows_per_file=40,
+                       epoch_events=400)
+    eng1.replay(max_epochs=1)  # "crash"
+    eng2 = make_engine(tmp_lake, log, num_partitions=2, target_rows_per_file=40,
+                       epoch_events=400)
+    eng2.replay()
+    state = eng2.final_state(sort=True).to_pandas().reset_index(drop=True)
+    files = {p: sorted(fs) for p, fs in eng2.store.latest().files.items()}
+
+    assert state.equals(ref_state)
+    # same split layout (same counts and row caps), paths differ only by epoch
+    assert {p: len(fs) for p, fs in files.items()} == {p: len(fs) for p, fs in ref_files.items()}
+    for fs in files.values():
+        for f in fs:
+            assert pq.ParquetFile(os.path.join(tmp_lake, f)).metadata.num_rows <= 40
+    oracle = apply_changelog(read_log(paths)).to_pandas().reset_index(drop=True)
+    assert state.equals(oracle)
