@@ -240,3 +240,45 @@ def test_quantile_pipeline_matches_duckdb(seed, n):
         a = [None if pd.isna(x) else int(x) for x in got[c]]
         b = [None if pd.isna(x) else int(x) for x in want[c]]
         assert a == b, c
+
+
+# ---------------------------------------------------------------------------
+# conversation fold kernel
+# ---------------------------------------------------------------------------
+
+@SETTINGS
+@given(seed=st.integers(0, 10_000), n=st.integers(0, 120))
+def test_conversation_fold_matches_pandas(seed, n):
+    from nifi_processors_ray.pipelines.conversations import SEP, fold_conversations_block
+
+    rng = np.random.default_rng(seed)
+    convs = rng.integers(0, 12, n)
+    block = pa.table(
+        {
+            "conv_id": pa.array([f"c{c}" for c in convs]),
+            # unique turn order within a conversation via permuted global ids
+            "turn_idx": pa.array(rng.permutation(n).astype(np.int32)),
+            "role": pa.array(
+                [None if rng.random() < 0.1 else f"r{i % 3}" for i in range(n)]
+            ),
+            "text": pa.array([f"t{i}" for i in range(n)]),
+        }
+    )
+    got = fold_conversations_block(block).to_pandas().set_index("conv_id").sort_index()
+
+    df = block.to_pandas().sort_values(["conv_id", "turn_idx"])
+    want = (
+        df.groupby("conv_id")
+        .agg(
+            n_turns=("text", "size"),
+            roles=("role", lambda s: SEP.join("" if pd.isna(x) else x for x in s)),
+            transcript=("text", lambda s: SEP.join(s)),
+        )
+        .sort_index()
+    )
+    if n == 0:
+        assert len(got) == 0
+        return
+    assert got.index.tolist() == want.index.tolist()
+    for c in ("n_turns", "roles", "transcript"):
+        assert got[c].tolist() == want[c].tolist(), c
