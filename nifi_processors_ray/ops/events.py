@@ -261,7 +261,9 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
     return (
         checked_sort(ds, "user_id")
         .map_batches(_sessionize_block, batch_format="pyarrow", batch_size=None)
-        .sort("user_id")
+        # already globally user-sorted: the exchange ordered the blocks and
+        # the fold preserves row order — a second sort would be a redundant
+        # all-to-all over the per-user result
     )
 
 
