@@ -15,6 +15,7 @@ import ray.data
 
 from ..sources.reader import read_parquet as read_parquet_clean
 
+from ..functions.debug import checked_sort
 from ..ops.dedup import EXACT_DEDUP_SQL, _add_text_hash, _first_per_text
 from ..ops.text import STOPWORDS, _per_list_sum, _token_lists
 
@@ -59,12 +60,12 @@ def _quality_filter(batch: pa.Table) -> pa.Table:
     return batch.append_column("n_tokens", pa.array(n_tokens)).filter(pa.array(keep))
 
 
-def corpus_clean(sf_dir: str) -> ray.data.Dataset:
+def corpus_clean(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     ds = read_parquet_clean(f"{sf_dir.rstrip('/')}/documents.parquet")
-    return (
-        ds.map_batches(_add_text_hash, batch_format="pyarrow")
-        .sort("__h")
+    out = (
+        checked_sort(ds.map_batches(_add_text_hash, batch_format="pyarrow"), "__h")
         .map_batches(_first_per_text, batch_format="pyarrow", batch_size=None)
         .map_batches(_quality_filter, batch_format="pyarrow")
-        .sort("doc_id")
     )
+    # trailing sort is determinism-only (see SURVEY §2.5 sort=False note)
+    return out.sort("doc_id") if sort else out
