@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_enrich": _rel.events_user_enrich,
         "lineitem_pricing_summary": _rel.lineitem_pricing_summary,
         "events_asof_order": _rel.events_asof_order,
+        "supplier_nation_rollup": _rel.supplier_nation_rollup,
         # joins beyond broadcast: co-partitioned shuffle join, top-N per
         # group, range (interval) join
         "order_priority_revenue": _joins.order_priority_revenue,
@@ -348,6 +349,7 @@ FROM _ch
         "events_user_enrich": _rel.EVENTS_USER_ENRICH_SQL,
         "lineitem_pricing_summary": _rel.LINEITEM_PRICING_SQL,
         "events_asof_order": _rel.EVENTS_ASOF_ORDER_SQL,
+        "supplier_nation_rollup": _rel.SUPPLIER_NATION_ROLLUP_SQL,
         "order_priority_revenue": _joins.ORDER_PRIORITY_REVENUE_SQL,
         "top_orders_per_cust": _joins.TOP_ORDERS_PER_CUST_SQL,
         "quantity_band_counts": _joins.QUANTITY_BAND_COUNTS_SQL,

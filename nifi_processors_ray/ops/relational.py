@@ -241,3 +241,76 @@ def lineitem_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         )
         .sort(["l_returnflag", "l_linestatus"])
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-hop dimension-chain rollup (supplier → nation → region)
+# ---------------------------------------------------------------------------
+
+SUPPLIER_NATION_ROLLUP_SQL = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(FLOOR(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY region, nation
+ORDER BY region, nation
+"""
+
+
+def _rollup_partials(batch: pa.Table, dim_ref) -> pa.Table:
+    """Resolve the nation→region chain against the broadcast composed
+    dimension, then pre-aggregate per (region, nation) within the batch."""
+    dim = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
+    idx = pc.index_in(batch.column("s_nationkey"), value_set=dim.column("n_nationkey"))
+    bal = np.asarray(batch.column("s_acctbal"), dtype=np.float64)
+    t = pa.table(
+        {
+            "region": dim.column("region").take(idx),
+            "nation": dim.column("nation").take(idx),
+            "acctbal_cents": pa.array(np.floor(bal * 100).astype(np.int64)),
+        }
+    )
+    g = t.group_by(["region", "nation"]).aggregate(
+        [([], "count_all"), ("acctbal_cents", "sum")]
+    )
+    return g.rename_columns(["region", "nation", "n_suppliers", "acctbal_cents"])
+
+
+def supplier_nation_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Per-(region, nation) supplier rollup — the multi-hop dimension
+    chain done scale-correctly: nation ⋈ region is composed ONCE on the
+    driver (both are tiny), broadcast via the object store, and every
+    supplier batch resolves the whole chain with one ``index_in`` —
+    the fact side never shuffles; only (region, nation) partials do.
+    """
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    sf = sf_dir.rstrip("/")
+    nation = pq.read_table(f"{sf}/nation.parquet")
+    region = pq.read_table(f"{sf}/region.parquet")
+    r_idx = pc.index_in(nation.column("n_regionkey"), value_set=region.column("r_regionkey"))
+    dim = pa.table(
+        {
+            "n_nationkey": nation.column("n_nationkey"),
+            "nation": nation.column("n_name"),
+            "region": region.column("r_name").take(r_idx),
+        }
+    )
+    dim_ref = ray.put(dim)
+    ds = read_parquet_clean(
+        f"{sf}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+    partials = ds.map_batches(
+        _rollup_partials, batch_format="pyarrow", fn_kwargs={"dim_ref": dim_ref}
+    )
+    return (
+        partials.groupby(["region", "nation"])
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+        .sort(["region", "nation"])
+    )
