@@ -138,8 +138,16 @@ def _window_partials(batch: pa.Table) -> pa.Table:
     g = batch.group_by(["window_hour", "event_type", "user_id"]).aggregate(
         [("value_cents", "sum"), ([], "count_all")]
     )
-    return g.rename_columns(
-        ["window_hour", "event_type", "user_id", "value_cents", "n_events"]
+    # columns selected by their GENERATED names — positional renames broke
+    # across pyarrow versions that reordered keys vs aggregates
+    return pa.table(
+        {
+            "window_hour": g.column("window_hour"),
+            "event_type": g.column("event_type"),
+            "user_id": g.column("user_id"),
+            "value_cents": g.column("value_cents_sum"),
+            "n_events": g.column("count_all"),
+        }
     )
 
 
@@ -204,7 +212,7 @@ def _window_finalize(block: pa.Table) -> pa.Table:
     )
 
 
-def window_agg(sf_dir: str) -> ray.data.Dataset:
+def window_agg(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     """Tumbling 1-hour windows × event_type (counts, cent sums, exact
     distinct users): per-batch triple partials → ONE sort on both keys →
     vectorized block finalize.  Round 1 shipped per-group user-id lists
@@ -213,9 +221,12 @@ def window_agg(sf_dir: str) -> ray.data.Dataset:
     ds = _events(sf_dir, ["ts", "event_type", "value", "user_id"])
     ds = ds.map_batches(_add_window_and_cents, batch_format="pyarrow")
     ds = ds.map_batches(_window_partials, batch_format="pyarrow")
-    return checked_sort(ds, ["window_hour", "event_type"]).map_batches(
+    out = checked_sort(ds, ["window_hour", "event_type"]).map_batches(
         _window_finalize, batch_format="pyarrow", batch_size=None
     )
+    # tiny result; final sort restores deterministic row order (block
+    # order out of the streaming executor is not guaranteed)
+    return out.sort(["window_hour", "event_type"]) if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -254,17 +265,19 @@ def _sessionize_block(block: pa.Table) -> pa.Table:
     )
 
 
-def sessionize(sf_dir: str) -> ray.data.Dataset:
+def sessionize(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     """Per-user session stats (30-min gap): the streaming-sessionization
-    semantics, computed as sort-co-location + vectorized gap detection."""
+    semantics, computed as sort-co-location + vectorized gap detection.
+
+    The trailing sort is determinism-only (Ray's streaming executor does
+    not guarantee output BLOCK order without preserve_order, so "blocks
+    were produced sorted" is not enough for a stable row order);
+    ``sort=False`` skips it for streaming consumers."""
     ds = _events(sf_dir, ["user_id", "ts", "event_id"])
-    return (
-        checked_sort(ds, "user_id")
-        .map_batches(_sessionize_block, batch_format="pyarrow", batch_size=None)
-        # already globally user-sorted: the exchange ordered the blocks and
-        # the fold preserves row order — a second sort would be a redundant
-        # all-to-all over the per-user result
+    out = checked_sort(ds, "user_id").map_batches(
+        _sessionize_block, batch_format="pyarrow", batch_size=None
     )
+    return out.sort("user_id") if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -335,7 +348,13 @@ def _quantile_partials(batch: pa.Table) -> pa.Table:
         }
     )
     g = t.group_by(["event_type", "value_cents"]).aggregate([([], "count_all")])
-    return g.rename_columns(["event_type", "value_cents", "n"])
+    return pa.table(
+        {
+            "event_type": g.column("event_type"),
+            "value_cents": g.column("value_cents"),
+            "n": g.column("count_all"),
+        }
+    )
 
 
 def _quantile_finalize(block: pa.Table, qs: tuple[float, ...] = (0.5, 0.95)) -> pa.Table:
@@ -391,7 +410,7 @@ def _quantile_finalize(block: pa.Table, qs: tuple[float, ...] = (0.5, 0.95)) -> 
     )
 
 
-def value_quantiles(sf_dir: str) -> ray.data.Dataset:
+def value_quantiles(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     """Exact p50/p95 of value (in cents) per event_type.
 
     Histogram partials per batch → ONE sort on the group key → per-run
@@ -399,9 +418,10 @@ def value_quantiles(sf_dir: str) -> ray.data.Dataset:
     exactly (integer element, rank ceil(q*n))."""
     ds = _events(sf_dir, ["event_type", "value"])
     partials = ds.map_batches(_quantile_partials, batch_format="pyarrow")
-    return checked_sort(partials, "event_type").map_batches(
+    out = checked_sort(partials, "event_type").map_batches(
         _quantile_finalize, batch_format="pyarrow", batch_size=None
     )
+    return out.sort("event_type") if sort else out
 
 
 def distinct_types(sf_dir: str) -> ray.data.Dataset:

@@ -73,15 +73,16 @@ def _lineitem_side(batch: pa.Table) -> pa.Table:
         }
     )
     g = t.group_by(["key"]).aggregate([("cents", "sum"), ([], "count_all")])
-    g = g.rename_columns(["key", "cents", "n"])
     m = g.num_rows
+    # columns selected by their GENERATED names (version-proof vs
+    # positional renames over group_by output ordering)
     return pa.table(
         {
             "key": g.column("key"),
             "side": pa.array(np.ones(m, dtype=np.int8)),
             "priority": pa.nulls(m, pa.string()),
-            "cents": g.column("cents"),
-            "n": g.column("n"),
+            "cents": g.column("cents_sum"),
+            "n": g.column("count_all"),
         }
     )
 

@@ -214,9 +214,17 @@ def _pricing_partials(batch: pa.Table) -> pa.Table:
         [([], "count_all"), ("qty_cents", "sum"), ("price_cents", "sum"),
          ("disc_price_cents", "sum")]
     )
-    return g.rename_columns(
-        ["l_returnflag", "l_linestatus", "n_rows", "qty_cents", "price_cents",
-         "disc_price_cents"]
+    # columns selected by their GENERATED names — positional renames broke
+    # across pyarrow versions that reordered keys vs aggregates
+    return pa.table(
+        {
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "n_rows": g.column("count_all"),
+            "qty_cents": g.column("qty_cents_sum"),
+            "price_cents": g.column("price_cents_sum"),
+            "disc_price_cents": g.column("disc_price_cents_sum"),
+        }
     )
 
 
@@ -260,22 +268,31 @@ ORDER BY region, nation
 
 
 def _rollup_partials(batch: pa.Table, dim_ref) -> pa.Table:
-    """Resolve the nation→region chain against the broadcast composed
-    dimension, then pre-aggregate per (region, nation) within the batch."""
-    dim = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
-    idx = pc.index_in(batch.column("s_nationkey"), value_set=dim.column("n_nationkey"))
-    bal = np.asarray(batch.column("s_acctbal"), dtype=np.float64)
+    """Resolve the nation→region chain via the shared broadcast-lookup
+    kernel (``_lookup_batch``), drop unmatched suppliers (the SQL twin is
+    an INNER join — a dangling s_nationkey must not surface as a null
+    group), then pre-aggregate per (region, nation) within the batch."""
+    joined = _lookup_batch(batch, dim_ref, key="s_nationkey", cols=["nation", "region"])
+    joined = joined.filter(pc.is_valid(joined.column("nation")))
+    bal = np.asarray(joined.column("s_acctbal"), dtype=np.float64)
     t = pa.table(
         {
-            "region": dim.column("region").take(idx),
-            "nation": dim.column("nation").take(idx),
+            "region": joined.column("region"),
+            "nation": joined.column("nation"),
             "acctbal_cents": pa.array(np.floor(bal * 100).astype(np.int64)),
         }
     )
     g = t.group_by(["region", "nation"]).aggregate(
         [([], "count_all"), ("acctbal_cents", "sum")]
     )
-    return g.rename_columns(["region", "nation", "n_suppliers", "acctbal_cents"])
+    return pa.table(
+        {
+            "region": g.column("region"),
+            "nation": g.column("nation"),
+            "n_suppliers": g.column("count_all"),
+            "acctbal_cents": g.column("acctbal_cents_sum"),
+        }
+    )
 
 
 def supplier_nation_rollup(sf_dir: str) -> ray.data.Dataset:

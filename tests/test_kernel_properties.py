@@ -68,6 +68,9 @@ def test_join_block_partials_match_pandas(seed, n_orders, n_items):
     prios = rng.choice(["HI", "MED", "LO"], size=n_orders)
     ikeys = rng.choice(100, size=n_items).astype(np.int64)
     cents = rng.integers(0, 1000, n_items).astype(np.int64)
+    # probe rows are combiner PARTIALS: each folds n in [1..5] lineitems —
+    # exercises the weighted count path, not just the degenerate n=1 case
+    ns = rng.integers(1, 6, n_items).astype(np.int64)
 
     block = pa.table(
         {
@@ -77,8 +80,7 @@ def test_join_block_partials_match_pandas(seed, n_orders, n_items):
             ),
             "priority": pa.array(list(prios) + [None] * n_items, pa.string()),
             "cents": pa.array([None] * n_orders + list(cents), pa.int64()),
-            # un-preaggregated probe partials: n=1 per original lineitem row
-            "n": pa.array([None] * n_orders + [1] * n_items, pa.int64()),
+            "n": pa.array([None] * n_orders + list(ns), pa.int64()),
         }
     )
     got = (
@@ -89,14 +91,14 @@ def test_join_block_partials_match_pandas(seed, n_orders, n_items):
     )
 
     odf = pd.DataFrame({"key": okeys, "priority": prios})
-    idf = pd.DataFrame({"key": ikeys, "cents": cents})
+    idf = pd.DataFrame({"key": ikeys, "cents": cents, "n": ns})
     j = idf.merge(odf, on="key")
     if len(j) == 0:
         assert len(got) == 0
         return
     want = (
         j.groupby("priority")
-        .agg(n_items=("cents", "size"), revenue_cents=("cents", "sum"))
+        .agg(n_items=("n", "sum"), revenue_cents=("cents", "sum"))
         .reset_index()
         .sort_values("priority")
         .reset_index(drop=True)
