@@ -336,6 +336,7 @@ FROM _ch
         # (crafted corpora vs brute-force references).
         "text_stats": _text.TEXT_STATS_SQL,
         "token_counts": _text.TOKEN_COUNTS_SQL,
+        "lang_id": _text.LANG_ID_SQL,
         "exact_dedup": _dedup.EXACT_DEDUP_SQL,
         "knn_brute": _sim.KNN_BRUTE_SQL_TEMPLATE.format(n_queries=8, k=10),
         "media_features": _mm.MEDIA_FEATURES_SQL,

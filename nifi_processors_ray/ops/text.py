@@ -119,6 +119,49 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 _LANGS = tuple(_LANG_PROFILES)
 
 
+def _build_lang_id_sql() -> str:
+    """Exact SQL twin of :func:`lang_id_batch`, generated from the SAME
+    profiles: per-language marker-hit counts via ``list_filter``, argmax
+    with first-max-wins tie-break reproduced as a CASE chain comparing
+    each language only against LATER ones (profile order), 'und' when no
+    marker hits at all.  Confidence is one double division (hits /
+    n_tokens) — identical IEEE op both sides, so the value hash is
+    bit-exact (same contract as TEXT_STATS_SQL)."""
+    langs = list(_LANGS)
+    hit_exprs = []
+    for lang in langs:
+        vals = ", ".join("'" + w.replace("'", "''") + "'" for w in _LANG_PROFILES[lang])
+        hit_exprs.append(f"len(list_filter(ts, x -> x IN ({vals}))) AS h_{lang}")
+    cases = []
+    for i, lang in enumerate(langs):
+        later = [f"h_{m}" for m in langs[i + 1 :]]
+        cond = f"h_{lang} >= greatest({', '.join(later)})" if later else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    all_h = ", ".join(f"h_{lang}" for lang in langs)
+    hits_block = ",\n         ".join(hit_exprs)
+    case_block = "\n            ".join(cases)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, str_split(lower(coalesce(text, '')), ' ') AS ts FROM documents
+),
+scored AS (
+  SELECT doc_id, greatest(1, len(ts)) AS n_tokens,
+         {hits_block}
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN greatest({all_h}) = 0 THEN 'und'
+            {case_block}
+       END AS lang_pred,
+       CAST(greatest({all_h}) AS DOUBLE) / n_tokens AS confidence
+FROM scored
+ORDER BY doc_id
+"""
+
+
+LANG_ID_SQL = _build_lang_id_sql()
+
+
 def lang_id_batch(batch: pa.Table) -> pa.Table:
     text = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
     values, offsets = _token_lists(text)
