@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_vector_sums": _vec.label_vector_sums,
         # composed corpus-hygiene flagship (dedup → quality gate)
         "corpus_clean": _corpus.corpus_clean,
+        "training_mix": _corpus.training_mix,
     }
 
 
@@ -356,4 +357,5 @@ FROM _ch
         "quantity_band_counts": _joins.QUANTITY_BAND_COUNTS_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
+        "training_mix": _corpus.TRAINING_MIX_SQL,
     }

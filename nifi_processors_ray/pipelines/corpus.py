@@ -69,3 +69,108 @@ def corpus_clean(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     )
     # trailing sort is determinism-only (see SURVEY §2.5 sort=False note)
     return out.sort("doc_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# training-mix curation: dedup → quality → language → per-language token budget
+# ---------------------------------------------------------------------------
+
+TOKENS_PER_LANG = 5_000
+
+TRAINING_MIX_SQL = None  # built below (needs the corpus + lang CTE bodies)
+
+
+def _build_training_mix_sql() -> str:
+    from ..ops.text import LANG_ID_SQL
+
+    # reuse the single-statement twins as CTE bodies (strip their ORDER BY)
+    clean_body = CORPUS_CLEAN_SQL.strip().rstrip().rsplit("ORDER BY", 1)[0]
+    lang_body = LANG_ID_SQL.strip().rstrip().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH clean AS ({clean_body}),
+lang AS ({lang_body}),
+j AS (
+  SELECT c.doc_id, c.n_tokens, l.lang_pred
+  FROM clean c JOIN lang l USING (doc_id)
+),
+cum AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (
+              PARTITION BY lang_pred ORDER BY doc_id
+            ) AS BIGINT) AS cum_tokens
+  FROM j
+)
+SELECT doc_id, lang_pred, n_tokens, cum_tokens
+FROM cum
+WHERE cum_tokens - n_tokens < {TOKENS_PER_LANG}
+ORDER BY doc_id
+"""
+
+
+def _budget_block(block: pa.Table, budget: int) -> pa.Table:
+    """Per co-located language run: order by doc_id, running token sum,
+    keep docs that START under the budget (greedy fill) — vectorized via
+    one cumsum with run-start offsets subtracted."""
+    import pyarrow.compute as pc
+
+    n = block.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang_pred": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "cum_tokens": pa.array([], pa.int64()),
+            }
+        )
+    b = block.sort_by([("lang_pred", "ascending"), ("doc_id", "ascending")])
+    lang = np.asarray(b.column("lang_pred").combine_chunks().dictionary_encode().indices)
+    toks = np.asarray(b.column("n_tokens"))
+    new_run = np.concatenate([[True], lang[1:] != lang[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    cs = np.cumsum(toks, dtype=np.int64)
+    base = np.repeat(np.concatenate([[0], cs[starts[1:] - 1]]) if len(starts) > 1 else [0], run_len)
+    cum = cs - base  # running per-language total INCLUDING this doc
+    keep = (cum - toks) < budget
+    out = b.filter(pa.array(keep))
+    return pa.table(
+        {
+            "doc_id": out.column("doc_id"),
+            "lang_pred": out.column("lang_pred"),
+            "n_tokens": out.column("n_tokens"),
+            "cum_tokens": pa.array(cum[keep]),
+        }
+    )
+
+
+def training_mix(
+    sf_dir: str, *, tokens_per_lang: int = TOKENS_PER_LANG, sort: bool = True
+) -> ray.data.Dataset:
+    """Curate a per-language token-budgeted training mix: exact dedup →
+    quality gate → language ID (all fused map stages) → ONE sort on the
+    language key → vectorized greedy budget fill per language (docs in
+    doc_id order fill each language's quota; a doc is kept iff it STARTS
+    under the budget).
+
+    The composed "give me N tokens per language of clean, deduped text"
+    flow a training-data engine exists for — two shuffles total (the
+    dedup hash co-location + the language grouping).
+    """
+    from ..ops.text import lang_id_batch
+
+    cleaned = corpus_clean(sf_dir, sort=False)
+
+    def add_lang(batch: pa.Table) -> pa.Table:
+        lang = lang_id_batch(batch.select(["doc_id", "text"]))
+        return batch.append_column("lang_pred", lang.column("lang_pred"))
+
+    ds = cleaned.map_batches(add_lang, batch_format="pyarrow")
+    ds = ds.select_columns(["doc_id", "lang_pred", "n_tokens"])
+    out = checked_sort(ds, "lang_pred").map_batches(
+        _budget_block, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"budget": tokens_per_lang},
+    )
+    return out.sort("doc_id") if sort else out
+
+
+TRAINING_MIX_SQL = _build_training_mix_sql()

@@ -85,3 +85,21 @@ def test_reconstruct_roundtrip(ray_session):
     assert out.loc["c1", "transcript"].split(SEP) == ["u0", "a1", "u2"]
     assert out.loc["c2", "transcript"].split(SEP) == ["x0", "y1"]
     assert int(out["n_turns"].sum()) == docs.num_rows
+
+
+def test_training_mix_budget_semantics(ray_session):
+    """Greedy per-language fill: every kept doc STARTS under the budget,
+    languages are filled independently, doc order is doc_id-greedy."""
+    from nifi_processors_ray.pipelines.corpus import training_mix
+
+    out = training_mix(SF_DIR, tokens_per_lang=500).to_pandas()
+    assert len(out) > 0
+    for lang, grp in out.groupby("lang_pred"):
+        g = grp.sort_values("doc_id")
+        # cum_tokens is the inclusive running sum in doc_id order
+        assert (g["cum_tokens"] == g["n_tokens"].cumsum()).all()
+        # every kept doc started strictly under the budget
+        assert ((g["cum_tokens"] - g["n_tokens"]) < 500).all()
+    # shrinking the budget can only shrink the selection
+    small = training_mix(SF_DIR, tokens_per_lang=100).to_pandas()
+    assert set(small["doc_id"]) <= set(out["doc_id"])
