@@ -155,11 +155,12 @@ SELECT doc_id,
        END AS lang_pred,
        CAST(greatest({all_h}) AS DOUBLE) / n_tokens AS confidence
 FROM scored
-ORDER BY doc_id
 """
 
 
-LANG_ID_SQL = _build_lang_id_sql()
+# ORDER-BY-free body, composable as a CTE (pipelines/corpus.py reuses it)
+LANG_ID_BODY = _build_lang_id_sql()
+LANG_ID_SQL = LANG_ID_BODY + "ORDER BY doc_id"
 
 
 def lang_id_batch(batch: pa.Table) -> pa.Table:

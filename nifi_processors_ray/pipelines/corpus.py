@@ -22,7 +22,8 @@ from ..ops.text import STOPWORDS, _per_list_sum, _token_lists
 MIN_TOKENS = 20
 MAX_STOPWORD_RATIO = 0.5
 
-CORPUS_CLEAN_SQL = f"""
+# ORDER-BY-free body, composable as a CTE (training_mix reuses it)
+CORPUS_CLEAN_BODY = f"""
 WITH deduped AS (
   SELECT doc_id, text, lang, source, n_chars
   FROM (
@@ -40,8 +41,9 @@ SELECT doc_id, text, lang, source, n_chars, n_tokens
 FROM scored
 WHERE n_tokens >= {MIN_TOKENS}
   AND CAST(stop_count AS DOUBLE) / n_tokens <= {MAX_STOPWORD_RATIO}
-ORDER BY doc_id
 """
+
+CORPUS_CLEAN_SQL = CORPUS_CLEAN_BODY + "ORDER BY doc_id\n"
 
 
 def _quality_filter(batch: pa.Table) -> pa.Table:
@@ -77,18 +79,14 @@ def corpus_clean(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
 
 TOKENS_PER_LANG = 5_000
 
-TRAINING_MIX_SQL = None  # built below (needs the corpus + lang CTE bodies)
-
 
 def _build_training_mix_sql() -> str:
-    from ..ops.text import LANG_ID_SQL
+    from ..ops.text import LANG_ID_BODY
 
-    # reuse the single-statement twins as CTE bodies (strip their ORDER BY)
-    clean_body = CORPUS_CLEAN_SQL.strip().rstrip().rsplit("ORDER BY", 1)[0]
-    lang_body = LANG_ID_SQL.strip().rstrip().rsplit("ORDER BY", 1)[0]
+    # compose the ORDER-BY-free twin bodies as CTEs (no string surgery)
     return f"""
-WITH clean AS ({clean_body}),
-lang AS ({lang_body}),
+WITH clean AS ({CORPUS_CLEAN_BODY}),
+lang AS ({LANG_ID_BODY}),
 j AS (
   SELECT c.doc_id, c.n_tokens, l.lang_pred
   FROM clean c JOIN lang l USING (doc_id)
@@ -106,12 +104,13 @@ ORDER BY doc_id
 """
 
 
+TRAINING_MIX_SQL = _build_training_mix_sql()
+
+
 def _budget_block(block: pa.Table, budget: int) -> pa.Table:
     """Per co-located language run: order by doc_id, running token sum,
     keep docs that START under the budget (greedy fill) — vectorized via
     one cumsum with run-start offsets subtracted."""
-    import pyarrow.compute as pc
-
     n = block.num_rows
     if n == 0:
         return pa.table(
@@ -171,6 +170,3 @@ def training_mix(
         fn_kwargs={"budget": tokens_per_lang},
     )
     return out.sort("doc_id") if sort else out
-
-
-TRAINING_MIX_SQL = _build_training_mix_sql()
