@@ -47,3 +47,26 @@ def read_parquet(paths, *, columns: list[str] | None = None, **kwargs) -> ray.da
         return ray.data.read_parquet(paths, columns=columns, schema=schema, **kwargs)
     ds = ray.data.read_parquet(paths, columns=columns, **kwargs)
     return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+
+
+def read_jsonl(paths, *, columns: list[str] | None = None, schema=None, **kwargs) -> ray.data.Dataset:
+    """JSON-lines source for the analysis-ops surface (documents and
+    friends arriving as ``.jsonl`` exports rather than parquet).
+
+    Same contract as :func:`read_parquet`: optional column projection
+    (applied as a fused ``select_columns`` — JSON has no footer to push
+    the projection into) and metadata-free block schemas.  Pass
+    ``schema`` (a ``pyarrow.Schema``) to pin types when the JSON values
+    are ambiguous (e.g. ints that must stay int64 across empty files).
+    """
+    read_kwargs = dict(kwargs)
+    if schema is not None:
+        import pyarrow.json as pa_json
+
+        read_kwargs["parse_options"] = pa_json.ParseOptions(
+            explicit_schema=schema, unexpected_field_behavior="infer"
+        )
+    ds = ray.data.read_json(paths, **read_kwargs)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")

@@ -68,3 +68,34 @@ def test_read_incomplete_export_raises(tmp_path):
     os.makedirs(out)
     with pytest.raises(FileNotFoundError):
         read_partitioned_parquet(out)
+
+
+def test_read_jsonl_matches_parquet_source(tmp_path):
+    """The JSONL source yields the same rows/types as the parquet source,
+    so every documents-table operator runs unchanged on JSONL corpora."""
+    import json
+
+    import pyarrow as pa
+
+    from nifi_processors_ray.sources.reader import read_jsonl
+    from nifi_processors_ray.sources.reader import read_parquet as read_parquet_clean
+
+    cols = ["doc_id", "text", "n_chars"]
+    ref = read_parquet_clean(f"{SF_DIR}/documents.parquet", columns=cols).to_pandas()
+
+    jl = tmp_path / "docs.jsonl"
+    with open(jl, "w") as f:
+        for r in ref.to_dict(orient="records"):
+            f.write(json.dumps(r) + "\n")
+
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()), ("n_chars", pa.int64())])
+    got = read_jsonl(str(jl), columns=cols, schema=schema).to_pandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = ref.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    # and an operator consumes it unchanged
+    from nifi_processors_ray.ops.text import token_counts_batch
+
+    out = token_counts_batch(pa.Table.from_pandas(a, preserve_index=False))
+    assert out.num_rows == len(a)
