@@ -70,3 +70,21 @@ def read_jsonl(paths, *, columns: list[str] | None = None, schema=None, **kwargs
     if columns is not None:
         ds = ds.select_columns(columns)
     return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+
+
+def read_csv(paths, *, columns: list[str] | None = None, schema=None, **kwargs) -> ray.data.Dataset:
+    """CSV source with the same contract as :func:`read_jsonl` (column
+    projection + optional explicit column types + metadata-free block
+    schemas) — the last of the three tabular ingest formats (parquet /
+    jsonl / csv) the analysis operators accept interchangeably."""
+    read_kwargs = dict(kwargs)
+    if schema is not None:
+        import pyarrow.csv as pa_csv
+
+        read_kwargs["convert_options"] = pa_csv.ConvertOptions(
+            column_types={f.name: f.type for f in schema}
+        )
+    ds = ray.data.read_csv(paths, **read_kwargs)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")

@@ -99,3 +99,22 @@ def test_read_jsonl_matches_parquet_source(tmp_path):
 
     out = token_counts_batch(pa.Table.from_pandas(a, preserve_index=False))
     assert out.num_rows == len(a)
+
+
+def test_read_csv_matches_parquet_source(tmp_path):
+    import csv as _csv
+
+    import pyarrow as pa
+
+    from nifi_processors_ray.sources.reader import read_csv
+    from nifi_processors_ray.sources.reader import read_parquet as read_parquet_clean
+
+    cols = ["doc_id", "n_chars", "lang"]
+    ref = read_parquet_clean(f"{SF_DIR}/documents.parquet", columns=cols).to_pandas()
+    cf = tmp_path / "docs.csv"
+    ref.to_csv(cf, index=False, quoting=_csv.QUOTE_NONNUMERIC)
+    schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64()), ("lang", pa.string())])
+    got = read_csv(str(cf), columns=cols, schema=schema).to_pandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = ref.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
