@@ -13,8 +13,16 @@ CI is green against the old Ray.
 ``NPR_DEBUG_COLOCATION=1`` turns on a cheap global check at the call
 sites: after the sort, each block reports its boundary keys and the
 driver asserts no key spans a block boundary, failing LOUD before any
-wrong result escapes.  Costs one extra pass over the sorted data, so it
-is a flag, not a default.
+wrong result escapes.  Costs one extra pass over the sorted data, so on
+a VERIFIED Ray version it is a flag, not a default.
+
+On an UNVERIFIED Ray version (not in :data:`VERIFIED_RAY_VERSIONS`) the
+guard ARMS ITSELF: an upgrade must not be able to silently break the
+invariant in production while CI is green against the pinned version
+(round-2 ADVICE).  Correctness wins over the extra pass until the new
+version is re-verified (run ``tests/test_sort_colocation.py`` and the
+op suites with the guard armed, then add the version to the set).
+``NPR_DEBUG_COLOCATION=0`` explicitly opts out of both paths.
 """
 
 from __future__ import annotations
@@ -22,13 +30,22 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import ray
 import ray.data
 
 ENV_FLAG = "NPR_DEBUG_COLOCATION"
 
+# Ray versions whose sort is verified to co-locate equal full-tuple key
+# runs (tests/test_sort_colocation.py + the blockwise-op suites run with
+# the guard armed).  Extend ONLY after re-running those on the new pin.
+VERIFIED_RAY_VERSIONS = frozenset({"2.49.2"})
+
 
 def colocation_check_enabled() -> bool:
-    return bool(os.environ.get(ENV_FLAG))
+    flag = os.environ.get(ENV_FLAG)
+    if flag is not None:
+        return flag not in ("", "0")
+    return ray.__version__ not in VERIFIED_RAY_VERSIONS
 
 
 def _boundary_batch(batch: pa.Table, keys: list[str]) -> pa.Table:

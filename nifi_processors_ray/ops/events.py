@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..sources.reader import read_parquet as read_parquet_clean
@@ -170,7 +171,14 @@ def _window_finalize(block: pa.Table) -> pa.Table:
         return empty
     wh = np.asarray(block.column("window_hour"))
     et = np.asarray(block.column("event_type").combine_chunks().dictionary_encode().indices)
-    uid = np.asarray(block.column("user_id"))
+    # null user_id must NOT count as a distinct user (SQL COUNT(DISTINCT
+    # user_id) skips nulls; and a null int64 surfaces here as NaN, where
+    # NaN != NaN would make every null row its own "user") — null rows
+    # stay in n_events/value_cents, they are only masked out of the
+    # distinct pass below.
+    uid_col = block.column("user_id").combine_chunks()
+    uid_valid = pc.is_valid(uid_col).to_numpy(zero_copy_only=False)
+    uid = np.asarray(pc.fill_null(uid_col, 0))
     # float view: a triple whose values were ALL null has a null partial
     # sum → NaN here.  Per-run sums skip NaN (SQL SUM skips nulls) and a
     # run with NO non-null partial emits NULL, exactly like SUM over an
@@ -195,10 +203,12 @@ def _window_finalize(block: pa.Table) -> pa.Table:
         [int(v) if ok else None for v, ok in zip(value_sums, any_valid)], pa.int64()
     )
 
-    # exact COUNT(DISTINCT user): order (run, user), count change points
-    order = np.lexsort((uid, run_id))
-    r, u = run_id[order], uid[order]
-    first = np.concatenate([[True], (r[1:] != r[:-1]) | (u[1:] != u[:-1])])
+    # exact COUNT(DISTINCT user): order (run, user) over NON-NULL users
+    # only, count change points
+    ru, uu = run_id[uid_valid], uid[uid_valid]
+    order = np.lexsort((uu, ru))
+    r, u = ru[order], uu[order]
+    first = np.concatenate([[True], (r[1:] != r[:-1]) | (u[1:] != u[:-1])]) if len(r) else np.zeros(0, bool)
     n_users = np.bincount(r[first], minlength=len(starts))
 
     return pa.table(

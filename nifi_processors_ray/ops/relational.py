@@ -273,7 +273,12 @@ def _rollup_partials(batch: pa.Table, dim_ref) -> pa.Table:
     an INNER join — a dangling s_nationkey must not surface as a null
     group), then pre-aggregate per (region, nation) within the batch."""
     joined = _lookup_batch(batch, dim_ref, key="s_nationkey", cols=["nation", "region"])
-    joined = joined.filter(pc.is_valid(joined.column("nation")))
+    # BOTH hops are INNER joins in the twin: a matched nation whose
+    # n_regionkey dangles must drop the supplier too, not emit a
+    # NULL-region group (round-2 ADVICE; not triggered by TPC-H data)
+    joined = joined.filter(
+        pc.and_(pc.is_valid(joined.column("nation")), pc.is_valid(joined.column("region")))
+    )
     bal = np.asarray(joined.column("s_acctbal"), dtype=np.float64)
     t = pa.table(
         {

@@ -24,6 +24,7 @@ must neither duplicate nor lose records.
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -83,6 +84,24 @@ def write_partitioned_parquet(
     ``_DONE`` marker is missing (crashed or never-started ones).
     """
     os.makedirs(out_dir, exist_ok=True)
+    # Partition assignment is a pure function of (key, num_partitions);
+    # resuming with DIFFERENT parameters would skip partitions computed
+    # under the old modulus and silently produce a mixed export (round-2
+    # ADVICE).  Pin the parameters on first run, fail loud on mismatch.
+    meta_path = os.path.join(out_dir, "_meta.json")
+    params = {"key": key, "num_partitions": num_partitions}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prior = json.load(f)
+        if prior != params:
+            raise ValueError(
+                f"resume parameter mismatch for {out_dir}: this export was "
+                f"started with {prior}, now called with {params} — finish it "
+                f"with the original parameters or export to a fresh out_dir"
+            )
+    else:
+        with open(meta_path, "w") as f:
+            json.dump(params, f)
     done = {
         p
         for p in range(num_partitions)

@@ -1,0 +1,117 @@
+"""Regression tests for the round-2 ADVICE findings.
+
+- window_agg: null user_id must not count as a distinct user (SQL
+  COUNT(DISTINCT) skips nulls).
+- supplier_nation_rollup: a nation row with a dangling n_regionkey must
+  drop its suppliers (INNER-join parity), not emit a NULL-region group.
+- write_partitioned_parquet: resuming with different key/num_partitions
+  must fail loud, not silently mix two partition layouts.
+- colocation guard: arms itself on an unverified Ray version.
+"""
+
+import json
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from nifi_processors_ray.functions import debug as DBG
+from nifi_processors_ray.ops import events as EV
+from nifi_processors_ray.ops import relational as REL
+from nifi_processors_ray.sinks import write_partitioned_parquet
+
+
+def test_window_agg_excludes_null_users_from_distinct(ray_session, tmp_path):
+    d = str(tmp_path)
+    ts = pa.array([1_000_000, 2_000_000, 3_000_000, 3_600_000_000 + 5], pa.timestamp("us"))
+    tbl = pa.table(
+        {
+            "ts": ts,
+            "event_type": pa.array(["a", "a", "a", "b"]),
+            "value": pa.array([1.5, 2.5, None, 4.0], pa.float64()),
+            "user_id": pa.array([7, None, None, None], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    got = pa.Table.from_pylist(EV.window_agg(d).take_all())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    want = con.sql(EV.WINDOW_AGG_SQL).arrow()
+    # window (0, 'a'): 3 events, exactly ONE distinct user (two nulls skipped)
+    assert got.to_pylist() == want.to_pylist()
+    assert got.column("n_users").to_pylist() == [1, 0]
+
+
+def test_rollup_drops_suppliers_of_dangling_regionkey(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["x", "y", "z"]),
+                "s_nationkey": pa.array([0, 1, 1], pa.int32()),
+                "s_acctbal": pa.array([10.0, 20.0, 30.0]),
+            }
+        ),
+        os.path.join(d, "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int32()),
+                "n_name": pa.array(["GOODLAND", "ORPHANIA"]),
+                # nation 1 points at region 99, which does not exist
+                "n_regionkey": pa.array([0, 99], pa.int32()),
+            }
+        ),
+        os.path.join(d, "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"r_regionkey": pa.array([0], pa.int32()), "r_name": pa.array(["HOME"])}
+        ),
+        os.path.join(d, "region.parquet"),
+    )
+    got = pa.Table.from_pylist(REL.supplier_nation_rollup(d).take_all())
+    con = duckdb.connect()
+    for t in ("supplier", "nation", "region"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    want = con.sql(REL.SUPPLIER_NATION_ROLLUP_SQL).arrow()
+    assert got.to_pylist() == want.to_pylist()
+    # specifically: only the resolvable nation's supplier survives
+    assert got.column("nation").to_pylist() == ["GOODLAND"]
+
+
+def test_export_meta_guard_rejects_changed_params(ray_session, tmp_path):
+    out = str(tmp_path / "exp")
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(range(20), pa.int64()), "v": pa.array(range(20))})
+    )
+    write_partitioned_parquet(ds, out, "k", num_partitions=4)
+    with open(os.path.join(out, "_meta.json")) as f:
+        assert json.load(f) == {"key": "k", "num_partitions": 4}
+    # simulate a crashed partition, then a resume with DIFFERENT modulus
+    os.remove(os.path.join(out, "part=00001", "_DONE"))
+    with pytest.raises(ValueError, match="resume parameter mismatch"):
+        write_partitioned_parquet(ds, out, "k", num_partitions=8)
+    with pytest.raises(ValueError, match="resume parameter mismatch"):
+        write_partitioned_parquet(ds, out, "v", num_partitions=4)
+    # same params: resumes and completes
+    res = write_partitioned_parquet(ds, out, "k", num_partitions=4)
+    assert res["skipped"] == 3 and res["written"] == 1
+
+
+def test_colocation_guard_arms_on_unverified_ray(monkeypatch):
+    monkeypatch.delenv(DBG.ENV_FLAG, raising=False)
+    assert ray.__version__ in DBG.VERIFIED_RAY_VERSIONS  # this repo's pin
+    assert not DBG.colocation_check_enabled()
+    monkeypatch.setattr(DBG, "VERIFIED_RAY_VERSIONS", frozenset())
+    assert DBG.colocation_check_enabled()  # unverified → auto-armed
+    monkeypatch.setenv(DBG.ENV_FLAG, "0")
+    assert not DBG.colocation_check_enabled()  # explicit opt-out wins
+    monkeypatch.setenv(DBG.ENV_FLAG, "1")
+    monkeypatch.setattr(DBG, "VERIFIED_RAY_VERSIONS", frozenset({ray.__version__}))
+    assert DBG.colocation_check_enabled()  # explicit opt-in wins too
