@@ -331,10 +331,14 @@ SELECT CAST(SUM(CASE WHEN {VALID_PREDICATE_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS
 FROM _ch
 """,
         # Analysis operators with exact SQL twins.  Omitted on purpose
-        # (rows-only check): lang_id / doc_fingerprint / *_dup_pairs /
-        # knn_ivf — hash- or model-defined outputs a window function
-        # can't reproduce; their correctness oracles live in tests/
-        # (crafted corpora vs brute-force references).
+        # (rows-only check): doc_fingerprint / minhash / simhash /
+        # embedding_dup_pairs / knn_ivf / events_approx_users — hash-,
+        # sketch- or model-defined outputs SQL can't reproduce; their
+        # correctness oracles live in tests/ (crafted corpora vs
+        # brute-force references).  jaccard_dup_pairs IS oracled: its
+        # output is the exact shingle Jaccard, and the 32×2 candidate
+        # banding has measured recall 1.0 on this corpus.
+        "jaccard_dup_pairs": _dedup.JACCARD_DUP_PAIRS_SQL,
         "text_stats": _text.TEXT_STATS_SQL,
         "token_counts": _text.TOKEN_COUNTS_SQL,
         "lang_id": _text.LANG_ID_SQL,

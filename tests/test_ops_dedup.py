@@ -145,3 +145,29 @@ def test_jaccard_dup_pairs_exact_verification():
     # the planted near-copies (doc, doc+OFFSET) are recovered
     planted = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"]) if b == a + AUG_ID_OFFSET}
     assert len(planted) >= 0.8 * sum(1 for d in texts if d >= AUG_ID_OFFSET)
+
+
+def test_jaccard_distributed_verify_multipair_and_null_text():
+    """The distributed verify handles a doc in SEVERAL pairs (its text is
+    emitted once per membership) and null text (treated as '')."""
+    base = " ".join(f"w{i}" for i in range(30))
+    near1 = " ".join(f"w{i}" for i in range(30) if i != 5)
+    near2 = " ".join(f"w{i}" for i in range(30) if i != 20)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array([base, near1, near2, None, None]),
+            }
+        )
+    )
+    pairs = D.jaccard_dup_pairs(ds, threshold=0.5).to_pandas()
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    # doc 0 participates in pairs with 1 AND 2; 1-2 are near each other
+    # too; the two null docs are both '' → jaccard 1.0
+    assert {(0, 1), (0, 2), (1, 2), (3, 4)} == found
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for _, r in pairs.iterrows()}
+    assert jac[(3, 4)] == 1.0
+    for (a, b), j in jac.items():
+        texts = {0: base, 1: near1, 2: near2, 3: "", 4: ""}
+        assert j == D.exact_jaccard(texts[a], texts[b])
