@@ -37,8 +37,23 @@ from .functions.hashing import hash_ints_u64, hash_strings_u64
 _PART_COL = "__export_part"
 
 
-def _assign_partition(batch: pa.Table, key: str, num_partitions: int) -> pa.Table:
+def _assign_partition(
+    batch: pa.Table, key: str, num_partitions: int, assign: str = "hash"
+) -> pa.Table:
     col = batch.column(key)
+    if assign == "direct":
+        # the key column IS the partition index (e.g. an IVF cell id) —
+        # one output directory per key value, prunable at the read
+        part_arr = col.cast(pa.int32()).combine_chunks()
+        import pyarrow.compute as pc
+
+        mn, mx = pc.min(part_arr).as_py(), pc.max(part_arr).as_py()
+        if mn is not None and (mn < 0 or mx >= num_partitions):
+            raise ValueError(
+                f"direct partition key {key} out of range [0, {num_partitions}): "
+                f"saw [{mn}, {mx}]"
+            )
+        return batch.append_column(_PART_COL, part_arr)
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         h = hash_strings_u64(col)
     else:
@@ -76,20 +91,28 @@ def write_partitioned_parquet(
     *,
     num_partitions: int = 64,
     sort_key: str | None = None,
+    assign: str = "hash",
 ) -> dict:
-    """Export ``ds`` as hash-partitioned Parquet, resumably.
+    """Export ``ds`` as partitioned Parquet, resumably.
+
+    ``assign="hash"`` (default) hash-partitions the key into
+    ``num_partitions`` buckets; ``assign="direct"`` uses the integer key
+    VALUE as the partition index (one directory per key value — the
+    layout a read-side partition filter can prune, e.g. IVF cells).
 
     Returns ``{"written": n, "skipped": n, "rows_written": n}``.  A
     second call with the same inputs writes only the partitions whose
     ``_DONE`` marker is missing (crashed or never-started ones).
     """
+    if assign not in ("hash", "direct"):
+        raise ValueError(f"assign must be 'hash' or 'direct', got {assign!r}")
     os.makedirs(out_dir, exist_ok=True)
     # Partition assignment is a pure function of (key, num_partitions);
     # resuming with DIFFERENT parameters would skip partitions computed
     # under the old modulus and silently produce a mixed export (round-2
     # ADVICE).  Pin the parameters on first run, fail loud on mismatch.
     meta_path = os.path.join(out_dir, "_meta.json")
-    params = {"key": key, "num_partitions": num_partitions}
+    params = {"key": key, "num_partitions": num_partitions, "assign": assign}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             prior = json.load(f)
@@ -113,7 +136,7 @@ def write_partitioned_parquet(
     tagged = ds.map_batches(
         _assign_partition,
         batch_format="pyarrow",
-        fn_kwargs={"key": key, "num_partitions": num_partitions},
+        fn_kwargs={"key": key, "num_partitions": num_partitions, "assign": assign},
     )
     if done:
         done_arr = np.array(sorted(done), dtype=np.int32)

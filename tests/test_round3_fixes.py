@@ -92,7 +92,7 @@ def test_export_meta_guard_rejects_changed_params(ray_session, tmp_path):
     )
     write_partitioned_parquet(ds, out, "k", num_partitions=4)
     with open(os.path.join(out, "_meta.json")) as f:
-        assert json.load(f) == {"key": "k", "num_partitions": 4}
+        assert json.load(f) == {"key": "k", "num_partitions": 4, "assign": "hash"}
     # simulate a crashed partition, then a resume with DIFFERENT modulus
     os.remove(os.path.join(out, "part=00001", "_DONE"))
     with pytest.raises(ValueError, match="resume parameter mismatch"):
