@@ -31,3 +31,7 @@ the merge key).
 """
 
 __version__ = "0.1.0"
+
+# Installs the targeted log filter for Ray's schema-less empty sort
+# blocks (see functions/blocks.py) — real schema drift still warns.
+from .functions import blocks as _blocks  # noqa: E402,F401

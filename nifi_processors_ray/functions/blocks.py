@@ -1,0 +1,68 @@
+"""Block-level result hygiene.
+
+Ray's all-to-all operators (sort, groupby) emit ZERO-COLUMN empty
+blocks for empty key ranges — an acknowledged Ray-internal workaround
+(``plan_udf_map_op.py``: "some all-to-all operators output empty blocks
+with no schema", which is also why ``map_batches`` skips the UDF on
+empty blocks, so no downstream stage can re-type them).  Those blocks
+then trigger "RefBundle with a different schema" warnings in every
+later exchange, masking real schema drift.
+
+:func:`compact_small_result` removes them at the one place it is safe:
+a result that is ALREADY small and being materialized anyway (a pair
+set, a token-budget fill, per-partition write receipts).  Never use it
+mid-pipeline on corpus-sized data — it materializes.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import pyarrow as pa
+import ray.data
+
+
+class _EmptyNewSchemaFilter(logging.Filter):
+    """Drop ONLY the schema-drift warning whose NEW schema is the empty
+    one (``new schema: .``) — that is Ray's own schema-less empty block
+    streaming out of a sort with empty key ranges.  Ray already skips
+    the warning when the OLD schema is empty
+    (``streaming_executor_state.py``: ``_is_empty_schema(old_schema)``)
+    but not the symmetric case; this completes that intent.  Real drift
+    (two non-empty schemas) still warns."""
+
+    def filter(self, record: logging.LogRecord) -> bool:  # pragma: no cover - trivial
+        msg = record.getMessage()
+        return not (
+            "RefBundle with a different schema" in msg
+            and "new schema: . This may lead" in msg
+        )
+
+
+logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptyNewSchemaFilter())
+
+
+def compact_small_result(
+    ds: ray.data.Dataset, schema: pa.Schema | None = None
+) -> ray.data.Dataset:
+    """Materialize a small result and rebuild it from its NON-EMPTY
+    blocks, dropping Ray's schema-less empties.
+
+    ``schema`` pins the output schema when every block is empty (the
+    all-empty dataset would otherwise keep a zero-column block and
+    downstream consumers would see no columns at all).
+    """
+    mat = ds.materialize()
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+    if not refs:
+        if schema is not None:
+            return ray.data.from_arrow(schema.empty_table())
+        return mat
+    return ray.data.from_arrow_refs(refs)

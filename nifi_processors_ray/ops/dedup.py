@@ -342,16 +342,17 @@ def _dedup_pairs(
     range partitions).  The result — the pair set itself — is tiny
     relative to the corpus, so it is materialized: that pins the output
     schema even when empty AND stops the caller's later ``count()`` /
-    consumption from re-executing the whole signature pipeline.
+    consumption from re-executing the whole signature pipeline.  The
+    materialize also drops Ray's schema-less empty sort blocks
+    (:func:`compact_small_result`) so downstream exchanges stay
+    schema-stable.
     """
-    out = (
-        checked_sort(ds, ["doc_a", "doc_b"])
-        .map_batches(_first_per_pair, batch_format="pyarrow", batch_size=None)
-        .materialize()
+    from ..functions.blocks import compact_small_result
+
+    out = checked_sort(ds, ["doc_a", "doc_b"]).map_batches(
+        _first_per_pair, batch_format="pyarrow", batch_size=None
     )
-    if out.count() == 0:
-        return ray.data.from_arrow(_pairs_schema(score_col, score_type).empty_table())
-    return out
+    return compact_small_result(out, _pairs_schema(score_col, score_type))
 
 
 def minhash_dup_pairs(
@@ -702,16 +703,19 @@ def jaccard_dup_pairs(
                 [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
             ).empty_table()
         )
+    from ..functions.blocks import compact_small_result
+
     idx_ref = ray.put(_membership_index(pair_tbl))
     sides = docs.map_batches(
         _emit_pair_sides, batch_format="pyarrow", fn_kwargs={"idx_ref": idx_ref}
     )
-    return checked_sort(sides, ["doc_a", "doc_b"]).map_batches(
+    verified = checked_sort(sides, ["doc_a", "doc_b"]).map_batches(
         _verify_pair_runs,
         batch_format="pyarrow",
         batch_size=None,
         fn_kwargs={"threshold": threshold, "k": k},
     )
+    return compact_small_result(verified, _pairs_schema("jaccard"))
 
 
 # ---------------------------------------------------------------------------

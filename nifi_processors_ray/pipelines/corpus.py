@@ -169,4 +169,20 @@ def training_mix(
         _budget_block, batch_format="pyarrow", batch_size=None,
         fn_kwargs={"budget": tokens_per_lang},
     )
+    # the language sort's empty ranges yield Ray's schema-less empty
+    # blocks; the result is budget-bounded (≤ n_langs × budget tokens),
+    # so compacting it is cheap and keeps every block schema-stable
+    from ..functions.blocks import compact_small_result
+
+    out = compact_small_result(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("lang_pred", pa.string()),
+                ("n_tokens", pa.int64()),
+                ("cum_tokens", pa.int64()),
+            ]
+        ),
+    )
     return out.sort("doc_id") if sort else out

@@ -148,15 +148,19 @@ def write_partitioned_parquet(
 
         tagged = tagged.map_batches(_drop_done, batch_format="pyarrow")
 
-    results = (
-        tagged.groupby(_PART_COL)
-        .map_groups(
-            _write_group,
-            batch_format="pyarrow",
-            fn_kwargs={"out_dir": out_dir, "sort_key": sort_key},
-        )
-        .take_all()
+    from .functions.blocks import compact_small_result
+
+    receipts = tagged.groupby(_PART_COL).map_groups(
+        _write_group,
+        batch_format="pyarrow",
+        fn_kwargs={"out_dir": out_dir, "sort_key": sort_key},
     )
+    # one tiny receipt row per partition; compacting drops the groupby
+    # sort's schema-less empty blocks before they hit the driver
+    results = compact_small_result(
+        receipts,
+        pa.schema([("partition", pa.int32()), ("rows", pa.int64())]),
+    ).take_all()
     # Hash partitions that received zero rows produce no group — mark them
     # done (marker only, no data file) so the next call's all-done fast
     # path is reachable and a resume never re-shuffles the dataset just to
