@@ -224,6 +224,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _text.lang_id,
         "doc_fingerprint": _text.doc_fingerprint,
         "token_counts": _text.token_counts,
+        # format surface: the SAME ops over JSONL/CSV round-trips of the
+        # documents table, checked against the parquet-derived oracles
+        "text_stats_jsonl": _text.text_stats_jsonl,
+        "token_counts_csv": _text.token_counts_csv,
         # deduplication
         "exact_dedup": _dedup.exact_dedup,
         "minhash_dup_pairs": lambda sf: _dedup.minhash_dup_pairs(
@@ -341,6 +345,8 @@ FROM _ch
         "jaccard_dup_pairs": _dedup.JACCARD_DUP_PAIRS_SQL,
         "text_stats": _text.TEXT_STATS_SQL,
         "token_counts": _text.TOKEN_COUNTS_SQL,
+        "text_stats_jsonl": _text.TEXT_STATS_SQL,
+        "token_counts_csv": _text.TOKEN_COUNTS_SQL,
         "lang_id": _text.LANG_ID_SQL,
         "exact_dedup": _dedup.EXACT_DEDUP_SQL,
         "knn_brute": _sim.KNN_BRUTE_SQL_TEMPLATE.format(n_queries=8, k=10),

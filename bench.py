@@ -98,20 +98,35 @@ def run_replay(n_events: int, num_cpus: int, trials: int = 1) -> dict:
     }
 
 
-def run_queries(sf_dir: str) -> dict[str, float]:
-    """Time every driver-contract query at sf_dir."""
+def run_queries(sf_dir: str, trials: int = 3) -> tuple[dict[str, float], dict[str, float]]:
+    """Time every driver-contract query at sf_dir.
+
+    Same trials-min protocol as the replay/scaling harness (round-2
+    verdict: the single-shot per-query numbers swung 2-3× with ambient
+    tenant load, making round-over-round comparison meaningless): each
+    query runs ``trials`` times, the FIRST run is reported separately as
+    the cold time (it includes any one-time work — worker warmup, the
+    CDC queries' shared replay, index builds) and the MIN of the rest is
+    the steady-state number.  Ambient load only ever slows a trial, so
+    min-of-rest is the least-contaminated sample.
+    """
     import __ray_entry__ as e
 
-    out: dict[str, float] = {}
+    steady: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in e.queries().items():
-        t0 = time.perf_counter()
-        res = fn(sf_dir)
-        # consume lazily-built Datasets so we time real execution
-        if hasattr(res, "count"):
-            res.count()
-        out[name] = round(time.perf_counter() - t0, 3)
-        _log(f"  query {name}: {out[name]}s")
-    return out
+        times = []
+        for _ in range(max(1, trials)):
+            t0 = time.perf_counter()
+            res = fn(sf_dir)
+            # consume lazily-built Datasets so we time real execution
+            if hasattr(res, "count"):
+                res.count()
+            times.append(time.perf_counter() - t0)
+        cold[name] = round(times[0], 3)
+        steady[name] = round(min(times[1:]) if len(times) > 1 else times[0], 3)
+        _log(f"  query {name}: steady {steady[name]}s (cold {cold[name]}s)")
+    return steady, cold
 
 
 def main_bench(args) -> dict:
@@ -135,23 +150,31 @@ def main_bench(args) -> dict:
         )
     try:
         _log(f"replaying {args.events} generated change events at num_cpus={num_cpus}")
+        load_start = os.getloadavg()[0]
         rep = run_replay(args.events, num_cpus, trials=args.trials)
         _log(f"  {rep['events_per_sec']} events/s ({rep['replay_sec']}s, trials={rep['trial_secs']})")
         queries = {}
+        queries_cold = {}
         if args.queries:
             sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-            queries = run_queries(sf_dir)
+            queries, queries_cold = run_queries(sf_dir, trials=args.query_trials)
+        # loadavg before/after makes a contaminated run self-identifying:
+        # this box carries 7-11 cores of ambient tenant load and numbers
+        # taken at loadavg ≳ num_cpus are not comparable across rounds
+        load_end = os.getloadavg()[0]
         return {
             "metric": "cdc_replay_to_converged_lake",
             "value": rep["replay_sec"],
             "unit": "sec",
             "queries": queries,
+            "queries_cold": queries_cold,
             "sf": os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/").rsplit("sf", 1)[-1],
             "num_cpus": num_cpus,
             "events": rep["events"],
             "events_per_sec": rep["events_per_sec"],
             "applied": rep["applied"],
             "rejected": rep["rejected"],
+            "loadavg": {"start": round(load_start, 1), "end": round(load_end, 1)},
         }
     finally:
         ray.shutdown()
@@ -200,6 +223,7 @@ def main_scaling(args) -> dict:
         "events": args.events,
         "throughput": {str(c): results[c]["events_per_sec"] for c in levels},
         "cpu_ratio": hi / lo,
+        "loadavg": {str(c): results[c].get("loadavg") for c in levels},
     }
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
@@ -240,6 +264,12 @@ def main() -> None:
     # startup + page cache, trial 2 is recorded), 5 per scaling child
     # (min-of-4 post-warmup on this noisy box).
     ap.add_argument("--trials", type=int, default=None)
+    ap.add_argument(
+        "--query-trials",
+        type=int,
+        default=3,
+        help="per-query trials: first reported as cold, min of the rest as steady",
+    )
     args = ap.parse_args()
     if not args.scaling and args.trials is None:
         args.trials = 2

@@ -102,6 +102,21 @@ def text_stats(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(text_stats_batch, batch_format="pyarrow").sort("doc_id")
 
 
+def text_stats_jsonl(sf_dir: str) -> ray.data.Dataset:
+    """:func:`text_stats` over a JSONL round-trip of the documents table —
+    the driver-facing proof of the format surface: same operator, same
+    parquet-derived SQL oracle, input arriving as multi-file ``.jsonl``."""
+    from ..sources.exports import DOCUMENTS_EXPORT_SCHEMA, documents_jsonl
+    from ..sources.reader import read_jsonl
+
+    ds = read_jsonl(
+        documents_jsonl(sf_dir),
+        schema=DOCUMENTS_EXPORT_SCHEMA,
+        columns=["doc_id", "text", "n_chars"],
+    )
+    return ds.map_batches(text_stats_batch, batch_format="pyarrow").sort("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # language identification (n-gram/stopword profile heuristic)
 # ---------------------------------------------------------------------------
@@ -283,3 +298,18 @@ def token_counts(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     )
     out = ds.map_batches(token_counts_batch, batch_format="pyarrow")
     return out.sort("doc_id") if sort else out
+
+
+def token_counts_csv(sf_dir: str) -> ray.data.Dataset:
+    """:func:`token_counts` over a CSV round-trip of the documents table —
+    the CSV leg of the format-surface proof (same parquet-derived SQL
+    oracle)."""
+    from ..sources.exports import DOCUMENTS_EXPORT_SCHEMA, documents_csv
+    from ..sources.reader import read_csv
+
+    ds = read_csv(
+        documents_csv(sf_dir),
+        schema=DOCUMENTS_EXPORT_SCHEMA,
+        columns=["doc_id", "text"],
+    )
+    return ds.map_batches(token_counts_batch, batch_format="pyarrow").sort("doc_id")

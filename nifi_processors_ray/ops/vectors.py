@@ -42,27 +42,27 @@ ORDER BY label, dim
 
 
 def _label_partials(batch: pa.Table) -> pa.Table:
+    """One (labels × dim) partial matrix per batch — fully vectorized:
+    labels are code-compressed once and ``np.add.at`` scatter-adds every
+    row into its label's accumulator (no per-label Python loop)."""
     n = batch.num_rows
     emb = np.asarray(
         batch.column("embedding").combine_chunks().flatten(), dtype=np.float64
     ).reshape(n, -1)
     q = np.floor(emb * QUANT).astype(np.int64)
     labels = np.asarray(batch.column("label"))
-    uniq = np.unique(labels)
+    uniq, codes = np.unique(labels, return_inverse=True)
     dim = q.shape[1]
-    out_label, out_dim, out_sum, out_n = [], [], [], []
-    for lab in uniq:
-        m = labels == lab
-        out_label.append(np.full(dim, lab))
-        out_dim.append(np.arange(1, dim + 1))  # 1-based like generate_subscripts
-        out_sum.append(q[m].sum(axis=0))
-        out_n.append(np.full(dim, int(m.sum())))
+    sums = np.zeros((len(uniq), dim), dtype=np.int64)
+    np.add.at(sums, codes, q)
+    counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
     return pa.table(
         {
-            "label": pa.array(np.concatenate(out_label).astype(np.int64)),
-            "dim": pa.array(np.concatenate(out_dim).astype(np.int64)),
-            "comp_sum": pa.array(np.concatenate(out_sum)),
-            "n_vecs": pa.array(np.concatenate(out_n).astype(np.int64)),
+            "label": pa.array(np.repeat(uniq.astype(np.int64), dim)),
+            # 1-based like generate_subscripts
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uniq))),
+            "comp_sum": pa.array(sums.reshape(-1)),
+            "n_vecs": pa.array(np.repeat(counts, dim)),
         }
     )
 

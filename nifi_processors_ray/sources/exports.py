@@ -1,0 +1,70 @@
+"""Deterministic JSONL / CSV exports of the ``documents`` table.
+
+The analysis operators accept parquet, JSONL and CSV interchangeably
+(``sources.reader``); these cached exports are the driver-facing proof:
+the SAME operator over a JSONL/CSV round-trip of ``documents.parquet``
+must match the parquet-derived SQL oracle bit for bit
+(``text_stats_jsonl`` / ``token_counts_csv`` in ``__ray_entry__``).
+
+Exports are cached under /tmp keyed on the source file's (path, mtime,
+size) — the same invalidation contract as the changelog and IVF-index
+caches — and written as MULTIPLE files so the read parallelizes like a
+real multi-file drop zone.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+DOCUMENTS_EXPORT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("text", pa.string()), ("n_chars", pa.int64())]
+)
+
+_EXPORT_COLUMNS = [f.name for f in DOCUMENTS_EXPORT_SCHEMA]
+
+
+def _export_documents(sf_dir: str, fmt: str, files: int = 4) -> list[str]:
+    """Export (once, cached) documents as ``files`` JSONL or CSV slices;
+    returns the file paths.  The ``_DONE`` marker commits the export —
+    a crashed half-write is rewritten from scratch."""
+    assert fmt in ("jsonl", "csv")
+    src = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{fmt}:{files}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"npr_docs_{fmt}_{tag}")
+    paths = [os.path.join(out, f"part-{i:04d}.{fmt}") for i in range(files)]
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return paths
+    os.makedirs(out, exist_ok=True)
+    tbl = pq.read_table(src, columns=_EXPORT_COLUMNS)
+    n = tbl.num_rows
+    per = (n + files - 1) // files
+    for i, path in enumerate(paths):
+        part = tbl.slice(i * per, per)
+        if fmt == "csv":
+            import pyarrow.csv as pa_csv
+
+            pa_csv.write_csv(part, path)
+        else:
+            # records-per-line JSON via pandas (escaped unicode + \n, so
+            # every record stays one physical line)
+            part.to_pandas().to_json(path, orient="records", lines=True)
+    with open(done, "w") as f:
+        f.write(str(n))
+    return paths
+
+
+def documents_jsonl(sf_dir: str) -> list[str]:
+    return _export_documents(sf_dir, "jsonl")
+
+
+def documents_csv(sf_dir: str) -> list[str]:
+    return _export_documents(sf_dir, "csv")
