@@ -104,6 +104,44 @@ def test_export_meta_guard_rejects_changed_params(ray_session, tmp_path):
     assert res["skipped"] == 3 and res["written"] == 1
 
 
+def test_cow_split_multifile_partitions_at_replay_scale(ray_session, tmp_path):
+    """A full-size replay epoch with target_rows_per_file small enough to
+    split every partition into several COW files: the manifest carries
+    multi-file partitions, _read_prior handles them, and the converged
+    state still equals the naive oracle fold (round-2 verdict #9 —
+    previously only covered at 2-partition unit scale)."""
+    from nifi_processors_ray.config import EngineConfig
+    from nifi_processors_ray.oracle import apply_changelog
+    from nifi_processors_ray.pipelines.replay import CdcEngine
+    from nifi_processors_ray.schema import CHANGELOG_SCHEMA, align_to_schema
+    from nifi_processors_ray.synth import write_generated_changelog
+
+    log = str(tmp_path / "log")
+    paths = write_generated_changelog(log, 200_000, files=8)
+    eng = CdcEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake"),
+            changelog_paths=(log,),
+            num_partitions=8,
+            salt_factor=2,
+            epoch_events=100_000,  # 2 epochs: the split files are re-READ + re-split
+            target_rows_per_file=1_000,
+        )
+    )
+    eng.replay()
+    man = eng.store.latest()
+    files_per_part = {p: len(fs) for p, fs in man.files.items() if fs}
+    assert len(files_per_part) == 8
+    assert min(files_per_part.values()) > 1, files_per_part  # every partition split
+    final = eng.final_state(sort=True).to_pandas().reset_index(drop=True)
+    oracle = apply_changelog(
+        pa.concat_tables(
+            align_to_schema(pq.read_table(p), CHANGELOG_SCHEMA) for p in paths
+        )
+    ).to_pandas().reset_index(drop=True)
+    assert len(final) == len(oracle) and final.equals(oracle)
+
+
 def test_colocation_guard_arms_on_unverified_ray(monkeypatch):
     monkeypatch.delenv(DBG.ENV_FLAG, raising=False)
     assert ray.__version__ in DBG.VERIFIED_RAY_VERSIONS  # this repo's pin
