@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents table, checked against the parquet-derived oracles
         "text_stats_jsonl": _text.text_stats_jsonl,
         "token_counts_csv": _text.token_counts_csv,
+        # corpus-wide vocabulary statistic (combiner-style aggregation)
+        "top_ngrams": _text.top_ngrams,
         # deduplication
         "exact_dedup": _dedup.exact_dedup,
         "minhash_dup_pairs": lambda sf: _dedup.minhash_dup_pairs(
@@ -240,6 +242,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _dedup.augmented_embeddings(sf)
         ),
         "jaccard_dup_pairs": lambda sf: _dedup.jaccard_dup_pairs(
+            _dedup.augmented_documents(sf)
+        ),
+        # connected components over the verified pair graph → keep/drop
+        "dedup_clusters": lambda sf: _dedup.dedup_clusters(
             _dedup.augmented_documents(sf)
         ),
         # similarity search (embeddings table)
@@ -343,6 +349,8 @@ FROM _ch
         # output is the exact shingle Jaccard, and the 32×2 candidate
         # banding has measured recall 1.0 on this corpus.
         "jaccard_dup_pairs": _dedup.JACCARD_DUP_PAIRS_SQL,
+        "dedup_clusters": _dedup.DEDUP_CLUSTERS_SQL,
+        "top_ngrams": _text.TOP_NGRAMS_SQL,
         "text_stats": _text.TEXT_STATS_SQL,
         "token_counts": _text.TOKEN_COUNTS_SQL,
         "text_stats_jsonl": _text.TEXT_STATS_SQL,

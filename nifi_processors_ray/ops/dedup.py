@@ -624,7 +624,7 @@ def _verify_pair_runs(block: pa.Table, threshold: float, k: int) -> pa.Table:
 # (P(miss) ≈ (1-j^2)^32 ≤ 1e-4 at j ≥ 0.5; measured recall 1.0 at
 # sf0.001 AND sf0.01 with bit-exact jaccard values).  So the twin checks
 # BOTH the exact verify kernel and the candidate generator's recall.
-JACCARD_DUP_PAIRS_SQL = f"""
+JACCARD_DUP_PAIRS_BODY = f"""
 WITH aug AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -652,8 +652,10 @@ j AS (
   JOIN sizes sa ON sa.doc_id = inter.doc_a
   JOIN sizes sb ON sb.doc_id = inter.doc_b
 )
-SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
 """
+
+JACCARD_DUP_PAIRS_SQL = JACCARD_DUP_PAIRS_BODY + "ORDER BY doc_a, doc_b\n"
 
 
 def jaccard_dup_pairs(
@@ -716,6 +718,87 @@ def jaccard_dup_pairs(
         fn_kwargs={"threshold": threshold, "k": k},
     )
     return compact_small_result(verified, _pairs_schema("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over the verified pair graph
+# ---------------------------------------------------------------------------
+
+# Exact twin: min-label transitive closure via a recursive CTE over the
+# same exact-jaccard pair graph (the pairs CTE is the full jaccard twin
+# body — DuckDB allows a WITH inside a CTE subquery).
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({JACCARD_DUP_PAIRS_BODY}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach(node, other) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.other
+)
+SELECT node AS doc_id, MIN(other) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+def _components_min_label(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Union-find over the pair edges; label = min doc id per component."""
+    ids = np.unique(np.concatenate([a, b]))
+    parent = np.arange(len(ids))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for u, v in zip(np.searchsorted(ids, a), np.searchsorted(ids, b)):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    roots = np.fromiter((find(i) for i in range(len(ids))), dtype=np.int64, count=len(ids))
+    # ids is sorted ascending, so the min index per root IS the min doc id;
+    # unioning toward the smaller root makes root == min index already,
+    # but resolve through ids[] rather than assuming it
+    labels = np.empty(len(ids), dtype=np.int64)
+    for r in np.unique(roots):
+        m = roots == r
+        labels[m] = ids[m].min()
+    return ids, labels
+
+
+def dedup_clusters(
+    docs: ray.data.Dataset, *, threshold: float = 0.5, k: int = 3, **jaccard_kw
+) -> ray.data.Dataset:
+    """Near-duplicate CLUSTERS: connected components of the exact-Jaccard
+    pair graph, labelled with the component's min doc id — the step that
+    turns pairwise dedup output into a keep/drop decision (keep each
+    cluster's canonical doc, drop the rest).
+
+    The component fold runs on the driver over pair IDS ONLY (union-find,
+    O(pairs·α), ~16 B/pair) — the same id-only driver footprint as the
+    jaccard membership index; document text never leaves the cluster
+    machines.  Documented scale assumption: the near-dup PAIR set is
+    small by LSH construction (candidates ≈ near-dups).
+    """
+    pairs = jaccard_dup_pairs(docs, threshold=threshold, k=k, **jaccard_kw)
+    tbl = pa.Table.from_pylist(
+        pairs.select_columns(["doc_a", "doc_b"]).take_all(),
+        schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
+    empty = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+    if tbl.num_rows == 0:
+        return ray.data.from_arrow(empty.empty_table())
+    ids, labels = _components_min_label(
+        np.asarray(tbl.column("doc_a")), np.asarray(tbl.column("doc_b"))
+    )
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "cluster_id": pa.array(labels)})
+    )
 
 
 # ---------------------------------------------------------------------------

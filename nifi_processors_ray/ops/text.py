@@ -300,6 +300,73 @@ def token_counts(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     return out.sort("doc_id") if sort else out
 
 
+# ---------------------------------------------------------------------------
+# corpus-wide n-gram statistics (vocab / collocation analysis)
+# ---------------------------------------------------------------------------
+
+TOP_NGRAMS_K = 20
+
+TOP_NGRAMS_SQL = f"""
+WITH toks AS (
+  SELECT str_split(lower(coalesce(text, '')), ' ') AS t FROM documents
+),
+ng AS (
+  SELECT array_to_string(list_slice(t, i, i + 1), ' ') AS ngram
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i)
+)
+SELECT ngram, COUNT(*) AS n
+FROM ng
+GROUP BY ngram
+ORDER BY n DESC, ngram
+LIMIT {TOP_NGRAMS_K}
+"""
+
+
+def _bigram_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch bigram counts: flat token array + one vectorized join of
+    adjacent tokens, masked at document boundaries, then an Arrow C++
+    hash-count.  The shuffle moves per-batch (ngram, n) partials — the
+    corpus-wide vocabulary never materializes in one place."""
+    text = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+    values, offsets = _token_lists(text)
+    nv = len(values)
+    if nv < 2:
+        return pa.table({"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    grams = pc.binary_join_element_wise(values.slice(0, nv - 1), values.slice(1), " ")
+    # position i pairs token i with i+1: valid iff both in the same doc,
+    # i.e. i+1 is not a document start offset
+    valid = np.ones(nv - 1, dtype=bool)
+    starts = offsets[1:-1]  # interior doc starts
+    valid[starts - 1] = False
+    g = (
+        pa.table({"ngram": grams.filter(pa.array(valid))})
+        .group_by(["ngram"])
+        .aggregate([([], "count_all")])
+    )
+    return pa.table(
+        {"ngram": g.column("ngram"), "n": g.column("count_all")}
+    )
+
+
+def top_ngrams(sf_dir: str, *, k: int = TOP_NGRAMS_K) -> ray.data.Dataset:
+    """Corpus-wide top-k bigrams by count — the vocabulary/collocation
+    statistic of a training-data pipeline, combiner-style: per-batch
+    Arrow hash-counts, ONE small groupby over partials, deterministic
+    (count desc, ngram asc) order."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["text"]
+    )
+    partials = ds.map_batches(_bigram_partials, batch_format="pyarrow")
+    return (
+        partials.groupby("ngram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "ngram"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def token_counts_csv(sf_dir: str) -> ray.data.Dataset:
     """:func:`token_counts` over a CSV round-trip of the documents table —
     the CSV leg of the format-surface proof (same parquet-derived SQL

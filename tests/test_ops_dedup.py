@@ -147,6 +147,26 @@ def test_jaccard_dup_pairs_exact_verification():
     assert len(planted) >= 0.8 * sum(1 for d in texts if d >= AUG_ID_OFFSET)
 
 
+def test_dedup_clusters_transitive_components():
+    """A chain a~b~c (a and c NOT directly similar enough is fine) must
+    fold into ONE cluster labelled by the min doc id."""
+    base = " ".join(f"w{i}" for i in range(40))
+    n1 = " ".join(f"w{i}" for i in range(40) if i != 3)
+    n2 = " ".join(f"w{i}" for i in range(40) if i not in (3, 17))
+    other = " ".join(f"z{i}" for i in range(40))
+    other2 = " ".join(f"z{i}" for i in range(40) if i != 9)
+    ds = _docs([base, n1, n2, other, other2])
+    got = D.dedup_clusters(ds).to_pandas().sort_values("doc_id")
+    assert list(got["doc_id"]) == [0, 1, 2, 3, 4]
+    assert list(got["cluster_id"]) == [0, 0, 0, 3, 3]
+
+
+def test_dedup_clusters_empty_on_no_pairs():
+    ds = D.dedup_clusters(_docs(["aa bb cc dd ee ff", "zz yy xx ww vv uu"]))
+    assert ds.count() == 0
+    assert ds.schema().names == ["doc_id", "cluster_id"]
+
+
 def test_jaccard_distributed_verify_multipair_and_null_text():
     """The distributed verify handles a doc in SEVERAL pairs (its text is
     emitted once per membership) and null text (treated as '')."""

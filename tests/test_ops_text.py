@@ -85,3 +85,31 @@ def test_fingerprint_full_table_unique_rate():
     out = T.doc_fingerprint(SF_DIR).to_pandas()
     # no duplicate texts in the corpus → no duplicate fingerprints
     assert out["fingerprint"].nunique() == len(out)
+
+
+def test_top_ngrams_hand_example(ray_session):
+    import ray.data
+
+    from nifi_processors_ray.ops.text import _bigram_partials
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                ["the cat sat", "the cat ran", "dog", None]  # 1-token + null docs
+            )
+        }
+    )
+    partial = _bigram_partials(t).to_pandas().set_index("ngram")["n"].to_dict()
+    # no cross-document bigrams ('sat the' must NOT appear), null → ''
+    assert partial == {"the cat": 2, "cat sat": 1, "cat ran": 1}
+
+
+def test_top_ngrams_matches_sql(con):
+    from nifi_processors_ray.ops.text import TOP_NGRAMS_SQL, top_ngrams
+
+    got = top_ngrams(SF_DIR).to_pandas()
+    want = con.sql(TOP_NGRAMS_SQL).df()
+    assert len(got) == len(want) == 20
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want[got.columns].reset_index(drop=True), check_dtype=False
+    )
