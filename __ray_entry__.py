@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_types": _ev.distinct_types,
         "events_sample": _ev.sample_events,
         "events_value_quantiles": _ev.value_quantiles,
+        "events_hopping_agg": _ev.hopping_agg,
         # relational primitives (broadcast lookup join, wide aggregation)
         "events_user_enrich": _rel.events_user_enrich,
         "lineitem_pricing_summary": _rel.lineitem_pricing_summary,
@@ -271,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": _joins.order_priority_revenue,
         "top_orders_per_cust": _joins.top_orders_per_cust,
         "quantity_band_counts": _joins.quantity_band_counts,
+        "customers_without_orders": _joins.customers_without_orders,
         "events_approx_users": _q_approx_users,
         # vector aggregation (embeddings table)
         "label_vector_sums": _vec.label_vector_sums,
@@ -366,6 +368,7 @@ FROM _ch
         "events_distinct_types": _ev.DISTINCT_TYPES_SQL,
         "events_sample": _ev.SAMPLE_SQL,
         "events_value_quantiles": _ev.VALUE_QUANTILES_SQL,
+        "events_hopping_agg": _ev.HOPPING_AGG_SQL,
         "events_user_enrich": _rel.EVENTS_USER_ENRICH_SQL,
         "lineitem_pricing_summary": _rel.LINEITEM_PRICING_SQL,
         "events_asof_order": _rel.EVENTS_ASOF_ORDER_SQL,
@@ -373,6 +376,7 @@ FROM _ch
         "order_priority_revenue": _joins.ORDER_PRIORITY_REVENUE_SQL,
         "top_orders_per_cust": _joins.TOP_ORDERS_PER_CUST_SQL,
         "quantity_band_counts": _joins.QUANTITY_BAND_COUNTS_SQL,
+        "customers_without_orders": _joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
         "training_mix": _corpus.TRAINING_MIX_SQL,

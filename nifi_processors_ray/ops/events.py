@@ -240,6 +240,74 @@ def window_agg(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# hopping (sliding) windows: 1-hour windows every 30 minutes
+# ---------------------------------------------------------------------------
+
+_HOP_US = _US_PER_HOUR // 2  # 30-min hop; window size = 2 hops
+
+HOPPING_AGG_SQL = f"""
+SELECT CAST(epoch_us(ts) // {_HOP_US} - k AS BIGINT) AS window_idx,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events, UNNEST([0, 1]) AS t(k)
+GROUP BY 1, 2
+ORDER BY window_idx, event_type
+"""
+
+
+def _hop_partials(batch: pa.Table) -> pa.Table:
+    """Overlapping-window fan-out: with size = 2×hop every event belongs
+    to EXACTLY two windows (indices ts//hop and ts//hop - 1), emitted via
+    one vectorized repeat/tile — then the per-batch Arrow hash-agg folds
+    the doubled rows back to (window, type) partials before the shuffle.
+    """
+    ts_us = np.asarray(batch.column("ts").cast(pa.int64()))
+    widx = ts_us // _HOP_US
+    n = len(widx)
+    rep = np.repeat(np.arange(n), 2)
+    k = np.tile(np.array([0, 1], dtype=np.int64), n)
+    take = pa.array(rep, pa.int64())
+    t = pa.table(
+        {
+            "window_idx": pa.array(widx[rep] - k),
+            "event_type": batch.column("event_type").take(take),
+            "value_cents": _cents(batch.column("value")).take(take),
+        }
+    )
+    g = t.group_by(["window_idx", "event_type"]).aggregate(
+        [("value_cents", "sum"), ([], "count_all")]
+    )
+    return pa.table(
+        {
+            "window_idx": g.column("window_idx"),
+            "event_type": g.column("event_type"),
+            "n_events": g.column("count_all"),
+            "value_cents": g.column("value_cents_sum"),
+        }
+    )
+
+
+def hopping_agg(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Hopping event-time windows (1 h long, every 30 min) × event type:
+    the overlapping-window streaming aggregate.  The fan-out (2× rows)
+    is folded per batch BEFORE the one small partial shuffle — the
+    exchange moves (window, type) partials, never the doubled events."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+    partials = ds.map_batches(_hop_partials, batch_format="pyarrow")
+    out = (
+        partials.groupby(["window_idx", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+    return out.sort(["window_idx", "event_type"]) if sort else out
+
+
+# ---------------------------------------------------------------------------
 
 def _sessionize_block(block: pa.Table) -> pa.Table:
     """Per-user sessions within a user-sorted block (co-located users)."""

@@ -245,6 +245,95 @@ def top_orders_per_cust(sf_dir: str, n_top: int = 3) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# anti-join (NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+ANTI_PRIORITY = "1-URGENT"
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = f"""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '{ANTI_PRIORITY}'
+)
+ORDER BY c_custkey
+"""
+
+
+def _anti_left_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("c_custkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "c_name": batch.column("c_name"),
+        }
+    )
+
+
+def _anti_right_keys(batch: pa.Table) -> pa.Table:
+    """Right side: filter (priority predicate pushed into the scan task),
+    then reduce to per-batch DISTINCT keys (the combiner: a key repeated
+    within a batch ships once through the exchange)."""
+    batch = batch.filter(pc.equal(batch.column("o_orderpriority"), ANTI_PRIORITY))
+    keys = pc.unique(batch.column("o_custkey").cast(pa.int64()).combine_chunks())
+    m = len(keys)
+    return pa.table(
+        {
+            "key": keys,
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "c_name": pa.nulls(m, pa.string()),
+        }
+    )
+
+
+def _anti_block(block: pa.Table) -> pa.Table:
+    """Keep left rows whose co-located key run contains NO right row."""
+    empty = pa.table(
+        {"c_custkey": pa.array([], pa.int64()), "c_name": pa.array([], pa.string())}
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
+    key = np.asarray(block.column("key"))
+    side = np.asarray(block.column("side"))
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    run_id = np.cumsum(new_run) - 1
+    n_runs = run_id[-1] + 1
+    has_right = np.zeros(n_runs, dtype=bool)
+    np.logical_or.at(has_right, run_id, side == 1)
+    keep = (side == 0) & ~has_right[run_id]
+    if not keep.any():
+        return empty
+    kept = block.filter(pa.array(keep))
+    return pa.table({"c_custkey": kept.column("key"), "c_name": kept.column("c_name")})
+
+
+def customers_without_orders(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """ANTI-join (NOT EXISTS): customers with no URGENT order — the
+    missing-side member of the join family.  Neither side broadcasts:
+    both key streams are co-partitioned through ONE sort exchange (right
+    side filtered then pre-deduped per batch, so the exchange moves ≤1
+    row per distinct right key per batch) and the block-local pass keeps
+    left rows whose run has no right row.  A semi-join is the same shape
+    with the keep mask flipped.
+    """
+    sf = sf_dir.rstrip("/")
+    left = read_parquet_clean(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(_anti_left_side, batch_format="pyarrow")
+    right = read_parquet_clean(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(_anti_right_keys, batch_format="pyarrow")
+    out = checked_sort(left.union(right), "key").map_batches(
+        _anti_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("c_custkey") if sort else out
+
+
+# ---------------------------------------------------------------------------
 # range (interval) join
 # ---------------------------------------------------------------------------
 

@@ -60,3 +60,29 @@ def test_topk_deterministic_tiebreak():
     # sorted by (-value_cents, user_id)
     v = list(zip(-out["value_cents"], out["user_id"]))
     assert v == sorted(v)
+
+
+def test_hopping_agg_each_event_in_two_windows(con):
+    got = EV.hopping_agg(SF_DIR).to_pandas()
+    want = con.sql(EV.HOPPING_AGG_SQL).df()
+    assert got["n_events"].sum() == 2 * con.sql("SELECT COUNT(*) FROM events").fetchone()[0]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want[got.columns].reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_hop_partials_hand_example():
+    from nifi_processors_ray.ops.events import _HOP_US, _hop_partials
+
+    t = pa.table(
+        {
+            "ts": pa.array([_HOP_US * 3 + 5, _HOP_US * 3 + 7], pa.timestamp("us")),
+            "event_type": pa.array(["x", "x"]),
+            "value": pa.array([1.0, 2.0]),
+        }
+    )
+    out = _hop_partials(t).to_pandas().sort_values("window_idx")
+    # both events fall in windows starting at hop index 2 and 3
+    assert list(out["window_idx"]) == [2, 3]
+    assert list(out["n_events"]) == [2, 2]
+    assert list(out["value_cents"]) == [300, 300]

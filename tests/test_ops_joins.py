@@ -81,3 +81,26 @@ def test_band_partials_edges():
     )
     out = {r["band"]: (r["n_rows"], r["price_cents"]) for r in J._band_partials(batch).to_pylist()}
     assert out == {"q1": (2, 300), "q2": (1, 400), "q4": (1, 800)}
+
+
+def test_anti_join_has_signal_at_test_sf(ray_session):
+    # SQL parity is covered by test_oracle_dtype_parity; here: the op
+    # actually returns a non-trivial anti set on the test corpus
+    got = J.customers_without_orders("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == 18  # customers with no URGENT order at sf0.001
+
+
+def test_anti_block_keeps_only_unmatched_left():
+    from nifi_processors_ray.ops.joins import _anti_block
+
+    block = pa.table(
+        {
+            "key": pa.array([1, 1, 2, 3, 3, 3, 4], pa.int64()),
+            "side": pa.array([0, 1, 0, 0, 0, 1, 1], pa.int8()),
+            "c_name": pa.array(["a", None, "b", "c", "c2", None, None]),
+        }
+    )
+    out = _anti_block(block).to_pandas()
+    # key 1: matched (dropped); key 2: no right row (kept); key 3: two
+    # left rows, matched (both dropped); key 4: right-only (nothing kept)
+    assert list(out["c_custkey"]) == [2] and list(out["c_name"]) == ["b"]
