@@ -16,7 +16,6 @@ imported: nothing here calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 from collections.abc import Callable
@@ -46,10 +45,11 @@ def _changelog_dir(sf_dir: str) -> str:
     The cache tag includes the source events.parquet's (mtime, size) so a
     REGENERATED events table invalidates the cache — keying on the path
     alone would silently replay a stale stream against an oracle computed
-    from the new data."""
+    from the new data (shared recipe: functions/filecache.source_tag)."""
+    from nifi_processors_ray.functions.filecache import source_tag
+
     src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    tag = hashlib.sha1(f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
+    tag = source_tag(src)
     out = os.path.join(tempfile.gettempdir(), f"npr_changelog_{tag}")
     write_changelog_from_events(sf_dir, out, files=4)
     return out

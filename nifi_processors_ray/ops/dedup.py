@@ -99,11 +99,16 @@ def _perturb_docs(batch: pa.Table) -> pa.Table:
     The ~7% drop rate keeps 3-shingle Jaccard ≈0.6-0.8 — inside the
     16×4 LSH S-curve's high-probability region, so planted pairs are
     reliably found (a heavier perturbation is a recall test, not a
-    dedup-correctness one)."""
+    dedup-correctness one).
+
+    Tokenization is the SINGLE-SPACE split (the engine-wide contract),
+    null-safe — so the SQL twin's aug CTE (``str_split(text, ' ')`` +
+    indexed ``list_filter``) reproduces the perturbed text byte-exactly
+    even on multi-space or null input."""
     ids = np.asarray(batch.column("doc_id"))
     sub = batch.filter(pa.array(ids % 10 == 0))
     texts = [
-        " ".join(t for i, t in enumerate(s.split()) if i % 15 != 7)
+        " ".join(t for i, t in enumerate((s or "").split(" ")) if i % 15 != 7)
         for s in sub.column("text").to_pylist()
     ]
     return pa.table(
@@ -277,7 +282,9 @@ def _pairs_blockwise(block: pa.Table, pair_fn, **kw) -> pa.Table:
     return pa.concat_tables(outs)
 
 
-def _bucket_pairs_minhash(group: pa.Table, threshold: float) -> pa.Table:
+def _bucket_pairs_minhash(
+    group: pa.Table, threshold: float, max_bucket: int | None = MAX_BUCKET
+) -> pa.Table:
     n = group.num_rows
     empty = pa.table(
         {
@@ -288,9 +295,9 @@ def _bucket_pairs_minhash(group: pa.Table, threshold: float) -> pa.Table:
     )
     if n < 2:
         return empty
-    if n > MAX_BUCKET:
-        group = _cap_bucket(group, "doc_id", MAX_BUCKET)
-        n = MAX_BUCKET
+    if max_bucket is not None and n > max_bucket:
+        group = _cap_bucket(group, "doc_id", max_bucket)
+        n = max_bucket
     ids = np.asarray(group.column("doc_id"))
     sig = np.asarray(group.column("sig").combine_chunks().flatten()).reshape(n, -1)
     ia, ib = np.triu_indices(n, k=1)
@@ -362,11 +369,17 @@ def minhash_dup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     bands=16 × rows=4 over 64 perms: P(candidate) ≈ 1-(1-j^4)^16 — the
     S-curve crosses ~0.5 around j≈0.4, steep by j≈0.6.
+
+    ``max_bucket`` deterministically caps degenerate buckets (ESTIMATOR
+    semantics, the default); pass ``None`` for EXACT candidate recall —
+    the work and output are then inherently quadratic in the largest
+    duplicate-cluster size, because the true pair set is.
     """
     rows = num_perms // bands
     sigs = docs.map_batches(
@@ -383,7 +396,11 @@ def minhash_dup_pairs(
         _pairs_blockwise,
         batch_format="pyarrow",
         batch_size=None,
-        fn_kwargs={"pair_fn": _bucket_pairs_minhash, "threshold": threshold},
+        fn_kwargs={
+            "pair_fn": _bucket_pairs_minhash,
+            "threshold": threshold,
+            "max_bucket": max_bucket,
+        },
     )
     return _dedup_pairs(pairs, "est_jaccard")
 
@@ -620,10 +637,12 @@ def _verify_pair_runs(block: pa.Table, threshold: float, k: int) -> pa.Table:
 # SQL twin of the DRIVER's jaccard_dup_pairs query (threshold 0.5, k=3
 # over the augmented corpus): exact all-pairs shingle Jaccard in DuckDB.
 # The engine output equals the ground truth iff LSH candidate recall is
-# 1.0 — which the 32×2 banding delivers deterministically on this corpus
-# (P(miss) ≈ (1-j^2)^32 ≤ 1e-4 at j ≥ 0.5; measured recall 1.0 at
-# sf0.001 AND sf0.01 with bit-exact jaccard values).  So the twin checks
-# BOTH the exact verify kernel and the candidate generator's recall.
+# 1.0 — the candidate stage's miss budget at j ≥ 0.5 is banding
+# (1-j²)^32 ≤ 1e-4 + estimate pre-filter Φ(-4.5) ≈ 3e-6, uncapped
+# buckets (max_bucket=None — a cap would silently drop pairs inside
+# >cap-sized duplicate clusters); measured recall 1.0 at sf0.001 AND
+# sf0.01 with bit-exact jaccard values.  So the twin checks BOTH the
+# exact verify kernel and the candidate generator's recall.
 JACCARD_DUP_PAIRS_BODY = f"""
 WITH aug AS (
   SELECT doc_id, text FROM documents
@@ -681,19 +700,30 @@ def jaccard_dup_pairs(
     materialize on the driver — at a 0.1% near-dup rate on a 100 TB
     corpus the old driver dict would have been ~100 GB in one object.
     """
-    # Candidate generation runs at a LOWERED estimate threshold (-3σ of
+    # Candidate generation runs at a LOWERED estimate threshold (-4.5σ of
     # the 64-perm estimator, σ = sqrt(t(1-t)/num_perms) ≈ 0.0625) so true
     # pairs sitting just above `threshold` are not discarded by estimate
     # noise before the exact verify can rule on them — only the exact
-    # Jaccard applies the real threshold.  shingle_k flows through so the
-    # candidate S-curve is calibrated to the SAME similarity being
-    # verified.  bands defaults to 32 (×2 rows over 64 perms) — steeper
-    # than the estimator op's 16×4: an EXACT op's candidate stage must
-    # not miss near-threshold pairs (16×4 misses ~35% at j=0.5; 32×2
-    # misses ≤1e-4), at the price of ~2× explode rows + more verify work.
-    cand_threshold = max(0.0, threshold - 0.19)
+    # Jaccard applies the real threshold.  Candidate-miss budget at
+    # j = threshold: banding (1-j²)^32 ≤ 1e-4 + estimate pre-filter
+    # Φ(-4.5) ≈ 3e-6 — both terms documented because the -3σ margin
+    # alone would dominate the banding bound (review finding).
+    # shingle_k flows through so the candidate S-curve is calibrated to
+    # the SAME similarity being verified.  bands defaults to 32 (×2 rows
+    # over 64 perms) — steeper than the estimator op's 16×4 (which
+    # misses ~35% at j=0.5), at the price of ~2× explode rows.
+    # max_bucket=None: an EXACT op may not cap degenerate buckets — the
+    # true pair set of a B-duplicate cluster IS C(B,2), so work/output
+    # are inherently quadratic in the largest cluster; run exact_dedup
+    # first on corpora with massive identical-text clusters.
+    cand_threshold = max(0.0, threshold - 0.28)
     cands = minhash_dup_pairs(
-        docs, threshold=cand_threshold, shingle_k=k, bands=bands, **minhash_kw
+        docs,
+        threshold=cand_threshold,
+        shingle_k=k,
+        bands=bands,
+        max_bucket=None,
+        **minhash_kw,
     )
     pair_tbl = pa.Table.from_pylist(
         cands.select_columns(["doc_a", "doc_b"]).take_all(),

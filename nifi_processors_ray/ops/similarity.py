@@ -204,9 +204,28 @@ def build_ivf_index(
     read 100% of the embeddings every time).  A crashed build resumes
     from the finished cells' ``_DONE`` markers.
     """
+    import json
+
     from ..sinks import write_partitioned_parquet
 
     os.makedirs(index_dir, exist_ok=True)
+    # Pin the build parameters: resuming an index_dir with different
+    # n_cells/sample/iters would silently serve the stale quantizer
+    # (same failure class as the sink's _meta.json guard)
+    meta_path = os.path.join(index_dir, "index_meta.json")
+    params = {"n_cells": n_cells, "sample": sample, "iters": iters}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prior = json.load(f)
+        if prior != params:
+            raise ValueError(
+                f"IVF index parameter mismatch for {index_dir}: built with "
+                f"{prior}, now requested {params} — rebuild into a fresh "
+                f"index_dir or finish with the original parameters"
+            )
+    else:
+        with open(meta_path, "w") as f:
+            json.dump(params, f)
     cent_path = os.path.join(index_dir, "centroids.npy")
     if os.path.exists(cent_path):
         cent = np.load(cent_path)
@@ -238,15 +257,12 @@ def _ivf_index_dir(sf_dir: str, n_cells: int) -> str:
     (path, mtime, size) like the changelog cache — a regenerated corpus
     invalidates the index.  Cheap no-op when already built (the sink's
     all-done fast path + the saved centroids)."""
-    import hashlib
     import tempfile
 
+    from ..functions.filecache import source_tag
+
     src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    st = os.stat(src)
-    tag = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}:"
-        f"{n_cells}:v{IVF_INDEX_VERSION}".encode()
-    ).hexdigest()[:12]
+    tag = source_tag(src, n_cells, f"v{IVF_INDEX_VERSION}")
     d = os.path.join(tempfile.gettempdir(), f"npr_ivf_{tag}")
     build_ivf_index(sf_dir, d, n_cells=n_cells)
     return d

@@ -14,12 +14,13 @@ real multi-file drop zone.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+from ..functions.filecache import source_tag
 
 DOCUMENTS_EXPORT_SCHEMA = pa.schema(
     [("doc_id", pa.int64()), ("text", pa.string()), ("n_chars", pa.int64())]
@@ -34,10 +35,7 @@ def _export_documents(sf_dir: str, fmt: str, files: int = 4) -> list[str]:
     a crashed half-write is rewritten from scratch."""
     assert fmt in ("jsonl", "csv")
     src = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
-    st = os.stat(src)
-    tag = hashlib.sha1(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{fmt}:{files}".encode()
-    ).hexdigest()[:12]
+    tag = source_tag(src, fmt, files)
     out = os.path.join(tempfile.gettempdir(), f"npr_docs_{fmt}_{tag}")
     paths = [os.path.join(out, f"part-{i:04d}.{fmt}") for i in range(files)]
     done = os.path.join(out, "_DONE")
@@ -49,14 +47,20 @@ def _export_documents(sf_dir: str, fmt: str, files: int = 4) -> list[str]:
     per = (n + files - 1) // files
     for i, path in enumerate(paths):
         part = tbl.slice(i * per, per)
+        # write-then-atomic-rename: a concurrent builder (pytest + bench
+        # on the same corpus) must never truncate a part file a reader
+        # that already saw _DONE is streaming; os.replace swaps inodes
+        # atomically and the reader keeps its old fd
+        tmp = f"{path}.tmp-{os.getpid()}"
         if fmt == "csv":
             import pyarrow.csv as pa_csv
 
-            pa_csv.write_csv(part, path)
+            pa_csv.write_csv(part, tmp)
         else:
             # records-per-line JSON via pandas (escaped unicode + \n, so
             # every record stays one physical line)
-            part.to_pandas().to_json(path, orient="records", lines=True)
+            part.to_pandas().to_json(tmp, orient="records", lines=True)
+        os.replace(tmp, path)
     with open(done, "w") as f:
         f.write(str(n))
     return paths

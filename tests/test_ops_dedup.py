@@ -147,6 +147,20 @@ def test_jaccard_dup_pairs_exact_verification():
     assert len(planted) >= 0.8 * sum(1 for d in texts if d >= AUG_ID_OFFSET)
 
 
+def test_exact_jaccard_uncapped_on_large_duplicate_cluster():
+    """Review regression: a duplicate cluster LARGER than MAX_BUCKET must
+    yield the full C(B,2) pair set from the EXACT op (max_bucket=None)
+    and a complete cluster — the estimator op stays capped by design."""
+    B = D.MAX_BUCKET + 16
+    texts = ["same exact text repeated here ok"] * B + ["something else entirely now"]
+    pairs = D.jaccard_dup_pairs(_docs(texts), threshold=0.5).to_pandas()
+    assert len(pairs) == B * (B - 1) // 2
+    clusters = D.dedup_clusters(_docs(texts)).to_pandas()
+    assert len(clusters) == B and clusters["cluster_id"].nunique() == 1
+    capped = D.minhash_dup_pairs(_docs(texts), threshold=0.5).to_pandas()
+    assert len(capped) <= D.MAX_BUCKET * (D.MAX_BUCKET - 1) // 2
+
+
 def test_dedup_clusters_transitive_components():
     """A chain a~b~c (a and c NOT directly similar enough is fine) must
     fold into ONE cluster labelled by the min doc id."""
