@@ -230,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_csv": _text.token_counts_csv,
         # corpus-wide vocabulary statistic (combiner-style aggregation)
         "top_ngrams": _text.top_ngrams,
+        # ReplaceText-style regex content transform
+        "text_redact": _text.text_redact,
         # deduplication
         "exact_dedup": _dedup.exact_dedup,
         "minhash_dup_pairs": lambda sf: _dedup.minhash_dup_pairs(
@@ -262,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sample": _ev.sample_events,
         "events_value_quantiles": _ev.value_quantiles,
         "events_hopping_agg": _ev.hopping_agg,
+        # per-user event-type pivot (ML feature matrix)
+        "events_type_pivot": _ev.type_pivot,
         # relational primitives (broadcast lookup join, wide aggregation)
         "events_user_enrich": _rel.events_user_enrich,
         "lineitem_pricing_summary": _rel.lineitem_pricing_summary,
@@ -353,6 +357,7 @@ FROM _ch
         "jaccard_dup_pairs": _dedup.JACCARD_DUP_PAIRS_SQL,
         "dedup_clusters": _dedup.DEDUP_CLUSTERS_SQL,
         "top_ngrams": _text.TOP_NGRAMS_SQL,
+        "text_redact": _text.TEXT_REDACT_SQL,
         "text_stats": _text.TEXT_STATS_SQL,
         "token_counts": _text.TOKEN_COUNTS_SQL,
         "text_stats_jsonl": _text.TEXT_STATS_SQL,
@@ -369,6 +374,7 @@ FROM _ch
         "events_sample": _ev.SAMPLE_SQL,
         "events_value_quantiles": _ev.VALUE_QUANTILES_SQL,
         "events_hopping_agg": _ev.HOPPING_AGG_SQL,
+        "events_type_pivot": _ev.TYPE_PIVOT_SQL,
         "events_user_enrich": _rel.EVENTS_USER_ENRICH_SQL,
         "lineitem_pricing_summary": _rel.LINEITEM_PRICING_SQL,
         "events_asof_order": _rel.EVENTS_ASOF_ORDER_SQL,

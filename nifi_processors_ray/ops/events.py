@@ -516,3 +516,64 @@ def distinct_types(sf_dir: str) -> ray.data.Dataset:
         .map_batches(per_block, batch_format="pyarrow", batch_size=None)
         .sort("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-user event-type pivot (feature matrix)
+# ---------------------------------------------------------------------------
+
+# Pivot columns are a FIXED domain (the pivot contract: output schema
+# cannot depend on data).  Types outside the domain still count toward
+# n_events (COUNT(*)), matching the SQL twin's FILTER semantics.
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+TYPE_PIVOT_SQL = (
+    "SELECT user_id,\n"
+    + ",\n".join(
+        f"       COUNT(*) FILTER (event_type = '{t}') AS n_{t}" for t in PIVOT_EVENT_TYPES
+    )
+    + ",\n       COUNT(*) AS n_events\n"
+    "FROM events\nGROUP BY user_id\nORDER BY user_id\n"
+)
+
+_PIVOT_DOMAIN = pa.array(PIVOT_EVENT_TYPES)
+
+
+def _pivot_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch pivoted partial: one row per distinct user in the batch,
+    one int64 count column per domain type.
+
+    The combiner is the pivot itself — the exchange ships
+    (users-in-batch × (K+2)) ints instead of raw event rows, so the
+    downstream groupby is over per-batch partials, never events."""
+    uid = batch.column("user_id").combine_chunks()
+    codes_u = uid.dictionary_encode()
+    u_idx = np.asarray(codes_u.indices)
+    users = codes_u.dictionary
+    n_users = len(users)
+    # domain code per row; nulls (= out-of-domain type) only count in n_events
+    t_idx = np.asarray(
+        pc.index_in(batch.column("event_type"), value_set=_PIVOT_DOMAIN)
+        .combine_chunks()
+        .fill_null(len(PIVOT_EVENT_TYPES))
+    )
+    counts = np.zeros((n_users, len(PIVOT_EVENT_TYPES) + 1), dtype=np.int64)
+    np.add.at(counts, (u_idx, t_idx), 1)
+    cols: dict = {"user_id": users}
+    for j, t in enumerate(PIVOT_EVENT_TYPES):
+        cols[f"n_{t}"] = pa.array(counts[:, j])
+    cols["n_events"] = pa.array(counts.sum(axis=1))
+    return pa.table(cols)
+
+
+def type_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Per-user event-type count pivot — the one-hot / feature-matrix
+    primitive of an ML feature pipeline, as pivoted per-batch partials
+    (vectorized 2-D scatter-add) + ONE small groupby-sum over users."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    partials = ds.map_batches(_pivot_partials, batch_format="pyarrow")
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in PIVOT_EVENT_TYPES]
+    aggs.append(Sum("n_events", alias_name="n_events"))
+    return partials.groupby("user_id").aggregate(*aggs).sort("user_id")

@@ -367,6 +367,56 @@ def top_ngrams(sf_dir: str, *, k: int = TOP_NGRAMS_K) -> ray.data.Dataset:
     )
 
 
+# ---------------------------------------------------------------------------
+# regex redaction (the reference's ReplaceText-style content transform)
+# ---------------------------------------------------------------------------
+
+# Stand-in sensitive-term pattern over the synthetic corpus (real
+# deployments swap in PII patterns — emails, phone runs).  Word-bounded
+# alternation keeps RE2 (pyarrow's and DuckDB's shared engine) exact on
+# both sides; the replacement is applied globally per document.
+REDACT_PATTERN = r"\b(customer|key)\b"
+REDACT_TOKEN = "[REDACTED]"
+
+TEXT_REDACT_SQL = rf"""
+SELECT doc_id,
+       regexp_replace(coalesce(text, ''), '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g')
+         AS redacted,
+       len(regexp_split_to_array(coalesce(text, ''), '{REDACT_PATTERN}')) - 1
+         AS n_redactions
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_redact_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → globally-redacted text + match count, all inside Arrow's
+    RE2 kernels (one compiled-regex pass each for replace and count — no
+    Python touches a string)."""
+    text = pc.fill_null(batch.column("text"), "")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "redacted": pc.replace_substring_regex(
+                text, pattern=REDACT_PATTERN, replacement=REDACT_TOKEN
+            ),
+            "n_redactions": pc.count_substring_regex(text, REDACT_PATTERN).cast(pa.int64()),
+        }
+    )
+
+
+def text_redact(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Regex content redaction — the reference's ReplaceText-style
+    per-record transform (`consumer/GetKinesisStream.java`'s per-record
+    projection role) as a stateless vectorized map: no shuffle, rows
+    stream straight through, scale cost is one RE2 scan per byte."""
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(text_redact_batch, batch_format="pyarrow")
+    return out.sort("doc_id") if sort else out
+
+
 def token_counts_csv(sf_dir: str) -> ray.data.Dataset:
     """:func:`token_counts` over a CSV round-trip of the documents table —
     the CSV leg of the format-surface proof (same parquet-derived SQL

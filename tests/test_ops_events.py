@@ -86,3 +86,30 @@ def test_hop_partials_hand_example():
     assert list(out["window_idx"]) == [2, 3]
     assert list(out["n_events"]) == [2, 2]
     assert list(out["value_cents"]) == [300, 300]
+
+
+def test_type_pivot_partials_hand_example():
+    batch = pa.table(
+        {
+            "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+            "event_type": pa.array(["click", "click", "mystery", "view"]),
+        }
+    )
+    out = EV._pivot_partials(batch).to_pandas().set_index("user_id")
+    assert out.loc[7, "n_click"] == 2
+    # out-of-domain type: no pivot column, but COUNT(*) still sees it
+    assert out.loc[7, "n_events"] == 3
+    assert int(out.loc[7, [f"n_{t}" for t in EV.PIVOT_EVENT_TYPES]].sum()) == 2
+    assert out.loc[9, "n_view"] == 1 and out.loc[9, "n_events"] == 1
+
+
+def test_type_pivot_matches_sql(con):
+    got = EV.type_pivot(SF_DIR).to_pandas()
+    want = con.sql(EV.TYPE_PIVOT_SQL).df()
+    a = got[sorted(got.columns)].reset_index(drop=True)
+    b = want[sorted(want.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # pivot columns decompose the total exactly (domain covers this corpus)
+    assert (
+        got[[f"n_{t}" for t in EV.PIVOT_EVENT_TYPES]].sum(axis=1) == got["n_events"]
+    ).all()

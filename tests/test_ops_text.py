@@ -113,3 +113,35 @@ def test_top_ngrams_matches_sql(con):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want[got.columns].reset_index(drop=True), check_dtype=False
     )
+
+
+def test_text_redact_hand_cases():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the fast customer key order",
+                    None,  # null text → empty doc, zero redactions
+                    "key keyring customerx customer",  # word boundaries only
+                    "no match here",
+                ]
+            ),
+        }
+    )
+    out = T.text_redact_batch(batch).to_pylist()
+    assert out[0]["redacted"] == "the fast [REDACTED] [REDACTED] order"
+    assert out[0]["n_redactions"] == 2
+    assert out[1] == {"doc_id": 1, "redacted": "", "n_redactions": 0}
+    # substrings of larger words survive; whole words at string edges match
+    assert out[2]["redacted"] == "[REDACTED] keyring customerx [REDACTED]"
+    assert out[2]["n_redactions"] == 2
+    assert out[3]["redacted"] == "no match here"
+    assert out[3]["n_redactions"] == 0
+
+
+def test_text_redact_matches_sql(con):
+    got = T.text_redact(SF_DIR).to_pandas()
+    want = con.sql(T.TEXT_REDACT_SQL).df()
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
+    assert (got["n_redactions"] > 0).any()  # the pattern actually fires
