@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (embeddings table)
         "knn_brute": _sim.knn_brute,
         "knn_ivf": _sim.knn_ivf,
+        "knn_range": _sim.knn_range,
         # multimodal binary plumbing
         "media_features": _mm.media_features,
         "media_frame_sample": _mm.media_frame_sample,
@@ -271,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": _rel.lineitem_pricing_summary,
         "events_asof_order": _rel.events_asof_order,
         "supplier_nation_rollup": _rel.supplier_nation_rollup,
+        # window function: cumulative sum per partition key
+        "orders_running_total": _rel.orders_running_total,
         # joins beyond broadcast: co-partitioned shuffle join, top-N per
         # group, range (interval) join
         "order_priority_revenue": _joins.order_priority_revenue,
@@ -365,6 +368,9 @@ FROM _ch
         "lang_id": _text.LANG_ID_SQL,
         "exact_dedup": _dedup.EXACT_DEDUP_SQL,
         "knn_brute": _sim.KNN_BRUTE_SQL_TEMPLATE.format(n_queries=8, k=10),
+        "knn_range": _sim.KNN_RANGE_SQL_TEMPLATE.format(
+            n_queries=8, tau=_sim.KNN_RANGE_TAU
+        ),
         "media_features": _mm.MEDIA_FEATURES_SQL,
         "media_frame_sample": _mm.MEDIA_FRAME_SAMPLE_SQL,
         "events_window_agg": _ev.WINDOW_AGG_SQL,
@@ -379,6 +385,7 @@ FROM _ch
         "lineitem_pricing_summary": _rel.LINEITEM_PRICING_SQL,
         "events_asof_order": _rel.EVENTS_ASOF_ORDER_SQL,
         "supplier_nation_rollup": _rel.SUPPLIER_NATION_ROLLUP_SQL,
+        "orders_running_total": _rel.ORDERS_RUNNING_TOTAL_SQL,
         "order_priority_revenue": _joins.ORDER_PRIORITY_REVENUE_SQL,
         "top_orders_per_cust": _joins.TOP_ORDERS_PER_CUST_SQL,
         "quantity_band_counts": _joins.QUANTITY_BAND_COUNTS_SQL,

@@ -336,3 +336,85 @@ def supplier_nation_rollup(sf_dir: str) -> ray.data.Dataset:
         )
         .sort(["region", "nation"])
     )
+
+
+# ---------------------------------------------------------------------------
+# running total (window function: cumulative sum per partition key)
+# ---------------------------------------------------------------------------
+
+ORDERS_RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_cents
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def _running_total_block(block: pa.Table) -> pa.Table:
+    """Per co-located customer run: order by (date, key), cumulative sum.
+
+    One global cumsum minus the value at each run's start — no per-group
+    Python, the window frame is pure numpy index arithmetic."""
+    empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "price_cents": pa.array([], pa.int64()),
+            "running_cents": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by(
+        [("o_custkey", "ascending"), ("o_orderdate", "ascending"), ("o_orderkey", "ascending")]
+    )
+    cust = np.asarray(block.column("o_custkey"))
+    cents = np.asarray(block.column("price_cents"))
+    cs = np.cumsum(cents)
+    new_run = np.concatenate([[True], cust[1:] != cust[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    base = (cs[starts] - cents[starts]).astype(np.int64)
+    running = cs - np.repeat(base, run_len)
+    return pa.table(
+        {
+            "o_custkey": block.column("o_custkey"),
+            "o_orderkey": block.column("o_orderkey"),
+            "price_cents": block.column("price_cents"),
+            "running_cents": pa.array(running),
+        }
+    )
+
+
+def orders_running_total(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Cumulative order value per customer over time — the window-function
+    primitive (``SUM() OVER (PARTITION BY ... ORDER BY ...)``): ONE sort
+    exchange on the PARTITION key alone (full-tuple co-location rule),
+    frame order and the cumsum established block-locally, vectorized."""
+    from ..functions.debug import checked_sort
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        p = np.asarray(b.column("o_totalprice"), dtype=np.float64)
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey").cast(pa.int64()),
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "o_orderdate": b.column("o_orderdate"),
+                "price_cents": pa.array(np.floor(p * 100).astype(np.int64)),
+            }
+        )
+
+    out = checked_sort(ds.map_batches(project, batch_format="pyarrow"), "o_custkey").map_batches(
+        _running_total_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort(["o_custkey", "o_orderkey"]) if sort else out

@@ -326,3 +326,62 @@ def knn_ivf(
         _partial_topk, batch_format="pyarrow", fn_kwargs={"q_ref": q_ref, "k": k}
     )
     return _reduce_topk(pa.Table.from_pylist(partials.take_all()), k)
+
+
+# ---------------------------------------------------------------------------
+# radius (range) search — all neighbors within a cosine threshold
+# ---------------------------------------------------------------------------
+
+KNN_RANGE_TAU = 0.35
+
+KNN_RANGE_SQL_TEMPLATE = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}
+)
+SELECT q.qid AS query_id, e.vec_id AS neighbor_id
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> q.qid
+  AND list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) >= {tau}
+ORDER BY query_id, neighbor_id
+"""
+
+
+def _partial_range(batch: pa.Table, q_ref, tau: float) -> pa.Table:
+    """Emit every (query, neighbor) pair in this batch with sim >= tau.
+
+    Pure filter semantics — unlike top-k there is no cross-batch reduce
+    at all: each batch's qualifying pairs are final, so the op is one
+    embarrassingly-parallel map with a tiny output.  Threshold-membership
+    determinism vs the SQL twin: the corpus' minimum |sim − tau| margin
+    (asserted ≥1e-5 in tests) is ~10 orders above the float64
+    summation-order divergence between numpy and DuckDB."""
+    qids, qm = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+    ids = np.asarray(batch.column("vec_id"))
+    emb = _normalize(_to_matrix(batch))
+    sims = emb @ qm.T  # (batch, Q)
+    sims[ids[:, None] == qids[None, :]] = -np.inf  # self-matches out
+    rows, cols = np.nonzero(sims >= tau)
+    return pa.table(
+        {
+            "query_id": pa.array(qids[cols].astype(np.int64)),
+            "neighbor_id": pa.array(ids[rows].astype(np.int64)),
+        }
+    )
+
+
+def knn_range(
+    sf_dir: str, *, tau: float = KNN_RANGE_TAU, n_queries: int = 8, sort: bool = True
+) -> ray.data.Dataset:
+    """All neighbors within cosine radius ``tau`` of each query vector —
+    the fixed-radius companion to :func:`knn_brute`: broadcast query
+    matrix (``ray.put`` once), one matmul + threshold filter per batch,
+    no shuffle of the corpus, output is only the qualifying pairs."""
+    qids, qm = load_queries(sf_dir, n_queries)
+    q_ref = ray.put((qids, qm))
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = ds.map_batches(
+        _partial_range, batch_format="pyarrow", fn_kwargs={"q_ref": q_ref, "tau": tau}
+    )
+    return out.sort(["query_id", "neighbor_id"]) if sort else out

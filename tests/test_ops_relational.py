@@ -69,3 +69,27 @@ def test_lookup_left_join_nulls_on_miss():
     batch = pa.table({"user_id": pa.array([2, 99, 1], pa.int64())})
     out = R._lookup_batch(batch, dim, key="user_id", cols=["name"]).to_pylist()
     assert [r["name"] for r in out] == ["two", None, "one"]
+
+
+def test_running_total_block_hand_example():
+    import numpy as np
+
+    # two customers interleaved, dates out of order within the block
+    block = pa.table(
+        {
+            "o_custkey": pa.array([2, 1, 2, 1], pa.int64()),
+            "o_orderkey": pa.array([40, 10, 30, 20], pa.int64()),
+            "o_orderdate": pa.array(
+                np.array([300, 100, 200, 150], dtype="datetime64[us]")
+            ),
+            "price_cents": pa.array([5, 7, 11, 13], pa.int64()),
+        }
+    )
+    out = R._running_total_block(block).to_pandas().set_index("o_orderkey")
+    # cust 1: key 10 (t=100) -> 7, key 20 (t=150) -> 7+13
+    assert out.loc[10, "running_cents"] == 7
+    assert out.loc[20, "running_cents"] == 20
+    # cust 2: key 30 (t=200) -> 11, key 40 (t=300) -> 11+5; cust 1's sum
+    # never leaks into cust 2's frame
+    assert out.loc[30, "running_cents"] == 11
+    assert out.loc[40, "running_cents"] == 16

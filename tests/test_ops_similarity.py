@@ -85,3 +85,30 @@ def test_ivf_index_build_is_resumable(tmp_path):
     os.remove(os.path.join(idx, "cells", victim, "_DONE"))
     second = S.build_ivf_index(SF_DIR, idx, n_cells=8)
     assert second["written"] == 1 and second["skipped"] == 7
+
+
+def test_knn_range_margin_and_brute_equivalence():
+    """The threshold sits ≥1e-5 from every actual similarity (so numpy-
+    vs-DuckDB float summation order can never flip membership), and the
+    distributed result equals the single-matrix brute force."""
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(f"{SF_DIR}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl.column("vec_id"))
+    m = S._normalize(S._to_matrix(tbl))
+    qids, qm = S.load_queries(SF_DIR, 8)
+    sims = m @ qm.T
+    sims[ids[:, None] == qids[None, :]] = -np.inf
+    finite = np.isfinite(sims)
+    assert np.abs(sims[finite] - S.KNN_RANGE_TAU).min() >= 1e-5
+
+    rows, cols = np.nonzero(sims >= S.KNN_RANGE_TAU)
+    want = sorted(zip(qids[cols].tolist(), ids[rows].tolist()))
+    got = [
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_range(SF_DIR).to_pandas().to_dict("records")
+    ]
+    assert got == want
+    assert len(got) > 0  # the radius actually captures pairs on this corpus
