@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_users": _ev.topk_users,
         "events_distinct_types": _ev.distinct_types,
         "events_sample": _ev.sample_events,
+        "events_stratified_sample": _ev.stratified_sample,
         "events_value_quantiles": _ev.value_quantiles,
         "events_hopping_agg": _ev.hopping_agg,
         # per-user event-type pivot (ML feature matrix)
@@ -274,12 +275,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_rollup": _rel.supplier_nation_rollup,
         # window function: cumulative sum per partition key
         "orders_running_total": _rel.orders_running_total,
+        # ROLLUP grouping sets + calendar bucketing
+        "pricing_rollup": _rel.pricing_rollup,
+        "orders_monthly_volume": _rel.orders_monthly_volume,
         # joins beyond broadcast: co-partitioned shuffle join, top-N per
         # group, range (interval) join
         "order_priority_revenue": _joins.order_priority_revenue,
         "top_orders_per_cust": _joins.top_orders_per_cust,
         "quantity_band_counts": _joins.quantity_band_counts,
         "customers_without_orders": _joins.customers_without_orders,
+        "customers_with_urgent_orders": _joins.customers_with_urgent_orders,
         "events_approx_users": _q_approx_users,
         # vector aggregation (embeddings table)
         "label_vector_sums": _vec.label_vector_sums,
@@ -378,6 +383,7 @@ FROM _ch
         "events_topk_users": _ev.TOPK_USERS_SQL,
         "events_distinct_types": _ev.DISTINCT_TYPES_SQL,
         "events_sample": _ev.SAMPLE_SQL,
+        "events_stratified_sample": _ev.STRATIFIED_SAMPLE_SQL,
         "events_value_quantiles": _ev.VALUE_QUANTILES_SQL,
         "events_hopping_agg": _ev.HOPPING_AGG_SQL,
         "events_type_pivot": _ev.TYPE_PIVOT_SQL,
@@ -386,10 +392,13 @@ FROM _ch
         "events_asof_order": _rel.EVENTS_ASOF_ORDER_SQL,
         "supplier_nation_rollup": _rel.SUPPLIER_NATION_ROLLUP_SQL,
         "orders_running_total": _rel.ORDERS_RUNNING_TOTAL_SQL,
+        "pricing_rollup": _rel.PRICING_ROLLUP_SQL,
+        "orders_monthly_volume": _rel.ORDERS_MONTHLY_VOLUME_SQL,
         "order_priority_revenue": _joins.ORDER_PRIORITY_REVENUE_SQL,
         "top_orders_per_cust": _joins.TOP_ORDERS_PER_CUST_SQL,
         "quantity_band_counts": _joins.QUANTITY_BAND_COUNTS_SQL,
         "customers_without_orders": _joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "customers_with_urgent_orders": _joins.CUSTOMERS_WITH_URGENT_ORDERS_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
         "training_mix": _corpus.TRAINING_MIX_SQL,

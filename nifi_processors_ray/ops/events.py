@@ -577,3 +577,47 @@ def type_pivot(sf_dir: str) -> ray.data.Dataset:
     aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in PIVOT_EVENT_TYPES]
     aggs.append(Sum("n_events", alias_name="n_events"))
     return partials.groupby("user_id").aggregate(*aggs).sort("user_id")
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling (per-stratum deterministic rates)
+# ---------------------------------------------------------------------------
+
+# Per-event-type sample percentages: rare classes kept at high rates,
+# dominant ones decimated — the class-rebalancing sampler of a training
+# pipeline.  Types outside the map are dropped (rate 0).
+STRATA_RATES = (("click", 2), ("error", 50), ("purchase", 50), ("signup", 20), ("view", 5))
+
+STRATIFIED_SAMPLE_SQL = (
+    "SELECT event_id, user_id, event_type, value\n"
+    "FROM events\n"
+    "WHERE (CAST(event_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296 % 100 <\n"
+    "  CASE event_type\n"
+    + "".join(f"    WHEN '{t}' THEN {r}\n" for t, r in STRATA_RATES)
+    + "    ELSE 0 END\nORDER BY event_id\n"
+)
+
+_STRATA_TYPES = pa.array([t for t, _ in STRATA_RATES])
+_STRATA_PCTS = np.array([r for _, r in STRATA_RATES], dtype=np.int64)
+
+
+def stratified_sample(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Deterministic per-stratum sampling: the same Knuth multiplicative
+    hash as :func:`sample_events`, but the keep threshold is looked up
+    per event_type — one ``index_in`` + one compare per batch, sampled-out
+    rows never leave the scan task."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b.column("event_id")).astype(np.uint64) % np.uint64(4294967296)
+        bucket = (eid * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(100)
+        t_idx = np.asarray(
+            pc.index_in(b.column("event_type"), value_set=_STRATA_TYPES)
+            .combine_chunks()
+            .fill_null(len(_STRATA_PCTS))
+        )
+        rates = np.concatenate([_STRATA_PCTS, [0]])[t_idx]
+        return b.filter(pa.array(bucket.astype(np.int64) < rates))
+
+    out = ds.map_batches(pick, batch_format="pyarrow")
+    return out.sort("event_id") if sort else out

@@ -288,8 +288,10 @@ def _anti_right_keys(batch: pa.Table) -> pa.Table:
     )
 
 
-def _anti_block(block: pa.Table) -> pa.Table:
-    """Keep left rows whose co-located key run contains NO right row."""
+def _exists_block(block: pa.Table, want_right: bool) -> pa.Table:
+    """Keep left rows by run-level EXISTS: anti-join (``want_right=False``,
+    the run contains NO right row) or semi-join (``want_right=True``, it
+    contains at least one) — the same one-pass mask, flipped."""
     empty = pa.table(
         {"c_custkey": pa.array([], pa.int64()), "c_name": pa.array([], pa.string())}
     )
@@ -304,11 +306,15 @@ def _anti_block(block: pa.Table) -> pa.Table:
     n_runs = run_id[-1] + 1
     has_right = np.zeros(n_runs, dtype=bool)
     np.logical_or.at(has_right, run_id, side == 1)
-    keep = (side == 0) & ~has_right[run_id]
+    keep = (side == 0) & (has_right[run_id] if want_right else ~has_right[run_id])
     if not keep.any():
         return empty
     kept = block.filter(pa.array(keep))
     return pa.table({"c_custkey": kept.column("key"), "c_name": kept.column("c_name")})
+
+
+def _anti_block(block: pa.Table) -> pa.Table:
+    return _exists_block(block, want_right=False)
 
 
 def customers_without_orders(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
@@ -329,6 +335,36 @@ def customers_without_orders(sf_dir: str, *, sort: bool = True) -> ray.data.Data
     ).map_batches(_anti_right_keys, batch_format="pyarrow")
     out = checked_sort(left.union(right), "key").map_batches(
         _anti_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("c_custkey") if sort else out
+
+
+CUSTOMERS_WITH_URGENT_ORDERS_SQL = f"""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '{ANTI_PRIORITY}'
+)
+ORDER BY c_custkey
+"""
+
+
+def customers_with_urgent_orders(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """SEMI-join (EXISTS): customers holding at least one URGENT order —
+    the same co-partitioned one-sort pipeline as the anti-join with the
+    run-level mask flipped (and the same scale properties: right side
+    pre-deduped per batch, left rows never duplicated by multiplicity)."""
+    sf = sf_dir.rstrip("/")
+    left = read_parquet_clean(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(_anti_left_side, batch_format="pyarrow")
+    right = read_parquet_clean(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(_anti_right_keys, batch_format="pyarrow")
+    out = checked_sort(left.union(right), "key").map_batches(
+        _exists_block, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"want_right": True},
     )
     return out.sort("c_custkey") if sort else out
 

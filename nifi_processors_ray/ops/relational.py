@@ -418,3 +418,166 @@ def orders_running_total(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         _running_total_block, batch_format="pyarrow", batch_size=None
     )
     return out.sort(["o_custkey", "o_orderkey"]) if sort else out
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP (grouping sets): subtotals + grand total in one pass
+# ---------------------------------------------------------------------------
+
+PRICING_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+
+def pricing_rollup(sf_dir: str) -> pa.Table:
+    """``GROUP BY ROLLUP(flag, status)`` — hierarchical subtotals.
+
+    The scale shape: the finest level is a normal distributed
+    partial-aggregate (per-batch combiners, one tiny shuffle); the
+    coarser levels (per-flag subtotals, grand total) are then derived
+    from the ≤|flag×status| base rows — never from the data — so rollup
+    costs exactly one pass regardless of depth.  Base rows are bounded
+    by group cardinality, so the driver-side derivation is O(groups),
+    not O(rows)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        qty = pc.cast(
+            pc.floor(pc.multiply(pc.cast(b.column("l_quantity"), pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": b.column("l_returnflag"),
+                    "l_linestatus": b.column("l_linestatus"),
+                    "qty_cents": qty,
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty_cents", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "n_rows": g.column("count_all"),
+                "qty_cents": g.column("qty_cents_sum"),
+            }
+        )
+
+    base = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("qty_cents", alias_name="qty_cents"),
+        )
+        .take_all()
+    )
+    base_t = pa.Table.from_pylist(
+        base,
+        schema=pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("n_rows", pa.int64()),
+                ("qty_cents", pa.int64()),
+            ]
+        ),
+    )
+    # subtotal level: per flag (status → NULL)
+    sub = base_t.group_by(["l_returnflag"]).aggregate(
+        [("n_rows", "sum"), ("qty_cents", "sum")]
+    )
+    sub_t = pa.table(
+        {
+            "l_returnflag": sub.column("l_returnflag"),
+            "l_linestatus": pa.nulls(sub.num_rows, pa.string()),
+            "n_rows": sub.column("n_rows_sum"),
+            "qty_cents": sub.column("qty_cents_sum"),
+        }
+    )
+    # grand total (both → NULL)
+    tot_t = pa.table(
+        {
+            "l_returnflag": pa.nulls(1, pa.string()),
+            "l_linestatus": pa.nulls(1, pa.string()),
+            "n_rows": pa.array([int(pc.sum(base_t.column("n_rows")).as_py() or 0)], pa.int64()),
+            "qty_cents": pa.array(
+                [int(pc.sum(base_t.column("qty_cents")).as_py() or 0)], pa.int64()
+            ),
+        }
+    )
+    out = pa.concat_tables([base_t, sub_t, tot_t])
+    return out.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# calendar bucketing (date_trunc-style aggregation)
+# ---------------------------------------------------------------------------
+
+ORDERS_MONTHLY_VOLUME_SQL = """
+SELECT CAST(date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate) - 1
+            AS BIGINT) AS month_idx,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY month_idx
+ORDER BY month_idx
+"""
+
+
+def orders_monthly_volume(sf_dir: str) -> ray.data.Dataset:
+    """Order volume per calendar month — the ``date_trunc`` surface.
+    Months become integer indexes (year*12 + month − 1) so grouping keys
+    are dense ints on both sides; per-batch partials mean only ≤months
+    rows per batch ever reach the shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        month_idx = pc.add(
+            pc.multiply(pc.cast(pc.year(d), pa.int64()), 12),
+            pc.subtract(pc.cast(pc.month(d), pa.int64()), 1),
+        )
+        cents = pc.cast(
+            pc.floor(pc.multiply(pc.cast(b.column("o_totalprice"), pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"month_idx": month_idx, "total_cents": cents})
+            .group_by(["month_idx"])
+            .aggregate([("total_cents", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "month_idx": g.column("month_idx"),
+                "n_orders": g.column("count_all"),
+                "total_cents": g.column("total_cents_sum"),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("month_idx")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .sort("month_idx")
+    )

@@ -113,3 +113,19 @@ def test_type_pivot_matches_sql(con):
     assert (
         got[[f"n_{t}" for t in EV.PIVOT_EVENT_TYPES]].sum(axis=1) == got["n_events"]
     ).all()
+
+
+def test_stratified_sample_respects_rates(con):
+    got = EV.stratified_sample(SF_DIR).to_pandas()
+    # every surviving row satisfies its stratum's hash threshold
+    rates = dict(EV.STRATA_RATES)
+    eid = got["event_id"].to_numpy().astype(np.uint64) % np.uint64(4294967296)
+    bucket = (eid * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(100)
+    thresh = got["event_type"].map(rates).to_numpy()
+    assert (bucket.astype(np.int64) < thresh).all()
+    # rare strata keep a larger share than decimated ones on this corpus
+    full = con.sql("SELECT event_type, COUNT(*) n FROM events GROUP BY 1").df()
+    kept = got.groupby("event_type").size()
+    share = (kept / full.set_index("event_type")["n"]).dropna()
+    if {"error", "click"} <= set(share.index):
+        assert share["error"] > share["click"]

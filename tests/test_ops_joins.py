@@ -104,3 +104,20 @@ def test_anti_block_keeps_only_unmatched_left():
     # key 1: matched (dropped); key 2: no right row (kept); key 3: two
     # left rows, matched (both dropped); key 4: right-only (nothing kept)
     assert list(out["c_custkey"]) == [2] and list(out["c_name"]) == ["b"]
+
+
+def test_exists_block_semi_vs_anti_partition():
+    """Semi and anti masks over the same block partition the left rows."""
+    block = pa.table(
+        {
+            "key": pa.array([1, 1, 2, 3, 3], pa.int64()),
+            "side": pa.array([0, 1, 0, 0, 1], pa.int8()),
+            "c_name": pa.array(["a", None, "b", "c", None], pa.string()),
+        }
+    )
+    semi = J._exists_block(block, want_right=True).to_pydict()
+    anti = J._exists_block(block, want_right=False).to_pydict()
+    assert semi["c_custkey"] == [1, 3]  # keys whose run has a right row
+    assert anti["c_custkey"] == [2]
+    n_left = 3
+    assert len(semi["c_custkey"]) + len(anti["c_custkey"]) == n_left

@@ -93,3 +93,31 @@ def test_running_total_block_hand_example():
     # never leaks into cust 2's frame
     assert out.loc[30, "running_cents"] == 11
     assert out.loc[40, "running_cents"] == 16
+
+
+def test_pricing_rollup_levels_consistent(con):
+    out = R.pricing_rollup(SF_DIR).to_pandas()
+    base = out.dropna(subset=["l_returnflag", "l_linestatus"])
+    subs = out[out["l_returnflag"].notna() & out["l_linestatus"].isna()]
+    total = out[out["l_returnflag"].isna() & out["l_linestatus"].isna()]
+    # each subtotal equals the sum of its base rows; grand total sums all
+    for _, s in subs.iterrows():
+        sel = base[base["l_returnflag"] == s["l_returnflag"]]
+        assert s["n_rows"] == sel["n_rows"].sum()
+        assert s["qty_cents"] == sel["qty_cents"].sum()
+    assert len(total) == 1
+    assert total.iloc[0]["n_rows"] == base["n_rows"].sum()
+    want = con.sql(R.PRICING_ROLLUP_SQL).df()
+    assert len(out) == len(want)
+
+
+def test_orders_monthly_volume_matches_sql(con):
+    got = R.orders_monthly_volume(SF_DIR).to_pandas()
+    want = con.sql(R.ORDERS_MONTHLY_VOLUME_SQL).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].reset_index(drop=True),
+        want[sorted(want.columns)].reset_index(drop=True),
+        check_dtype=False,
+    )
+    # month indexes are contiguous-ish calendar ints, not timestamps
+    assert got["month_idx"].between(1960 * 12, 2100 * 12).all()
