@@ -285,6 +285,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_band_counts": _joins.quantity_band_counts,
         "customers_without_orders": _joins.customers_without_orders,
         "customers_with_urgent_orders": _joins.customers_with_urgent_orders,
+        # set operation (INTERSECT) + frame-bounded window functions
+        "active_customer_ids": _joins.active_customer_ids,
+        "events_moving_sum": _ev.moving_sum,
         "events_approx_users": _q_approx_users,
         # vector aggregation (embeddings table)
         "label_vector_sums": _vec.label_vector_sums,
@@ -399,6 +402,8 @@ FROM _ch
         "quantity_band_counts": _joins.QUANTITY_BAND_COUNTS_SQL,
         "customers_without_orders": _joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "customers_with_urgent_orders": _joins.CUSTOMERS_WITH_URGENT_ORDERS_SQL,
+        "active_customer_ids": _joins.ACTIVE_CUSTOMER_IDS_SQL,
+        "events_moving_sum": _ev.MOVING_SUM_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
         "training_mix": _corpus.TRAINING_MIX_SQL,

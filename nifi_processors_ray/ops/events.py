@@ -621,3 +621,87 @@ def stratified_sample(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
 
     out = ds.map_batches(pick, batch_format="pyarrow")
     return out.sort("event_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# frame-bounded window: moving sum + lag delta per user
+# ---------------------------------------------------------------------------
+
+MOVING_SUM_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, ts, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(cents) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS w3_cents,
+       cents - lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS delta_cents
+FROM c
+ORDER BY user_id, event_id
+"""
+
+
+def _moving_block(block: pa.Table) -> pa.Table:
+    """Per co-located user run: 3-row moving sum + lag delta, both from
+    one cumsum and one shift — frame bounds are pure index arithmetic
+    (``max(row-2, run_start)``), no per-row or per-group Python."""
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "w3_cents": pa.array([], pa.int64()),
+            "delta_cents": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+    )
+    uid = np.asarray(block.column("user_id"))
+    cents = np.asarray(block.column("cents"))
+    cs = np.cumsum(cents)
+    new_run = np.concatenate([[True], uid[1:] != uid[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    run_start = np.repeat(starts, run_len)
+    lo = np.maximum(np.arange(n) - 2, run_start)  # first row in the frame
+    w3 = cs - cs[lo] + cents[lo]
+    delta = np.empty(n, dtype=np.int64)
+    delta[1:] = cents[1:] - cents[:-1]
+    delta[0] = 0
+    return pa.table(
+        {
+            "user_id": block.column("user_id"),
+            "event_id": block.column("event_id"),
+            "w3_cents": pa.array(w3.astype(np.int64)),
+            # lag() has no predecessor at a run start → NULL, like SQL
+            "delta_cents": pa.array(np.where(new_run, None, delta)),
+        }
+    )
+
+
+def moving_sum(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Frame-bounded window functions (``ROWS 2 PRECEDING`` moving sum +
+    ``lag`` delta) per user — the bounded-frame companion to
+    ``relational.orders_running_total``'s unbounded frame: same ONE
+    sort exchange on the partition key, frames resolved block-locally."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "event_id": b.column("event_id").cast(pa.int64()),
+                "ts": b.column("ts"),
+                "cents": _cents(b.column("value")),
+            }
+        )
+
+    out = checked_sort(ds.map_batches(project, batch_format="pyarrow"), "user_id").map_batches(
+        _moving_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort(["user_id", "event_id"]) if sort else out

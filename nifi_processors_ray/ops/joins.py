@@ -425,3 +425,66 @@ def quantity_band_counts(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("price_cents", alias_name="price_cents"))
         .sort("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# set operations (INTERSECT)
+# ---------------------------------------------------------------------------
+
+ACTIVE_CUSTOMER_IDS_SQL = """
+SELECT DISTINCT user_id AS custkey FROM events
+INTERSECT
+SELECT c_custkey FROM customer
+ORDER BY custkey
+"""
+
+
+def _set_side(col: str, side: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch.column(col).cast(pa.int64()).combine_chunks())
+        return pa.table(
+            {
+                "key": keys,
+                "side": pa.array(np.full(len(keys), side, dtype=np.int8)),
+            }
+        )
+
+    return fn
+
+
+def _intersect_block(block: pa.Table) -> pa.Table:
+    """Emit each co-located key once iff its run contains BOTH sides."""
+    empty = pa.table({"custkey": pa.array([], pa.int64())})
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
+    key = np.asarray(block.column("key"))
+    side = np.asarray(block.column("side"))
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    run_id = np.cumsum(new_run) - 1
+    n_runs = run_id[-1] + 1
+    has = np.zeros((n_runs, 2), dtype=bool)
+    has[run_id, side] = True
+    both = has.all(axis=1)
+    out = key[np.nonzero(new_run)[0]][both]
+    return pa.table({"custkey": pa.array(out.astype(np.int64))})
+
+
+def active_customer_ids(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """INTERSECT — the set-operation primitive: distinct event user ids
+    that are also customer keys.  Both sides reduce to per-batch DISTINCT
+    keys before the ONE sort exchange (a key repeated in a batch ships
+    once), then a run-level both-sides mask emits each key at most once.
+    UNION ALL/EXCEPT fall out of the same shape by changing the mask."""
+    sf = sf_dir.rstrip("/")
+    left = read_parquet_clean(f"{sf}/events.parquet", columns=["user_id"]).map_batches(
+        _set_side("user_id", 0), batch_format="pyarrow"
+    )
+    right = read_parquet_clean(f"{sf}/customer.parquet", columns=["c_custkey"]).map_batches(
+        _set_side("c_custkey", 1), batch_format="pyarrow"
+    )
+    out = checked_sort(left.union(right), "key").map_batches(
+        _intersect_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("custkey") if sort else out

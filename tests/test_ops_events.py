@@ -129,3 +129,22 @@ def test_stratified_sample_respects_rates(con):
     share = (kept / full.set_index("event_type")["n"]).dropna()
     if {"error", "click"} <= set(share.index):
         assert share["error"] > share["click"]
+
+
+def test_moving_block_frame_and_lag():
+    import numpy as np
+
+    block = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "ts": pa.array(np.array([1, 2, 3, 4, 5], dtype="datetime64[us]")),
+            "cents": pa.array([5, 7, 11, 13, 100], pa.int64()),
+        }
+    )
+    out = EV._moving_block(block).to_pandas().set_index("event_id")
+    # frame is ROWS 2 PRECEDING: [5], [5,7], [5,7,11], [7,11,13]
+    assert out["w3_cents"].tolist() == [5, 12, 23, 31, 100]
+    # lag delta NULL at each user's first row, including user 2's
+    assert pd.isna(out.loc[10, "delta_cents"]) and pd.isna(out.loc[14, "delta_cents"])
+    assert out.loc[12, "delta_cents"] == 4

@@ -121,3 +121,15 @@ def test_exists_block_semi_vs_anti_partition():
     assert anti["c_custkey"] == [2]
     n_left = 3
     assert len(semi["c_custkey"]) + len(anti["c_custkey"]) == n_left
+
+
+def test_intersect_block_both_sides_required():
+    block = pa.table(
+        {
+            "key": pa.array([1, 1, 2, 3, 3, 3], pa.int64()),
+            "side": pa.array([0, 1, 0, 1, 1, 0], pa.int8()),
+        }
+    )
+    out = J._intersect_block(block).to_pydict()
+    # key 2 is left-only; key 3 has duplicate right rows but emits once
+    assert out["custkey"] == [1, 3]
