@@ -288,6 +288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set operation (INTERSECT) + frame-bounded window functions
         "active_customer_ids": _joins.active_customer_ids,
         "events_moving_sum": _ev.moving_sum,
+        # cohort retention + wide→long melt
+        "events_hourly_retention": _ev.hourly_retention,
+        "pricing_unpivot": _rel.pricing_unpivot,
         "events_approx_users": _q_approx_users,
         # vector aggregation (embeddings table)
         "label_vector_sums": _vec.label_vector_sums,
@@ -404,6 +407,8 @@ FROM _ch
         "customers_with_urgent_orders": _joins.CUSTOMERS_WITH_URGENT_ORDERS_SQL,
         "active_customer_ids": _joins.ACTIVE_CUSTOMER_IDS_SQL,
         "events_moving_sum": _ev.MOVING_SUM_SQL,
+        "events_hourly_retention": _ev.RETENTION_SQL,
+        "pricing_unpivot": _rel.PRICING_UNPIVOT_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
         "training_mix": _corpus.TRAINING_MIX_SQL,

@@ -705,3 +705,77 @@ def moving_sum(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         _moving_block, batch_format="pyarrow", batch_size=None
     )
     return out.sort(["user_id", "event_id"]) if sort else out
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: users active in consecutive hours
+# ---------------------------------------------------------------------------
+
+RETENTION_SQL = f"""
+WITH uh AS (
+  SELECT DISTINCT user_id, CAST(epoch_us(ts) // {_US_PER_HOUR} AS BIGINT) AS hour
+  FROM events
+)
+SELECT a.hour AS hour, COUNT(*) AS n_retained
+FROM uh a JOIN uh b ON b.user_id = a.user_id AND b.hour = a.hour + 1
+GROUP BY a.hour
+ORDER BY hour
+"""
+
+
+def _uh_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch DISTINCT (user, hour) — the combiner: a user active many
+    times in an hour ships once per batch."""
+    hour = pc.cast(
+        pc.divide(pc.cast(batch.column("ts"), pa.int64()), _US_PER_HOUR), pa.int64()
+    )
+    t = pa.table({"user_id": batch.column("user_id"), "hour": hour})
+    g = t.group_by(["user_id", "hour"]).aggregate([])
+    return g
+
+
+def _retention_block(block: pa.Table) -> pa.Table:
+    """Per co-located user run: global (user, hour) dedup, then count
+    hour→hour+1 adjacencies.  The cross-batch duplicate problem resolves
+    here — after the sort every copy of a (user, hour) pair is in this
+    block, so the unique mask is exact."""
+    empty = pa.table(
+        {"hour": pa.array([], pa.int64()), "n_retained": pa.array([], pa.int64())}
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("user_id", "ascending"), ("hour", "ascending")])
+    uid = np.asarray(block.column("user_id"))
+    hr = np.asarray(block.column("hour"))
+    first = np.concatenate([[True], (uid[1:] != uid[:-1]) | (hr[1:] != hr[:-1])])
+    uid, hr = uid[first], hr[first]
+    same_user = uid[1:] == uid[:-1]
+    adjacent = same_user & (hr[1:] == hr[:-1] + 1)
+    hours = hr[:-1][adjacent]
+    if len(hours) == 0:
+        return empty
+    vals, cnts = np.unique(hours, return_counts=True)
+    return pa.table(
+        {"hour": pa.array(vals.astype(np.int64)), "n_retained": pa.array(cnts.astype(np.int64))}
+    )
+
+
+def hourly_retention(sf_dir: str) -> ray.data.Dataset:
+    """Hour-over-hour user retention (the cohort primitive): how many
+    users active in hour h return in h+1.  The self-join the SQL twin
+    writes never happens — per-batch distinct (user, hour) partials
+    co-locate per user through ONE sort, adjacency is a vectorized diff,
+    and only tiny (hour, count) partials re-shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+    partials = ds.map_batches(_uh_partials, batch_format="pyarrow")
+    per_block = checked_sort(partials, "user_id").map_batches(
+        _retention_block, batch_format="pyarrow", batch_size=None
+    )
+    return (
+        per_block.groupby("hour")
+        .aggregate(Sum("n_retained", alias_name="n_retained"))
+        .sort("hour")
+    )

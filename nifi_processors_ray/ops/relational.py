@@ -581,3 +581,97 @@ def orders_monthly_volume(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("month_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide → long melt)
+# ---------------------------------------------------------------------------
+
+PRICING_UNPIVOT_SQL = """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, metric, value
+FROM (UNPIVOT s ON qty_cents, price_cents INTO NAME metric VALUE value)
+ORDER BY l_returnflag, l_linestatus, metric
+"""
+
+_UNPIVOT_METRICS = ("qty_cents", "price_cents")
+
+
+def pricing_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """Wide→long melt (UNPIVOT) over the distributed pricing aggregate:
+    the measure columns become (metric, value) rows.  The melt runs as a
+    final vectorized map over the already-tiny aggregate — at scale the
+    expensive part stays the one partial-agg shuffle, and melting K
+    metrics is a K-way concat of column slices, never per-row Python."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        qty = pc.cast(
+            pc.floor(pc.multiply(pc.cast(b.column("l_quantity"), pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        price = pc.cast(
+            pc.floor(pc.multiply(pc.cast(b.column("l_extendedprice"), pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": b.column("l_returnflag"),
+                    "l_linestatus": b.column("l_linestatus"),
+                    "qty_cents": qty,
+                    "price_cents": price,
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty_cents", "sum"), ("price_cents", "sum")])
+        )
+        # columns selected by their GENERATED names (version-proof vs
+        # positional renames over group_by output ordering)
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "qty_cents": g.column("qty_cents_sum"),
+                "price_cents": g.column("price_cents_sum"),
+            }
+        )
+
+    wide = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_cents", alias_name="qty_cents"),
+            Sum("price_cents", alias_name="price_cents"),
+        )
+    )
+
+    def melt(b: pa.Table) -> pa.Table:
+        parts = []
+        for m in _UNPIVOT_METRICS:
+            parts.append(
+                pa.table(
+                    {
+                        "l_returnflag": b.column("l_returnflag"),
+                        "l_linestatus": b.column("l_linestatus"),
+                        "metric": pa.array([m] * b.num_rows, pa.string()),
+                        "value": b.column(m).cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return wide.map_batches(melt, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus", "metric"]
+    )

@@ -148,3 +148,18 @@ def test_moving_block_frame_and_lag():
     # lag delta NULL at each user's first row, including user 2's
     assert pd.isna(out.loc[10, "delta_cents"]) and pd.isna(out.loc[14, "delta_cents"])
     assert out.loc[12, "delta_cents"] == 4
+
+
+def test_retention_block_dedups_and_counts_adjacency():
+    block = pa.table(
+        {
+            # user 1: hours 5,5,6,8 (dup 5 collapses; 5→6 adjacent; 6→8 not)
+            # user 2: hour 6 only; user 3: hours 6,7
+            "user_id": pa.array([1, 1, 1, 1, 2, 3, 3], pa.int64()),
+            "hour": pa.array([5, 5, 6, 8, 6, 7, 6], pa.int64()),
+        }
+    )
+    out = EV._retention_block(block).to_pandas().set_index("hour")
+    assert out.loc[5, "n_retained"] == 1  # user 1
+    assert out.loc[6, "n_retained"] == 1  # user 3
+    assert 7 not in out.index and 8 not in out.index

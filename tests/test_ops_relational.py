@@ -121,3 +121,15 @@ def test_orders_monthly_volume_matches_sql(con):
     )
     # month indexes are contiguous-ish calendar ints, not timestamps
     assert got["month_idx"].between(1960 * 12, 2100 * 12).all()
+
+
+def test_pricing_unpivot_matches_sql(con):
+    got = R.pricing_unpivot(SF_DIR).to_pandas()
+    want = con.sql(R.PRICING_UNPIVOT_SQL).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].reset_index(drop=True),
+        want[sorted(want.columns)].reset_index(drop=True),
+        check_dtype=False,
+    )
+    # long form: exactly one row per (group, metric)
+    assert len(got) == got[["l_returnflag", "l_linestatus"]].drop_duplicates().shape[0] * 2
