@@ -101,14 +101,7 @@ def _events(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
     return read_parquet_clean(f"{sf_dir.rstrip('/')}/events.parquet", columns=columns)
 
 
-def _cents(value_col) -> pa.Array:
-    """Floored cents, NULL-preserving: the numpy path would surface null
-    as NaN and NaN→int64 is a C-undefined cast.  Arrow kernels keep the
-    same IEEE double op order as the SQL twin (×100, floor)."""
-    import pyarrow.compute as pc
-
-    v = pc.multiply(pc.cast(value_col, pa.float64()), 100.0)
-    return pc.cast(pc.floor(v), pa.int64())
+from ..functions.money import floored_cents as _cents  # engine-wide invariant
 
 
 # ---------------------------------------------------------------------------
@@ -388,12 +381,24 @@ def sample_events(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
 
     def pick(b: pa.Table) -> pa.Table:
-        eid = np.asarray(b.column("event_id")).astype(np.uint64) % np.uint64(4294967296)
+        eid = _hash_ids(b.column("event_id"))
         keep = (eid * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(100) < 10
         return b.filter(pa.array(keep))
 
     out = ds.map_batches(pick, batch_format="pyarrow")
     return out.sort("event_id") if sort else out
+
+
+def _hash_ids(col) -> np.ndarray:
+    """event_id reduced mod 2^32 for the Knuth hash — fail-loud on
+    negative ids: numpy would wrap them to uint64 while the SQL twins'
+    ``%`` keeps the dividend's sign, silently desynchronizing the
+    sampled row sets (unreachable with the generated corpora, guarded
+    for foreign data)."""
+    signed = np.asarray(col)
+    if len(signed) and signed.min() < 0:
+        raise ValueError("hash sampling requires non-negative event_id")
+    return signed.astype(np.uint64) % np.uint64(4294967296)
 
 
 # DuckDB quantile_disc(x, q) = the element at 1-based rank ceil(q*n),
@@ -609,7 +614,7 @@ def stratified_sample(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
 
     def pick(b: pa.Table) -> pa.Table:
-        eid = np.asarray(b.column("event_id")).astype(np.uint64) % np.uint64(4294967296)
+        eid = _hash_ids(b.column("event_id"))
         bucket = (eid * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(100)
         t_idx = np.asarray(
             pc.index_in(b.column("event_type"), value_set=_STRATA_TYPES)
@@ -678,8 +683,11 @@ def _moving_block(block: pa.Table) -> pa.Table:
             "user_id": block.column("user_id"),
             "event_id": block.column("event_id"),
             "w3_cents": pa.array(w3.astype(np.int64)),
-            # lag() has no predecessor at a run start → NULL, like SQL
-            "delta_cents": pa.array(np.where(new_run, None, delta)),
+            # lag() has no predecessor at a run start → NULL, like SQL.
+            # mask= keeps the column int64 even when EVERY row is a run
+            # start (np.where(..., None, ...) would infer Arrow null type
+            # there and the block would fail schema unification).
+            "delta_cents": pa.array(delta, type=pa.int64(), mask=new_run),
         }
     )
 

@@ -197,12 +197,13 @@ ORDER BY o_custkey, rn
 
 
 def _project_price_cents(batch: pa.Table) -> pa.Table:
-    p = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
+    from ..functions.money import floored_cents
+
     return pa.table(
         {
             "o_custkey": batch.column("o_custkey").cast(pa.int64()),
             "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
-            "price_cents": pa.array(np.floor(p * 100).astype(np.int64)),
+            "price_cents": floored_cents(batch.column("o_totalprice")),
         }
     )
 

@@ -23,6 +23,7 @@ import ray
 import ray.data
 
 from ..sources.reader import read_parquet as read_parquet_clean
+from ..functions.money import floored_cents
 
 EVENTS_USER_ENRICH_SQL = """
 SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
@@ -404,13 +405,12 @@ def orders_running_total(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     )
 
     def project(b: pa.Table) -> pa.Table:
-        p = np.asarray(b.column("o_totalprice"), dtype=np.float64)
         return pa.table(
             {
                 "o_custkey": b.column("o_custkey").cast(pa.int64()),
                 "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
                 "o_orderdate": b.column("o_orderdate"),
-                "price_cents": pa.array(np.floor(p * 100).astype(np.int64)),
+                "price_cents": floored_cents(b.column("o_totalprice")),
             }
         )
 
@@ -452,16 +452,12 @@ def pricing_rollup(sf_dir: str) -> pa.Table:
     )
 
     def partials(b: pa.Table) -> pa.Table:
-        qty = pc.cast(
-            pc.floor(pc.multiply(pc.cast(b.column("l_quantity"), pa.float64()), 100.0)),
-            pa.int64(),
-        )
         g = (
             pa.table(
                 {
                     "l_returnflag": b.column("l_returnflag"),
                     "l_linestatus": b.column("l_linestatus"),
-                    "qty_cents": qty,
+                    "qty_cents": floored_cents(b.column("l_quantity")),
                 }
             )
             .group_by(["l_returnflag", "l_linestatus"])
@@ -555,12 +551,10 @@ def orders_monthly_volume(sf_dir: str) -> ray.data.Dataset:
             pc.multiply(pc.cast(pc.year(d), pa.int64()), 12),
             pc.subtract(pc.cast(pc.month(d), pa.int64()), 1),
         )
-        cents = pc.cast(
-            pc.floor(pc.multiply(pc.cast(b.column("o_totalprice"), pa.float64()), 100.0)),
-            pa.int64(),
-        )
         g = (
-            pa.table({"month_idx": month_idx, "total_cents": cents})
+            pa.table(
+                {"month_idx": month_idx, "total_cents": floored_cents(b.column("o_totalprice"))}
+            )
             .group_by(["month_idx"])
             .aggregate([("total_cents", "sum"), ([], "count_all")])
         )
@@ -617,21 +611,13 @@ def pricing_unpivot(sf_dir: str) -> ray.data.Dataset:
     )
 
     def partials(b: pa.Table) -> pa.Table:
-        qty = pc.cast(
-            pc.floor(pc.multiply(pc.cast(b.column("l_quantity"), pa.float64()), 100.0)),
-            pa.int64(),
-        )
-        price = pc.cast(
-            pc.floor(pc.multiply(pc.cast(b.column("l_extendedprice"), pa.float64()), 100.0)),
-            pa.int64(),
-        )
         g = (
             pa.table(
                 {
                     "l_returnflag": b.column("l_returnflag"),
                     "l_linestatus": b.column("l_linestatus"),
-                    "qty_cents": qty,
-                    "price_cents": price,
+                    "qty_cents": floored_cents(b.column("l_quantity")),
+                    "price_cents": floored_cents(b.column("l_extendedprice")),
                 }
             )
             .group_by(["l_returnflag", "l_linestatus"])

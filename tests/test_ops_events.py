@@ -163,3 +163,43 @@ def test_retention_block_dedups_and_counts_adjacency():
     assert out.loc[5, "n_retained"] == 1  # user 1
     assert out.loc[6, "n_retained"] == 1  # user 3
     assert 7 not in out.index and 8 not in out.index
+
+
+def test_moving_block_all_run_starts_keeps_int64_schema():
+    """A block where every row is a run start (all-singleton users) must
+    still emit delta_cents as int64-with-nulls, not Arrow null type —
+    otherwise downstream schema unification fails (review finding)."""
+    import numpy as np
+
+    block = pa.table(
+        {
+            "user_id": pa.array([1, 2, 3], pa.int64()),
+            "event_id": pa.array([10, 11, 12], pa.int64()),
+            "ts": pa.array(np.array([1, 2, 3], dtype="datetime64[us]")),
+            "cents": pa.array([5, 7, 11], pa.int64()),
+        }
+    )
+    out = EV._moving_block(block)
+    assert out.schema.field("delta_cents").type == pa.int64()
+    assert out.column("delta_cents").null_count == 3
+    normal = EV._moving_block(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1], pa.int64()),
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(np.array([1, 2], dtype="datetime64[us]")),
+                "cents": pa.array([1, 2], pa.int64()),
+            }
+        )
+    )
+    pa.concat_tables([out, normal])  # must unify
+
+
+def test_hash_samplers_reject_negative_ids():
+    import numpy as np
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-negative"):
+        EV._hash_ids(pa.array([3, -1], pa.int64()))
+    # non-negative path unchanged
+    assert EV._hash_ids(pa.array([0, 5], pa.int64())).tolist() == [0, 5]
