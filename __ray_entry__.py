@@ -291,6 +291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort retention + wide→long melt
         "events_hourly_retention": _ev.hourly_retention,
         "pricing_unpivot": _rel.pricing_unpivot,
+        # keep-latest-per-key upsert compaction + fact-to-dim shuffle join
+        "latest_event_per_user": _ev.latest_event_per_user,
+        "brand_revenue": _joins.brand_revenue,
         "events_approx_users": _q_approx_users,
         # vector aggregation (embeddings table)
         "label_vector_sums": _vec.label_vector_sums,
@@ -409,6 +412,8 @@ FROM _ch
         "events_moving_sum": _ev.MOVING_SUM_SQL,
         "events_hourly_retention": _ev.RETENTION_SQL,
         "pricing_unpivot": _rel.PRICING_UNPIVOT_SQL,
+        "latest_event_per_user": _ev.LATEST_EVENT_SQL,
+        "brand_revenue": _joins.BRAND_REVENUE_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
         "training_mix": _corpus.TRAINING_MIX_SQL,

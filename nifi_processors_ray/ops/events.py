@@ -787,3 +787,78 @@ def hourly_retention(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n_retained", alias_name="n_retained"))
         .sort("hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# keep-latest-per-key (upsert compaction semantics)
+# ---------------------------------------------------------------------------
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id, event_type, ts,
+       CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def _latest_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: keep only each user's local latest row, so
+    the sort exchange moves ≤1 row per distinct user per batch instead
+    of the full event stream (the same combiner-before-shuffle pattern
+    as the join probe sides)."""
+    b = batch.sort_by(
+        [("user_id", "ascending"), ("ts", "descending"), ("event_id", "descending")]
+    )
+    uid = np.asarray(b.column("user_id"))
+    first = np.concatenate([[True], uid[1:] != uid[:-1]])
+    return b.filter(pa.array(first))
+
+
+def _latest_block(block: pa.Table) -> pa.Table:
+    if block.num_rows == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "value_cents": pa.array([], pa.int64()),
+            }
+        )
+    return _latest_partial(block)
+
+
+def latest_event_per_user(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Keep-latest-per-key: each user's most recent event by (ts,
+    event_id) — the upsert/compaction semantic a CDC lake applies on
+    merge, exposed as a standalone operator.  Per-batch combiner first
+    (≤1 row per user per batch crosses the exchange), ONE sort on the
+    group key alone, then a block-local latest pass over co-located
+    runs.  Ties on ts break deterministically by event_id, matching the
+    SQL twin's ORDER BY ts DESC, event_id DESC.
+    """
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "event_id": b.column("event_id").cast(pa.int64()),
+                "event_type": b.column("event_type"),
+                "ts": b.column("ts"),
+                "value_cents": _cents(b.column("value")),
+            }
+        )
+
+    partials = ds.map_batches(project, batch_format="pyarrow").map_batches(
+        _latest_partial, batch_format="pyarrow"
+    )
+    out = checked_sort(partials, "user_id").map_batches(
+        _latest_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("user_id") if sort else out

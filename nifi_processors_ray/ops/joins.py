@@ -489,3 +489,96 @@ def active_customer_ids(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         _intersect_block, batch_format="pyarrow", batch_size=None
     )
     return out.sort("custkey") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# fact-to-dim shuffle join: lineitem ⋈ part → revenue per brand
+# ---------------------------------------------------------------------------
+
+BRAND_REVENUE_SQL = """
+SELECT p.p_brand AS brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY brand
+ORDER BY brand
+"""
+
+
+def _part_side(batch: pa.Table) -> pa.Table:
+    """Build side: part is a DIMENSION but not a broadcastable one at
+    100 TB (SF100k part is ~20 B rows), so it goes through the same
+    co-partitioned sort exchange as the fact side — the internal
+    exchange schema reuses the (key, side, priority, cents, n) layout of
+    :func:`_join_block_partials`, with `priority` carrying p_brand."""
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("p_partkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "priority": batch.column("p_brand"),
+            "cents": pa.nulls(n, pa.int64()),
+            "n": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _lineitem_part_side(batch: pa.Table) -> pa.Table:
+    """Probe side pre-aggregated per partkey within the batch (combiner
+    before the shuffle, as in :func:`_lineitem_side`)."""
+    p = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+    d = np.asarray(batch.column("l_discount"), dtype=np.float64)
+    t = pa.table(
+        {
+            "key": batch.column("l_partkey").cast(pa.int64()),
+            "cents": pa.array(np.floor(p * (1.0 - d) * 100).astype(np.int64)),
+        }
+    )
+    g = t.group_by(["key"]).aggregate([("cents", "sum"), ([], "count_all")])
+    m = g.num_rows
+    return pa.table(
+        {
+            "key": g.column("key"),
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "priority": pa.nulls(m, pa.string()),
+            "cents": g.column("cents_sum"),
+            "n": g.column("count_all"),
+        }
+    )
+
+
+def brand_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Revenue per part brand: the fact-to-dim co-partitioned shuffle
+    join (lineitem ⋈ part on partkey), sharing the one-sort-exchange
+    block machinery with :func:`order_priority_revenue` — p_partkey is
+    the unique build key, the probe side ships per-batch partials, and
+    only ≤(n_brands)-row partials re-shuffle after the join.
+    """
+    from ray.data.aggregate import Sum
+
+    sf = sf_dir.rstrip("/")
+    parts = read_parquet_clean(
+        f"{sf}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(_part_side, batch_format="pyarrow")
+    items = read_parquet_clean(
+        f"{sf}/lineitem.parquet", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(_lineitem_part_side, batch_format="pyarrow")
+    partials = checked_sort(parts.union(items), "key").map_batches(
+        _join_block_partials, batch_format="pyarrow", batch_size=None
+    )
+    agg = partials.groupby("priority").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_cents", alias_name="revenue_cents"),
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "brand": b.column("priority"),
+                "n_items": b.column("n_items"),
+                "revenue_cents": b.column("revenue_cents"),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("brand")

@@ -203,3 +203,42 @@ def test_hash_samplers_reject_negative_ids():
         EV._hash_ids(pa.array([3, -1], pa.int64()))
     # non-negative path unchanged
     assert EV._hash_ids(pa.array([0, 5], pa.int64())).tolist() == [0, 5]
+
+
+def test_latest_partial_tie_breaks_on_event_id():
+    """Equal ts → higher event_id wins, matching ORDER BY ts DESC,
+    event_id DESC in the SQL twin."""
+    import numpy as np
+
+    b = pa.table(
+        {
+            "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+            "event_id": pa.array([3, 5, 4, 1], pa.int64()),
+            "event_type": pa.array(["a", "b", "c", "d"]),
+            "ts": pa.array(np.array([10, 20, 20, 5], dtype="datetime64[us]")),
+            "value_cents": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = EV._latest_partial(b)
+    assert out.column("user_id").to_pylist() == [7, 9]
+    assert out.column("event_id").to_pylist() == [5, 1]  # ts tie → id 5 beats 4
+    # idempotent: applying the combiner to its own output is a no-op
+    again = EV._latest_partial(out)
+    assert again.equals(out)
+
+
+def test_latest_block_empty_keeps_schema():
+    out = EV._latest_block(
+        pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "value_cents": pa.array([], pa.int64()),
+            }
+        )
+    )
+    assert out.num_rows == 0
+    assert out.schema.field("value_cents").type == pa.int64()
+    assert out.schema.field("ts").type == pa.timestamp("us")

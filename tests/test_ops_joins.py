@@ -133,3 +133,33 @@ def test_intersect_block_both_sides_required():
     out = J._intersect_block(block).to_pydict()
     # key 2 is left-only; key 3 has duplicate right rows but emits once
     assert out["custkey"] == [1, 3]
+
+
+def test_brand_sides_share_join_block_schema():
+    """The brand join reuses _join_block_partials: both side projections
+    must emit the exact internal exchange schema, and a crafted block
+    must aggregate to the right brand partials."""
+    import numpy as np
+    import pyarrow as pa
+
+    parts = pa.table(
+        {"p_partkey": pa.array([1, 2], pa.int64()), "p_brand": pa.array(["B1", "B2"])}
+    )
+    items = pa.table(
+        {
+            "l_partkey": pa.array([1, 1, 2, 3], pa.int64()),  # 3 = dangling fk
+            "l_extendedprice": pa.array([10.0, 20.0, 5.0, 99.0]),
+            "l_discount": pa.array([0.0, 0.5, 0.0, 0.0]),
+        }
+    )
+    left = J._part_side(parts)
+    right = J._lineitem_part_side(items)
+    assert left.schema.names == right.schema.names == ["key", "side", "priority", "cents", "n"]
+    block = pa.concat_tables([left, right])
+    out = J._join_block_partials(block)
+    d = {b: (n, c) for b, n, c in zip(
+        out.column("priority").to_pylist(),
+        out.column("n_items").to_pylist(),
+        out.column("revenue_cents").to_pylist(),
+    )}
+    assert d == {"B1": (2, 2000), "B2": (1, 500)}  # 1000+1000, 500; key 3 dropped
