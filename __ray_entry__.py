@@ -294,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keep-latest-per-key upsert compaction + fact-to-dim shuffle join
         "latest_event_per_user": _ev.latest_event_per_user,
         "brand_revenue": _joins.brand_revenue,
+        # benchmark decontamination (broadcast eval n-gram set, pure map)
+        "decontaminate": _text.decontaminate,
         "events_approx_users": _q_approx_users,
         # vector aggregation (embeddings table)
         "label_vector_sums": _vec.label_vector_sums,
@@ -414,6 +416,7 @@ FROM _ch
         "pricing_unpivot": _rel.PRICING_UNPIVOT_SQL,
         "latest_event_per_user": _ev.LATEST_EVENT_SQL,
         "brand_revenue": _joins.BRAND_REVENUE_SQL,
+        "decontaminate": _text.DECONTAMINATE_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
         "training_mix": _corpus.TRAINING_MIX_SQL,

@@ -430,3 +430,121 @@ def token_counts_csv(sf_dir: str) -> ray.data.Dataset:
         columns=["doc_id", "text"],
     )
     return ds.map_batches(token_counts_batch, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (eval-set n-gram overlap scrub)
+# ---------------------------------------------------------------------------
+
+DECONTAM_MOD = 20  # doc_id % 20 == 0 → the held-out "benchmark" slice
+DECONTAM_N = 3  # word n-gram size
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(lower(coalesce(text, '')), ' ') AS t FROM documents
+),
+ng AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + {DECONTAM_N - 1}), ' ') AS ngram
+  FROM toks, UNNEST(range(1, greatest(len(t) - {DECONTAM_N - 1}, 0) + 1)) AS r(i)
+),
+bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % {DECONTAM_MOD} = 0)
+SELECT n.doc_id, COUNT(DISTINCT n.ngram) AS n_overlap
+FROM ng n JOIN bench b USING (ngram)
+WHERE n.doc_id % {DECONTAM_MOD} <> 0
+GROUP BY n.doc_id
+ORDER BY n.doc_id
+"""
+
+
+def _trigrams(batch: pa.Table) -> tuple[pa.Array, np.ndarray]:
+    """Flat lowercase word-trigram array for a batch of documents plus
+    the doc index of each trigram — adjacent-token joins masked at
+    document boundaries (same layout trick as :func:`_bigram_partials`)."""
+    text = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+    values, offsets = _token_lists(text)
+    nv = len(values)
+    k = DECONTAM_N
+    if nv < k:
+        return pa.array([], pa.string()), np.zeros(0, dtype=np.int64)
+    grams = pc.binary_join_element_wise(
+        values.slice(0, nv - k + 1), values.slice(1, nv - k + 1), values.slice(2), " "
+    )
+    # trigram at position i spans tokens [i, i+2]: valid iff no doc
+    # start falls in (i, i+2], i.e. i >= start or i+2 < next start
+    doc_of = np.searchsorted(offsets, np.arange(nv), side="right") - 1
+    valid = doc_of[: nv - k + 1] == doc_of[k - 1 :]
+    return grams.filter(pa.array(valid)), doc_of[: nv - k + 1][valid]
+
+
+def _bench_ngram_batch(batch: pa.Table) -> pa.Table:
+    grams, _ = _trigrams(batch)
+    return pa.table({"ngram": pc.unique(grams)})
+
+
+def decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: flag training documents sharing any
+    word-trigram with the held-out benchmark slice (doc_id % 20 == 0),
+    with the count of DISTINCT overlapping trigrams per document.
+
+    Scale shape: the benchmark side is small BY DEFINITION (an eval
+    set), so its distinct trigrams are collected once and broadcast via
+    ``ray.put`` — the training corpus then streams through a pure
+    ``map_batches`` (``pc.is_in`` membership against the shared Arrow
+    array, zero-copy from the object store), no shuffle at any point:
+    each document's distinct-overlap count is batch-local because a
+    document never spans batches.
+    """
+    import ray as _ray
+
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+
+    def is_bench(b: pa.Table) -> pa.Table:
+        keep = np.asarray(b.column("doc_id")) % DECONTAM_MOD == 0
+        return b.filter(pa.array(keep))
+
+    bench_parts = (
+        read_parquet_clean(path, columns=["doc_id", "text"])
+        .map_batches(is_bench, batch_format="pyarrow")
+        .map_batches(_bench_ngram_batch, batch_format="pyarrow")
+        .take_all()  # bounded by the eval set's vocabulary — small side
+    )
+    bench = pc.unique(pa.concat_arrays(
+        [pa.array([r["ngram"] for r in bench_parts], pa.string())]
+    ))
+    bench_ref = _ray.put(bench)
+
+    def scan(b: pa.Table) -> pa.Table:
+        bench_arr = _ray.get(bench_ref)
+        train_mask = np.asarray(b.column("doc_id")) % DECONTAM_MOD != 0
+        b = b.filter(pa.array(train_mask))
+        grams, doc_of = _trigrams(b)
+        if len(grams) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_overlap": pa.array([], pa.int64())}
+            )
+        hit = pc.is_in(grams, value_set=bench_arr)
+        hm = np.asarray(hit)
+        t = pa.table(
+            {
+                "doc_id": b.column("doc_id").take(pa.array(doc_of[hm], pa.int64())),
+                "ngram": grams.filter(hit),
+            }
+        )
+        # distinct overlapping trigrams per doc, all batch-local
+        g = (
+            t.group_by(["doc_id", "ngram"])
+            .aggregate([([], "count_all")])
+            .group_by(["doc_id"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id").cast(pa.int64()),
+                "n_overlap": g.column("count_all"),
+            }
+        )
+
+    out = read_parquet_clean(path, columns=["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow"
+    )
+    return out.sort("doc_id")

@@ -145,3 +145,27 @@ def test_text_redact_matches_sql(con):
     want = con.sql(T.TEXT_REDACT_SQL).df()
     pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
     assert (got["n_redactions"] > 0).any()  # the pattern actually fires
+
+
+def test_trigrams_mask_document_boundaries():
+    """A trigram must never span two documents: two 2-token docs yield
+    zero trigrams even though the flat token array has 4 tokens."""
+    b = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a b", "c d"])})
+    grams, doc_of = T._trigrams(b)
+    assert len(grams) == 0 and len(doc_of) == 0
+    # one 4-token doc -> two trigrams, both attributed to doc index 0
+    b2 = pa.table({"doc_id": pa.array([7], pa.int64()),
+                   "text": pa.array(["a b c d"])})
+    grams2, doc_of2 = T._trigrams(b2)
+    assert grams2.to_pylist() == ["a b c", "b c d"]
+    assert doc_of2.tolist() == [0, 0]
+
+
+def test_decontaminate_matches_sql(con):
+    got = T.decontaminate(SF_DIR).to_pandas()
+    want = con.sql(T.DECONTAMINATE_SQL).df()
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
+    assert len(got) > 0
+    # benchmark docs themselves are never flagged
+    assert (got["doc_id"] % T.DECONTAM_MOD != 0).all()
