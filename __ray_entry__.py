@@ -296,6 +296,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": _joins.brand_revenue,
         # benchmark decontamination (broadcast eval n-gram set, pure map)
         "decontaminate": _text.decontaminate,
+        # ordered conversion funnel (the self-join-free chain evaluation)
+        "events_funnel": _ev.funnel,
+        # NTILE deciles via the distributed global-rank (block-offset) pattern
+        "customer_spend_deciles": _rel.customer_spend_deciles,
         "events_approx_users": _q_approx_users,
         # vector aggregation (embeddings table)
         "label_vector_sums": _vec.label_vector_sums,
@@ -417,6 +421,8 @@ FROM _ch
         "latest_event_per_user": _ev.LATEST_EVENT_SQL,
         "brand_revenue": _joins.BRAND_REVENUE_SQL,
         "decontaminate": _text.DECONTAMINATE_SQL,
+        "events_funnel": _ev.FUNNEL_SQL,
+        "customer_spend_deciles": _rel.SPEND_DECILES_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
         "training_mix": _corpus.TRAINING_MIX_SQL,

@@ -661,3 +661,124 @@ def pricing_unpivot(sf_dir: str) -> ray.data.Dataset:
     return wide.map_batches(melt, batch_format="pyarrow").sort(
         ["l_returnflag", "l_linestatus", "metric"]
     )
+
+
+# ---------------------------------------------------------------------------
+# NTILE deciles via distributed global rank (block-offset pattern)
+# ---------------------------------------------------------------------------
+
+SPEND_DECILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, spend_cents,
+       CAST(NTILE(10) OVER (ORDER BY spend_cents, o_custkey) AS BIGINT) AS decile
+FROM spend
+ORDER BY o_custkey
+"""
+
+_N_TILES = 10
+
+
+def _ntile_of(ranks: np.ndarray, n: int, k: int = _N_TILES) -> np.ndarray:
+    """NTILE(k) over 0-based global ranks: first n%k tiles get one extra
+    row, exactly DuckDB's semantics over the same total order."""
+    base, r = divmod(n, k)
+    if base == 0:
+        return ranks + 1
+    cut = r * (base + 1)
+    small = ranks < cut
+    return np.where(small, ranks // (base + 1), r + (ranks - cut) // base) + 1
+
+
+def customer_spend_deciles(sf_dir: str) -> ray.data.Dataset:
+    """Customer lifetime-spend deciles — NTILE(10) computed WITHOUT a
+    single-node window: per-customer spend aggregates (one shuffle),
+    a global sort on (spend, custkey), then the distributed global-rank
+    pattern: each sorted block reports (first_key, n_rows) boundary
+    metadata (bytes per block), the driver cumsums offsets over the
+    sorted boundary list, and a second vectorized pass assigns
+    rank = block_offset + local_index and the NTILE bucket.
+
+    The per-customer aggregate is materialized once between the two
+    passes: a lazy sorted plan re-executes per consumption with
+    DIFFERENT block splits, which would desynchronize the offset table
+    (same reason the colocation guard checks materialized blocks).
+    Only the tiny aggregate — never the orders fact — is pinned.
+    """
+    sf = sf_dir.rstrip("/")
+    orders = read_parquet_clean(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": b.column("o_custkey").cast(pa.int64()),
+                "spend_cents": floored_cents(b.column("o_totalprice")),
+            }
+        )
+        g = t.group_by(["o_custkey"]).aggregate([("spend_cents", "sum")])
+        return pa.table(
+            {"o_custkey": g.column("o_custkey"), "spend_cents": g.column("spend_cents_sum")}
+        )
+
+    from ray.data.aggregate import Sum
+
+    spend = (
+        orders.map_batches(partials, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("spend_cents", alias_name="spend_cents"))
+    )
+    ordered = spend.sort(["spend_cents", "o_custkey"]).materialize()
+
+    def boundary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "first_spend": pa.array([], pa.int64()),
+                    "first_cust": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "first_spend": b.column("spend_cents").slice(0, 1),
+                "first_cust": b.column("o_custkey").slice(0, 1),
+                "n_rows": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    bounds = ordered.map_batches(
+        boundary, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    bounds.sort(key=lambda r: (r["first_spend"], r["first_cust"]))
+    n_total = sum(r["n_rows"] for r in bounds)
+    keys = [(r["first_spend"], r["first_cust"]) for r in bounds]
+    offsets = np.concatenate([[0], np.cumsum([r["n_rows"] for r in bounds])])[:-1]
+    offset_by_key = dict(zip(keys, offsets.tolist()))
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "spend_cents": pa.array([], pa.int64()),
+                    "decile": pa.array([], pa.int64()),
+                }
+            )
+        first = (b.column("spend_cents")[0].as_py(), b.column("o_custkey")[0].as_py())
+        off = offset_by_key[first]  # KeyError = block split drifted: fail loud
+        ranks = off + np.arange(b.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "spend_cents": b.column("spend_cents"),
+                "decile": pa.array(_ntile_of(ranks, int(n_total))),
+            }
+        )
+
+    out = ordered.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    return out.sort("o_custkey")

@@ -242,3 +242,30 @@ def test_latest_block_empty_keeps_schema():
     assert out.num_rows == 0
     assert out.schema.field("value_cents").type == pa.int64()
     assert out.schema.field("ts").type == pa.timestamp("us")
+
+
+def test_funnel_block_strict_ordering():
+    """User 1 converts fully; user 2's click precedes its view (chain
+    stops at view); user 3's view is simultaneous with signup (strict >
+    rejects it)."""
+    import numpy as np
+
+    rows = [
+        # user 1: signup@1, view@2, click@3, purchase@4 -> all 4 steps
+        (1, "signup", 1), (1, "view", 2), (1, "click", 3), (1, "purchase", 4),
+        # user 2: click@1 (too early), signup@2, view@3 -> steps 1,2 only
+        (2, "click", 1), (2, "signup", 2), (2, "view", 3),
+        # user 3: signup@5, view@5 (tie, strict > fails) -> step 1 only
+        (3, "signup", 5), (3, "view", 5),
+    ]
+    b = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array(np.array([r[2] for r in rows], dtype="datetime64[us]")),
+        }
+    )
+    proj = EV._funnel_project(b)
+    out = EV._funnel_block(proj)
+    assert out.column("step").to_pylist() == [1, 2, 3, 4]
+    assert out.column("n_users").to_pylist() == [3, 2, 1, 1]

@@ -133,3 +133,23 @@ def test_pricing_unpivot_matches_sql(con):
     )
     # long form: exactly one row per (group, metric)
     assert len(got) == got[["l_returnflag", "l_linestatus"]].drop_duplicates().shape[0] * 2
+
+
+def test_ntile_formula_matches_duckdb():
+    """_ntile_of must reproduce DuckDB NTILE(10) for every n, including
+    n < k (each row its own tile) and uneven splits."""
+    import duckdb
+    import numpy as np
+
+    from nifi_processors_ray.ops import relational as R
+
+    con = duckdb.connect()
+    for n in (1, 3, 9, 10, 11, 25, 97, 1000):
+        want = [
+            r[0]
+            for r in con.sql(
+                f"SELECT NTILE(10) OVER (ORDER BY i) FROM range({n}) t(i) ORDER BY i"
+            ).fetchall()
+        ]
+        got = R._ntile_of(np.arange(n, dtype=np.int64), n).tolist()
+        assert got == want, n
