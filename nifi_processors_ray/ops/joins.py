@@ -582,3 +582,163 @@ def brand_revenue(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(rename, batch_format="pyarrow").sort("brand")
+
+
+# ---------------------------------------------------------------------------
+# set operation: EXCEPT
+# ---------------------------------------------------------------------------
+
+INACTIVE_CUSTOMER_IDS_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT user_id FROM events
+ORDER BY custkey
+"""
+
+
+def _except_block(block: pa.Table) -> pa.Table:
+    """Emit each co-located key once iff its run has side 0 (customer)
+    and NOT side 1 (events) — the EXCEPT mask over the same exchange
+    shape as :func:`_intersect_block`."""
+    empty = pa.table({"custkey": pa.array([], pa.int64())})
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
+    key = np.asarray(block.column("key"))
+    side = np.asarray(block.column("side"))
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    run_id = np.cumsum(new_run) - 1
+    n_runs = run_id[-1] + 1
+    has = np.zeros((n_runs, 2), dtype=bool)
+    has[run_id, side] = True
+    keep = has[:, 0] & ~has[:, 1]
+    out = key[np.nonzero(new_run)[0]][keep]
+    return pa.table({"custkey": pa.array(out.astype(np.int64))})
+
+
+def inactive_customer_ids(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """EXCEPT — customer keys with NO event activity: the complement
+    member of the set-operation family (same per-batch key dedup + ONE
+    sort exchange as the INTERSECT, with the run mask flipped to
+    left-and-not-right)."""
+    sf = sf_dir.rstrip("/")
+    left = read_parquet_clean(f"{sf}/customer.parquet", columns=["c_custkey"]).map_batches(
+        _set_side("c_custkey", 0), batch_format="pyarrow"
+    )
+    right = read_parquet_clean(f"{sf}/events.parquet", columns=["user_id"]).map_batches(
+        _set_side("user_id", 1), batch_format="pyarrow"
+    )
+    out = checked_sort(left.union(right), "key").map_batches(
+        _except_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("custkey") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER join: every customer with its order count / spend (0 if none)
+# ---------------------------------------------------------------------------
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+         AS spend_cents
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY c.c_custkey
+"""
+
+
+def _cust_left_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("c_custkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "c_name": batch.column("c_name"),
+            "cents": pa.nulls(n, pa.int64()),
+            "n": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _orders_agg_side(batch: pa.Table) -> pa.Table:
+    """Right side pre-aggregated per custkey within the batch."""
+    from ..functions.money import floored_cents
+
+    t = pa.table(
+        {
+            "key": batch.column("o_custkey").cast(pa.int64()),
+            "cents": floored_cents(batch.column("o_totalprice")),
+        }
+    )
+    g = t.group_by(["key"]).aggregate([("cents", "sum"), ([], "count_all")])
+    m = g.num_rows
+    return pa.table(
+        {
+            "key": g.column("key"),
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "c_name": pa.nulls(m, pa.string()),
+            "cents": g.column("cents_sum"),
+            "n": g.column("count_all"),
+        }
+    )
+
+
+def _left_outer_block(block: pa.Table) -> pa.Table:
+    """Per run (one left row + 0..n right partials): emit the left row
+    with the run's summed right partials, zero-filled when no right row
+    exists — LEFT OUTER semantics, one output row per left row."""
+    empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "n_orders": pa.array([], pa.int64()),
+            "spend_cents": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
+    key = np.asarray(block.column("key"))
+    side = np.asarray(block.column("side"))
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    starts = np.nonzero(new_run)[0]
+    has_left = side[starts] == 0
+    if not has_left.any():
+        return empty
+    cents = np.asarray(pc.fill_null(block.column("cents"), 0).combine_chunks())
+    cnt = np.asarray(pc.fill_null(block.column("n"), 0).combine_chunks())
+    run_cents = np.add.reduceat(cents, starts)
+    run_n = np.add.reduceat(cnt, starts)
+    keep = starts[has_left]
+    return pa.table(
+        {
+            "c_custkey": pa.array(key[keep].astype(np.int64)),
+            "c_name": block.column("c_name").take(pa.array(keep, pa.int64())),
+            "n_orders": pa.array(run_n[has_left].astype(np.int64)),
+            "spend_cents": pa.array(run_cents[has_left].astype(np.int64)),
+        }
+    )
+
+
+def customer_order_counts(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """LEFT OUTER join + aggregate: every customer with its order count
+    and lifetime spend, zero-filled for order-less customers — the
+    outer member of the join family.  Same ONE-sort co-partitioned
+    exchange; the right side ships per-batch (count, cents) partials, so
+    run length is bounded by batches-touching-the-key, not order count.
+    """
+    sf = sf_dir.rstrip("/")
+    left = read_parquet_clean(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(_cust_left_side, batch_format="pyarrow")
+    right = read_parquet_clean(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(_orders_agg_side, batch_format="pyarrow")
+    out = checked_sort(left.union(right), "key").map_batches(
+        _left_outer_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("c_custkey") if sort else out

@@ -163,3 +163,45 @@ def test_brand_sides_share_join_block_schema():
         out.column("revenue_cents").to_pylist(),
     )}
     assert d == {"B1": (2, 2000), "B2": (1, 500)}  # 1000+1000, 500; key 3 dropped
+
+
+def test_except_block_mask():
+    block = pa.table(
+        {
+            # key 1: both sides -> dropped; key 2: left only -> kept;
+            # key 3: right only -> dropped
+            "key": pa.array([1, 1, 2, 3], pa.int64()),
+            "side": pa.array([0, 1, 0, 1], pa.int8()),
+        }
+    )
+    out = J._except_block(block)
+    assert out.column("custkey").to_pylist() == [2]
+
+
+def test_left_outer_block_zero_fills_and_sums_partials():
+    block = pa.concat_tables(
+        [
+            J._cust_left_side(
+                pa.table(
+                    {"c_custkey": pa.array([1, 2], pa.int64()),
+                     "c_name": pa.array(["A", "B"])}
+                )
+            ),
+            # two right PARTIALS for key 1 (as if from two batches), none for 2,
+            # and a dangling right key 9 with no left row (must vanish)
+            pa.table(
+                {
+                    "key": pa.array([1, 1, 9], pa.int64()),
+                    "side": pa.array([1, 1, 1], pa.int8()),
+                    "c_name": pa.nulls(3, pa.string()),
+                    "cents": pa.array([100, 250, 7], pa.int64()),
+                    "n": pa.array([2, 1, 1], pa.int64()),
+                }
+            ),
+        ]
+    )
+    out = J._left_outer_block(block)
+    assert out.column("c_custkey").to_pylist() == [1, 2]
+    assert out.column("n_orders").to_pylist() == [3, 0]
+    assert out.column("spend_cents").to_pylist() == [350, 0]
+    assert out.column("c_name").to_pylist() == ["A", "B"]
