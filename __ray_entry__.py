@@ -300,9 +300,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _ev.funnel,
         # NTILE deciles via the distributed global-rank (block-offset) pattern
         "customer_spend_deciles": _rel.customer_spend_deciles,
-        # set-operation EXCEPT + LEFT OUTER join (family completion)
+        # set-operation EXCEPT + LEFT OUTER / FULL OUTER joins (family completion)
         "inactive_customer_ids": _joins.inactive_customer_ids,
         "customer_order_counts": _joins.customer_order_counts,
+        "customer_activity_full": _joins.customer_activity_full,
         "events_approx_users": _q_approx_users,
         # vector aggregation (embeddings table)
         "label_vector_sums": _vec.label_vector_sums,
@@ -428,6 +429,7 @@ FROM _ch
         "customer_spend_deciles": _rel.SPEND_DECILES_SQL,
         "inactive_customer_ids": _joins.INACTIVE_CUSTOMER_IDS_SQL,
         "customer_order_counts": _joins.CUSTOMER_ORDER_COUNTS_SQL,
+        "customer_activity_full": _joins.CUSTOMER_ACTIVITY_FULL_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
         "training_mix": _corpus.TRAINING_MIX_SQL,

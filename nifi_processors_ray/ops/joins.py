@@ -742,3 +742,90 @@ def customer_order_counts(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset
         _left_outer_block, batch_format="pyarrow", batch_size=None
     )
     return out.sort("c_custkey") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join: customers ∪ event users with activity counts
+# ---------------------------------------------------------------------------
+
+CUSTOMER_ACTIVITY_FULL_SQL = """
+SELECT COALESCE(c.c_custkey, e.user_id) AS custkey,
+       c.c_name,
+       CAST(COUNT(e.user_id) AS BIGINT) AS n_events
+FROM customer c FULL JOIN events e ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+def _events_count_side(batch: pa.Table) -> pa.Table:
+    """Right side: per-batch event counts per user (count partials)."""
+    g = (
+        pa.table({"key": batch.column("user_id").cast(pa.int64())})
+        .group_by(["key"])
+        .aggregate([([], "count_all")])
+    )
+    m = g.num_rows
+    return pa.table(
+        {
+            "key": g.column("key"),
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "c_name": pa.nulls(m, pa.string()),
+            "cents": pa.nulls(m, pa.int64()),
+            "n": g.column("count_all"),
+        }
+    )
+
+
+def _full_outer_block(block: pa.Table) -> pa.Table:
+    """One output row per co-located key run: the left attributes when a
+    left row exists (NULL otherwise), the summed right count partials
+    (0 otherwise) — FULL OUTER semantics over the shared exchange."""
+    empty = pa.table(
+        {
+            "custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
+    key = np.asarray(block.column("key"))
+    side = np.asarray(block.column("side"))
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    starts = np.nonzero(new_run)[0]
+    has_left = side[starts] == 0
+    cnt = np.asarray(pc.fill_null(block.column("n"), 0).combine_chunks())
+    run_n = np.add.reduceat(cnt, starts)
+    # c_name: take the run-start row where it's the left row, else null
+    name_idx = pa.array(starts.astype(np.int64))
+    names = block.column("c_name").take(name_idx)
+    names = pc.if_else(pa.array(has_left), names, pa.nulls(len(starts), pa.string()))
+    return pa.table(
+        {
+            "custkey": pa.array(key[starts].astype(np.int64)),
+            "c_name": names,
+            "n_events": pa.array(run_n.astype(np.int64)),
+        }
+    )
+
+
+def customer_activity_full(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """FULL OUTER join + aggregate: the union of customer keys and event
+    user ids, with per-key event counts — zero for inactive customers,
+    NULL name for non-customer users.  Completes the join family
+    (inner ×2, semi, anti, left-outer, full-outer, as-of, range) on the
+    same ONE-sort co-partitioned exchange."""
+    sf = sf_dir.rstrip("/")
+    left = read_parquet_clean(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(_cust_left_side, batch_format="pyarrow")
+    right = read_parquet_clean(f"{sf}/events.parquet", columns=["user_id"]).map_batches(
+        _events_count_side, batch_format="pyarrow"
+    )
+    out = checked_sort(left.union(right), "key").map_batches(
+        _full_outer_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("custkey") if sort else out

@@ -205,3 +205,47 @@ def test_left_outer_block_zero_fills_and_sums_partials():
     assert out.column("n_orders").to_pylist() == [3, 0]
     assert out.column("spend_cents").to_pylist() == [350, 0]
     assert out.column("c_name").to_pylist() == ["A", "B"]
+
+
+def test_full_outer_block_keeps_both_dangling_sides():
+    block = pa.concat_tables(
+        [
+            J._cust_left_side(
+                pa.table(
+                    {"c_custkey": pa.array([1, 2], pa.int64()),
+                     "c_name": pa.array(["A", "B"])}
+                )
+            ),
+            # two right partials for key 1, none for key 2 (left-only -> 0),
+            # and a right-only key 9 (must SURVIVE with NULL name)
+            pa.table(
+                {
+                    "key": pa.array([1, 1, 9], pa.int64()),
+                    "side": pa.array([1, 1, 1], pa.int8()),
+                    "c_name": pa.nulls(3, pa.string()),
+                    "cents": pa.nulls(3, pa.int64()),
+                    "n": pa.array([4, 1, 6], pa.int64()),
+                }
+            ),
+        ]
+    )
+    out = J._full_outer_block(block)
+    assert out.column("custkey").to_pylist() == [1, 2, 9]
+    assert out.column("n_events").to_pylist() == [5, 0, 6]
+    assert out.column("c_name").to_pylist() == ["A", "B", None]
+
+
+def test_full_outer_block_empty_is_schema_stable():
+    out = J._full_outer_block(
+        pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int8()),
+                "c_name": pa.array([], pa.string()),
+                "cents": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    )
+    assert out.num_rows == 0
+    assert out.schema.names == ["custkey", "c_name", "n_events"]
