@@ -290,6 +290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_sum": _ev.moving_sum,
         # cohort retention + wide→long melt
         "events_hourly_retention": _ev.hourly_retention,
+        # profiling / path analytics / gap-fill families
+        "events_value_histogram": _ev.value_histogram,
+        "events_type_transitions": _ev.type_transitions,
+        "events_hourly_dense": _ev.hourly_dense,
         "pricing_unpivot": _rel.pricing_unpivot,
         # keep-latest-per-key upsert compaction + fact-to-dim shuffle join
         "latest_event_per_user": _ev.latest_event_per_user,
@@ -310,6 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed corpus-hygiene flagship (dedup → quality gate)
         "corpus_clean": _corpus.corpus_clean,
         "training_mix": _corpus.training_mix,
+        # sequence packing: fixed token-budget training shards
+        "token_pack": _corpus.token_pack,
     }
 
 
@@ -421,6 +427,9 @@ FROM _ch
         "active_customer_ids": _joins.ACTIVE_CUSTOMER_IDS_SQL,
         "events_moving_sum": _ev.MOVING_SUM_SQL,
         "events_hourly_retention": _ev.RETENTION_SQL,
+        "events_value_histogram": _ev.VALUE_HISTOGRAM_SQL,
+        "events_type_transitions": _ev.TYPE_TRANSITIONS_SQL,
+        "events_hourly_dense": _ev.HOURLY_DENSE_SQL,
         "pricing_unpivot": _rel.PRICING_UNPIVOT_SQL,
         "latest_event_per_user": _ev.LATEST_EVENT_SQL,
         "brand_revenue": _joins.BRAND_REVENUE_SQL,
@@ -433,4 +442,5 @@ FROM _ch
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
         "training_mix": _corpus.TRAINING_MIX_SQL,
+        "token_pack": _corpus.TOKEN_PACK_SQL,
     }

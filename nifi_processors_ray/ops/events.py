@@ -979,3 +979,195 @@ def funnel(sf_dir: str) -> ray.data.Dataset:
         )
 
     return out.map_batches(attach_name, batch_format="pyarrow").sort("step")
+
+
+# ---------------------------------------------------------------------------
+# equi-width value histogram: the data-profiling primitive
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH_CENTS = 1_000  # $10 buckets
+
+VALUE_HISTOGRAM_SQL = f"""
+WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+SELECT CAST(FLOOR(cents / {_HIST_WIDTH_CENTS}.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM c
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def _hist_partials(batch: pa.Table) -> pa.Table:
+    cents = np.asarray(_cents(batch.column("value")))
+    # np floor-division == SQL FLOOR(x / w) for every sign (both floor)
+    t = pa.table(
+        {
+            "bucket": pa.array(cents // _HIST_WIDTH_CENTS),
+            "cents": pa.array(cents),
+        }
+    )
+    g = t.group_by(["bucket"]).aggregate([("cents", "sum"), ([], "count_all")])
+    return pa.table(
+        {
+            "bucket": g.column("bucket"),
+            "n_events": g.column("count_all"),
+            "sum_cents": g.column("cents_sum"),
+        }
+    )
+
+
+def value_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Equi-width histogram over event values — bucket counts + mass.
+
+    Classic two-level aggregate: per-batch partials collapse each batch
+    to ≤ n_buckets rows BEFORE the shuffle, so the exchange is bounded
+    by (buckets × blocks) regardless of input size."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["value"]).map_batches(_hist_partials, batch_format="pyarrow")
+    return (
+        ds.groupby("bucket")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"), Sum("sum_cents", alias_name="sum_cents")
+        )
+        .sort("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-type transitions: path analytics (LAG + re-aggregate)
+# ---------------------------------------------------------------------------
+
+TYPE_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM o
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def _transition_partials(block: pa.Table) -> pa.Table:
+    """Per co-located user run: (prev_type → type) pair counts.
+
+    Establishes (ts, event_id) order block-locally, shifts the type
+    column by one, masks run starts, and collapses to pair partials —
+    the exchange downstream moves ≤ n_types² rows per block."""
+    empty = pa.table(
+        {
+            "prev_type": pa.array([], pa.string()),
+            "next_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+    )
+    uid = np.asarray(block.column("user_id"))
+    new_run = np.concatenate([[True], uid[1:] != uid[:-1]])
+    types = block.column("event_type")
+    # shift-by-one: row i's predecessor is row i-1 (same run only); run
+    # starts are filtered below, so clamping row 0's index keeps `take`
+    # in bounds without changing the result
+    prev_idx = np.maximum(np.arange(n, dtype=np.int64) - 1, 0)
+    pairs = pa.table(
+        {
+            "prev_type": types.take(pa.array(prev_idx)),
+            "next_type": types,
+        }
+    ).filter(pa.array(~new_run))
+    g = pairs.group_by(["prev_type", "next_type"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "prev_type": g.column("prev_type"),
+            "next_type": g.column("next_type"),
+            "n": g.column("count_all"),
+        }
+    )
+
+
+def type_transitions(sf_dir: str) -> ray.data.Dataset:
+    """First-order event-type transition counts (the Markov-chain /
+    user-path analytics primitive): per user in event-time order, count
+    every (previous type → next type) step.  ONE sort exchange on the
+    partition key; order, the lag shift and the pair collapse are all
+    block-local and vectorized."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    partials = checked_sort(ds, "user_id").map_batches(
+        _transition_partials, batch_format="pyarrow", batch_size=None
+    )
+    return (
+        partials.groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["prev_type", "next_type"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# date-spine densify: hourly counts with zero-filled gaps
+# ---------------------------------------------------------------------------
+
+HOURLY_DENSE_SQL = f"""
+WITH h AS (
+  SELECT CAST(epoch_us(ts) // {_US_PER_HOUR} AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM h)
+SELECT gs.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events
+FROM (SELECT UNNEST(generate_series(lo, hi)) AS hour FROM b) gs
+LEFT JOIN h USING (hour)
+ORDER BY hour
+"""
+
+
+def hourly_dense(sf_dir: str) -> pa.Table:
+    """Hourly event counts on a dense hour spine — every hour between the
+    stream's first and last appears, zero-filled (the gap-fill /
+    densification primitive dashboards need).
+
+    The aggregate is metadata-sized (one row per hour of stream span)
+    whatever the input size, so the spine fill is a driver-side numpy
+    scatter over the SMALL result — the events fact itself only flows
+    through the two-level count aggregate."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        ts_us = np.asarray(b.column("ts").cast(pa.int64()))
+        t = pa.table({"hour": pa.array(ts_us // _US_PER_HOUR)})
+        g = t.group_by(["hour"]).aggregate([([], "count_all")])
+        return pa.table({"hour": g.column("hour"), "n": g.column("count_all")})
+
+    agg = (
+        _events(sf_dir, ["ts"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    small = pa.concat_tables([t for t in _ray.get(agg) if t.num_rows])
+    hours = np.asarray(small.column("hour"), dtype=np.int64)
+    counts = np.asarray(small.column("n"), dtype=np.int64)
+    lo, hi = int(hours.min()), int(hours.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[hours - lo] = counts
+    return pa.table(
+        {
+            "hour": pa.array(np.arange(lo, hi + 1, dtype=np.int64)),
+            "n_events": pa.array(dense),
+        }
+    )

@@ -17,7 +17,7 @@ from ..sources.reader import read_parquet as read_parquet_clean
 
 from ..functions.debug import checked_sort
 from ..ops.dedup import EXACT_DEDUP_SQL, _add_text_hash, _first_per_text
-from ..ops.text import STOPWORDS, _per_list_sum, _token_lists
+from ..ops.text import BPE_ISH_PATTERN, STOPWORDS, _per_list_sum, _token_lists
 
 MIN_TOKENS = 20
 MAX_STOPWORD_RATIO = 0.5
@@ -186,3 +186,112 @@ def training_mix(
         ),
     )
     return out.sort("doc_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: documents -> fixed token-budget training shards
+# ---------------------------------------------------------------------------
+
+PACK_TOKEN_BUDGET = 4096
+
+# Exclusive running token total (deterministic doc_id order) // budget.
+# A document that straddles a boundary belongs to the pack its FIRST
+# token lands in — the standard "greedy by offset" packing policy, and
+# exactly what the window frame below computes.
+TOKEN_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+              '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+         ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         // {PACK_TOKEN_BUDGET} AS pack_id
+FROM toks
+ORDER BY doc_id
+"""
+
+
+def token_pack(sf_dir: str, *, budget: int = PACK_TOKEN_BUDGET) -> ray.data.Dataset:
+    """Pack documents into fixed token-budget training shards.
+
+    The sequence-packing primitive of an LLM data pipeline: every
+    document gets a ``pack_id`` so that each pack holds ~``budget``
+    BPE-ish tokens, assignment by the document's starting offset in the
+    global token stream.  Distributed as a prefix-sum, never a window
+    on one node:
+
+    1. one vectorized pass counts tokens per doc (Arrow RE2 kernel),
+    2. a global sort on ``doc_id`` (the one exchange), materialized so
+       block splits are pinned,
+    3. a metadata-only boundary pass ships (first_doc, block_token_sum)
+       per block — bytes per block, not rows,
+    4. the driver cumsums block token offsets, and a second vectorized
+       pass assigns ``pack_id = (block_offset + local_exclusive_cumsum)
+       // budget``.
+
+    At 100 TB the only all-to-all carries (doc_id, n_tokens) pairs; the
+    boundary table is one row per block.  Mirrors the reference's
+    batching-by-size put semantics (PutKinesisStream's byte-budget
+    batching, swiftj/nifi-processors PutKinesisStream.java) as a
+    deterministic dataset operator.
+    """
+    from ..ops.text import token_counts_batch
+
+    docs = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        t = token_counts_batch(b)
+        return pa.table(
+            {"doc_id": t.column("doc_id").cast(pa.int64()), "n_tokens": t.column("bpe_tokens")}
+        )
+
+    ordered = docs.map_batches(counts, batch_format="pyarrow").sort("doc_id").materialize()
+
+    def boundary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"first_doc": pa.array([], pa.int64()), "tok_sum": pa.array([], pa.int64())}
+            )
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "first_doc": b.column("doc_id").slice(0, 1),
+                "tok_sum": pa.array([pc.sum(b.column("n_tokens")).as_py()], pa.int64()),
+            }
+        )
+
+    bounds = ordered.map_batches(boundary, batch_format="pyarrow", batch_size=None).take_all()
+    bounds.sort(key=lambda r: r["first_doc"])
+    offsets = np.concatenate([[0], np.cumsum([r["tok_sum"] for r in bounds])])[:-1]
+    offset_by_doc = {r["first_doc"]: int(o) for r, o in zip(bounds, offsets)}
+
+    def assign(b: pa.Table, *, budget: int) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "pack_id": pa.array([], pa.int64()),
+                }
+            )
+        off = offset_by_doc[b.column("doc_id")[0].as_py()]  # KeyError = split drift: fail loud
+        tok = np.asarray(b.column("n_tokens"))
+        excl = off + np.cumsum(tok) - tok
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": b.column("n_tokens"),
+                "pack_id": pa.array(excl // budget),
+            }
+        )
+
+    return ordered.map_batches(
+        assign, batch_format="pyarrow", batch_size=None, fn_kwargs={"budget": budget}
+    )

@@ -103,3 +103,15 @@ def test_training_mix_budget_semantics(ray_session):
     # shrinking the budget can only shrink the selection
     small = training_mix(SF_DIR, tokens_per_lang=100).to_pandas()
     assert set(small["doc_id"]) <= set(out["doc_id"])
+
+
+def test_token_pack_matches_serial_prefix_sum(ray_session):
+    from nifi_processors_ray.pipelines.corpus import token_pack
+
+    out = token_pack("/root/testdata/sf0.001", budget=512).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # pack_id must equal the serial exclusive-prefix-sum // budget
+    excl = out["n_tokens"].cumsum() - out["n_tokens"]
+    assert (out["pack_id"] == excl // 512).all()
+    # and be non-decreasing in doc order
+    assert (out["pack_id"].diff().fillna(0) >= 0).all()

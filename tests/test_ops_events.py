@@ -269,3 +269,59 @@ def test_funnel_block_strict_ordering():
     out = EV._funnel_block(proj)
     assert out.column("step").to_pylist() == [1, 2, 3, 4]
     assert out.column("n_users").to_pylist() == [3, 2, 1, 1]
+
+
+def test_transition_partials_respects_run_boundaries():
+    # user 1: a->b->a (transitions ab, ba); user 2: single event (none);
+    # user 3: c->c (one self-transition). Rows arrive unsorted.
+    block = pa.table(
+        {
+            "user_id": pa.array([1, 3, 1, 2, 1, 3], pa.int64()),
+            "event_id": pa.array([10, 20, 11, 30, 12, 21], pa.int64()),
+            "ts": pa.array([1, 1, 2, 1, 3, 2], pa.timestamp("us")),
+            "event_type": pa.array(["a", "c", "b", "x", "a", "c"]),
+        }
+    )
+    out = EV._transition_partials(block).sort_by(
+        [("prev_type", "ascending"), ("next_type", "ascending")]
+    )
+    assert out.column("prev_type").to_pylist() == ["a", "b", "c"]
+    assert out.column("next_type").to_pylist() == ["b", "a", "c"]
+    assert out.column("n").to_pylist() == [1, 1, 1]
+
+
+def test_transition_partials_empty_is_schema_stable():
+    out = EV._transition_partials(
+        pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "event_type": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert out.num_rows == 0
+    assert out.schema.names == ["prev_type", "next_type", "n"]
+
+
+def test_hist_partials_buckets_and_sums():
+    batch = pa.table({"value": pa.array([0.01, 9.99, 10.00, 25.50], pa.float64())})
+    out = EV._hist_partials(batch).sort_by("bucket")
+    # cents: 1, 999, 1000, 2550 -> buckets 0, 0, 1, 2
+    assert out.column("bucket").to_pylist() == [0, 1, 2]
+    assert out.column("n_events").to_pylist() == [2, 1, 1]
+    assert out.column("sum_cents").to_pylist() == [1000, 1000, 2550]
+
+
+def test_hourly_dense_zero_fills_gaps(ray_session):
+    dense = EV.hourly_dense(SF_DIR)
+    hours = dense.column("hour").to_pylist()
+    counts = dense.column("n_events").to_pylist()
+    # spine is contiguous and spans min..max
+    assert hours == list(range(hours[0], hours[-1] + 1))
+    # endpoints are real observations (non-zero by construction)
+    assert counts[0] > 0 and counts[-1] > 0
+    assert sum(counts) == duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
