@@ -25,6 +25,7 @@ from nifi_processors_ray.config import EngineConfig
 from nifi_processors_ray.ops import dedup as _dedup
 from nifi_processors_ray.ops import events as _ev
 from nifi_processors_ray.ops import joins as _joins
+from nifi_processors_ray.ops import profile as _prof
 from nifi_processors_ray.ops import relational as _rel
 from nifi_processors_ray.ops import multimodal as _mm
 from nifi_processors_ray.ops import similarity as _sim
@@ -210,6 +211,25 @@ def _q_approx_users(sf_dir: str):
     return pa.table({"approx_users": pa.array([approx_distinct(ds, "user_id")], pa.int64())})
 
 
+def _q_quantile_sketch(sf_dir: str):
+    """Bottom-k-sample approximate value quantiles — the mergeable
+    scale path next to the exact events_value_quantiles (histogram
+    exchange).  Approximate, so rows-only; the rank-error bound is
+    pinned in tests/test_sketches.py."""
+    import pyarrow as pa
+    import ray.data
+
+    from nifi_processors_ray.functions.sketches import approx_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/events.parquet", columns=["event_id", "value"]
+    )
+    p50, p95 = approx_quantiles(ds, "value", "event_id", qs=(0.5, 0.95))
+    return pa.table(
+        {"approx_p50": pa.array([p50], pa.float64()), "approx_p95": pa.array([p95], pa.float64())}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC / incremental-ingest core
@@ -294,6 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": _ev.value_histogram,
         "events_type_transitions": _ev.type_transitions,
         "events_hourly_dense": _ev.hourly_dense,
+        "events_profile": _prof.table_profile,
+        "events_quantile_sketch": _q_quantile_sketch,
         "pricing_unpivot": _rel.pricing_unpivot,
         # keep-latest-per-key upsert compaction + fact-to-dim shuffle join
         "latest_event_per_user": _ev.latest_event_per_user,
@@ -430,6 +452,7 @@ FROM _ch
         "events_value_histogram": _ev.VALUE_HISTOGRAM_SQL,
         "events_type_transitions": _ev.TYPE_TRANSITIONS_SQL,
         "events_hourly_dense": _ev.HOURLY_DENSE_SQL,
+        "events_profile": _prof.TABLE_PROFILE_SQL,
         "pricing_unpivot": _rel.PRICING_UNPIVOT_SQL,
         "latest_event_per_user": _ev.LATEST_EVENT_SQL,
         "brand_revenue": _joins.BRAND_REVENUE_SQL,

@@ -79,3 +79,71 @@ def approx_distinct(ds, column: str, p: int = DEFAULT_P) -> int:
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
     partials = [np.asarray(r["regs"], dtype=np.uint8) for r in rows]
     return hll_estimate(hll_merge(partials))
+
+
+# ---------------------------------------------------------------------------
+# bottom-k quantile sketch: approximate quantiles at shuffle-free cost
+# ---------------------------------------------------------------------------
+#
+# Exact quantiles need a sort or a histogram exchange (ops/events.py's
+# value_quantiles does histogram partials).  The scale path is a
+# MERGEABLE uniform sample: hash a unique row key, keep the k rows with
+# the smallest hashes.  Bottom-k over a uniform hash IS a uniform
+# k-sample of the population; merging partials = keeping the k smallest
+# overall (associative/commutative), so any task tree works and only
+# k×16 bytes per block ever move.  Rank error of the empirical quantile
+# is O(sqrt(q(1-q)/k)) (standard order-statistics bound).
+
+DEFAULT_QK = 4096
+
+
+def qsketch_partial(values: np.ndarray, key_hash: np.ndarray, k: int = DEFAULT_QK):
+    """One batch → its bottom-k (hash, value) pairs, hash-sorted."""
+    if len(values) > k:
+        idx = np.argpartition(key_hash, k)[:k]
+        key_hash, values = key_hash[idx], values[idx]
+    order = np.argsort(key_hash, kind="stable")
+    return key_hash[order], values[order]
+
+
+def qsketch_merge(parts, k: int = DEFAULT_QK):
+    """Merge partials: global bottom-k by hash (dedup-free — keys are
+    unique row ids, so equal hashes are vanishingly rare and harmless)."""
+    hs = np.concatenate([p[0] for p in parts]) if parts else np.array([], np.uint64)
+    vs = np.concatenate([p[1] for p in parts]) if parts else np.array([], np.float64)
+    return qsketch_partial(vs, hs, k)
+
+
+def qsketch_quantiles(sample_values: np.ndarray, qs: tuple[float, ...]) -> list[float]:
+    """Empirical quantiles of the merged sample (lower order statistic,
+    matching ``quantile_disc``'s pick-an-element semantics)."""
+    if len(sample_values) == 0:
+        return [float("nan")] * len(qs)
+    s = np.sort(sample_values)
+    n = len(s)
+    return [float(s[min(n - 1, max(0, int(np.ceil(q * n)) - 1))]) for q in qs]
+
+
+def approx_quantiles(
+    ds, value_col: str, key_col: str, qs: tuple[float, ...] = (0.5, 0.95), k: int = DEFAULT_QK
+) -> list[float]:
+    """Approximate quantiles of ``value_col`` over a Dataset.
+
+    One vectorized pass; each block contributes ≤ k (hash, value) pairs
+    and the driver merges bottom-k partials — never the raw column."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.drop_null()
+        h = hash_ints_u64(t.column(key_col))
+        v = np.asarray(t.column(value_col), dtype=np.float64)
+        hk, vk = qsketch_partial(v, h, k)
+        return pa.table({"h": pa.array(hk), "v": pa.array(vk)})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return [float("nan")] * len(qs)
+    hs = np.fromiter((r["h"] for r in rows), np.uint64, len(rows))
+    vs = np.fromiter((r["v"] for r in rows), np.float64, len(rows))
+    _, sample = qsketch_partial(vs, hs, k)
+    return qsketch_quantiles(sample, qs)

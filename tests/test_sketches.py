@@ -42,3 +42,38 @@ def test_string_column_support():
     )
     est = S.approx_distinct(ds, "s")
     assert abs(est - 1000) / 1000 < 0.05
+
+
+def test_qsketch_merge_equals_single_pass():
+    rng = np.random.default_rng(7)
+    v = rng.normal(100, 25, 50_000)
+    keys = S.hash_ints_u64(pa.array(np.arange(50_000, dtype=np.int64)))
+    halves = [
+        S.qsketch_partial(v[:25_000], keys[:25_000]),
+        S.qsketch_partial(v[25_000:], keys[25_000:]),
+    ]
+    mh, mv = S.qsketch_merge(halves)
+    sh, sv = S.qsketch_partial(v, keys)
+    assert (mh == sh).all() and (mv == sv).all()
+
+
+def test_qsketch_rank_error_within_bound(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.01/events.parquet"
+    ds = ray.data.read_parquet(sf, columns=["event_id", "value"])
+    p50, p95 = S.approx_quantiles(ds, "value", "event_id", qs=(0.5, 0.95))
+    con = duckdb.connect()
+    vals = con.sql(f"SELECT value FROM read_parquet('{sf}')").fetchnumpy()["value"]
+    # rank of the estimate must sit within ~4σ of the target rank
+    # (σ = sqrt(q(1-q)/k), k=4096 → σ(0.5)=0.0078)
+    for q, est in [(0.5, p50), (0.95, p95)]:
+        rank = (vals <= est).mean()
+        assert abs(rank - q) < 4 * np.sqrt(q * (1 - q) / S.DEFAULT_QK), (q, est, rank)
+
+
+def test_qsketch_exact_when_population_fits():
+    v = np.array([5.0, 1.0, 3.0, 2.0, 4.0])
+    keys = S.hash_ints_u64(pa.array(np.arange(5, dtype=np.int64)))
+    _, sample = S.qsketch_partial(v, keys)
+    assert S.qsketch_quantiles(sample, (0.5,)) == [3.0]  # k > n: sample IS the data
