@@ -66,3 +66,42 @@ def compact_small_result(
             return ray.data.from_arrow(schema.empty_table())
         return mat
     return ray.data.from_arrow_refs(refs)
+
+
+def block_offset_index(ordered, key_cols, weight_fn):
+    """The distributed global-rank/prefix-sum pattern, shared.
+
+    For a MATERIALIZED, globally sorted dataset, compute each block's
+    starting offset in some global accumulation (row rank, token total,
+    ...): a metadata-only boundary pass ships one row per block —
+    the block's first ``key_cols`` values plus ``weight_fn(block)``
+    (e.g. ``num_rows`` for rank, a column sum for weighted offsets) —
+    and the driver cumsums the sorted boundary list.
+
+    Returns ``(offset_by_first_key, total)`` where the dict maps each
+    block's first-key TUPLE (scalar when one key col) to its exclusive
+    offset.  Callers look up their block's first key in the assign pass
+    and treat a ``KeyError`` as split drift (the dataset was consumed
+    with different block splits than the boundary pass saw) — which is
+    why ``ordered`` must be materialized first: a lazy sorted plan
+    re-executes per consumption with different splits.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def boundary(b: pa.Table) -> pa.Table:
+        cols = {
+            f"k{i}": b.column(c).slice(0, 1) if b.num_rows else pa.array([], b.column(c).type)
+            for i, c in enumerate(key_cols)
+        }
+        cols["w"] = pa.array([weight_fn(b)] if b.num_rows else [], pa.int64())
+        return pa.table(cols)
+
+    rows = ordered.map_batches(boundary, batch_format="pyarrow", batch_size=None).take_all()
+    keyof = (
+        (lambda r: r["k0"]) if len(key_cols) == 1 else (lambda r: tuple(r[f"k{i}"] for i in range(len(key_cols))))
+    )
+    rows.sort(key=keyof)
+    weights = [r["w"] for r in rows]
+    offsets = np.concatenate([[0], np.cumsum(weights)])
+    return {keyof(r): int(o) for r, o in zip(rows, offsets[:-1])}, int(offsets[-1])

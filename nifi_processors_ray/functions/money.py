@@ -21,3 +21,16 @@ def floored_cents(col) -> pa.Array | pa.ChunkedArray:
     and NaN→int64 is a C-undefined cast."""
     v = pc.multiply(pc.cast(col, pa.float64()), 100.0)
     return pc.cast(pc.floor(v), pa.int64())
+
+
+def discounted_floored_cents(price, discount) -> pa.Array | pa.ChunkedArray:
+    """``floor(price * (1.0 - discount) * 100) → int64``, NULL-preserving.
+
+    Left-associated multiplies in float64 — the identical IEEE op order
+    as the SQL twins' ``FLOOR(p * (1.0 - d) * 100)``.  Arrow kernels for
+    the same reason as :func:`floored_cents`: a NULL in either input
+    stays NULL (numpy would surface NaN and NaN→int64 is undefined)."""
+    p = pc.cast(price, pa.float64())
+    d = pc.cast(discount, pa.float64())
+    v = pc.multiply(pc.multiply(p, pc.subtract(1.0, d)), 100.0)
+    return pc.cast(pc.floor(v), pa.int64())

@@ -106,11 +106,25 @@ from ..functions.money import floored_cents as _cents  # engine-wide invariant
 
 # ---------------------------------------------------------------------------
 
+
+def _truncdiv(ts_us: np.ndarray, div: int) -> np.ndarray:
+    """Integer division truncating toward zero — SQL's ``//`` semantics.
+
+    numpy's ``//`` floors while DuckDB's ``//`` truncates; the two only
+    agree for non-negative timestamps.  Every hour/window bucketing
+    below must use this so a pre-1970 (negative epoch) event lands in
+    the SAME bucket as the SQL twin (same class of latent divergence as
+    the dtype rules in the round-1 notes)."""
+    q = ts_us // div  # div > 0 throughout
+    q += (ts_us % div != 0) & (ts_us < 0)
+    return q
+
+
 def _add_window_and_cents(batch: pa.Table) -> pa.Table:
     ts_us = np.asarray(batch.column("ts").cast(pa.int64()))
     return pa.table(
         {
-            "window_hour": pa.array(ts_us // _US_PER_HOUR),
+            "window_hour": pa.array(_truncdiv(ts_us, _US_PER_HOUR)),
             "event_type": batch.column("event_type"),
             "value_cents": _cents(batch.column("value")),
             "user_id": batch.column("user_id"),
@@ -256,7 +270,7 @@ def _hop_partials(batch: pa.Table) -> pa.Table:
     the doubled rows back to (window, type) partials before the shuffle.
     """
     ts_us = np.asarray(batch.column("ts").cast(pa.int64()))
-    widx = ts_us // _HOP_US
+    widx = _truncdiv(ts_us, _HOP_US)
     n = len(widx)
     rep = np.repeat(np.arange(n), 2)
     k = np.tile(np.array([0, 1], dtype=np.int64), n)
@@ -1146,7 +1160,7 @@ def hourly_dense(sf_dir: str) -> pa.Table:
 
     def partials(b: pa.Table) -> pa.Table:
         ts_us = np.asarray(b.column("ts").cast(pa.int64()))
-        t = pa.table({"hour": pa.array(ts_us // _US_PER_HOUR)})
+        t = pa.table({"hour": pa.array(_truncdiv(ts_us, _US_PER_HOUR))})
         g = t.group_by(["hour"]).aggregate([([], "count_all")])
         return pa.table({"hour": g.column("hour"), "n": g.column("count_all")})
 
@@ -1159,7 +1173,12 @@ def hourly_dense(sf_dir: str) -> pa.Table:
     )
     import ray as _ray
 
-    small = pa.concat_tables([t for t in _ray.get(agg) if t.num_rows])
+    tables = [t for t in _ray.get(agg) if t.num_rows]
+    if not tables:  # empty stream → empty spine, like the SQL twin
+        return pa.table(
+            {"hour": pa.array([], pa.int64()), "n_events": pa.array([], pa.int64())}
+        )
+    small = pa.concat_tables(tables)
     hours = np.asarray(small.column("hour"), dtype=np.int64)
     counts = np.asarray(small.column("n"), dtype=np.int64)
     lo, hi = int(hours.min()), int(hours.max())

@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..functions.money import discounted_floored_cents, floored_cents
 from ..sources.reader import read_parquet as read_parquet_clean
 
 from ..functions.debug import checked_sort
@@ -64,12 +65,12 @@ def _lineitem_side(batch: pa.Table) -> pa.Table:
     combiner-before-shuffle-join pattern): a TPC-H order has ~4 lineitems
     that usually share a batch, so the sort exchange moves ~4× fewer
     probe rows, each carrying its local (count, cents-sum) partial."""
-    p = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
-    d = np.asarray(batch.column("l_discount"), dtype=np.float64)
     t = pa.table(
         {
             "key": batch.column("l_orderkey").cast(pa.int64()),
-            "cents": pa.array(np.floor(p * (1.0 - d) * 100).astype(np.int64)),
+            "cents": discounted_floored_cents(
+                batch.column("l_extendedprice"), batch.column("l_discount")
+            ),
         }
     )
     g = t.group_by(["key"]).aggregate([("cents", "sum"), ([], "count_all")])
@@ -197,8 +198,6 @@ ORDER BY o_custkey, rn
 
 
 def _project_price_cents(batch: pa.Table) -> pa.Table:
-    from ..functions.money import floored_cents
-
     return pa.table(
         {
             "o_custkey": batch.column("o_custkey").cast(pa.int64()),
@@ -453,8 +452,10 @@ def _set_side(col: str, side: int):
     return fn
 
 
-def _intersect_block(block: pa.Table) -> pa.Table:
-    """Emit each co-located key once iff its run contains BOTH sides."""
+def _set_op_block(block: pa.Table, keep_of) -> pa.Table:
+    """Shared set-operation kernel: one boolean (run × side) presence
+    matrix per co-located key run; ``keep_of(has)`` is the mask that
+    distinguishes INTERSECT / EXCEPT (and any future member)."""
     empty = pa.table({"custkey": pa.array([], pa.int64())})
     n = block.num_rows
     if n == 0:
@@ -467,9 +468,13 @@ def _intersect_block(block: pa.Table) -> pa.Table:
     n_runs = run_id[-1] + 1
     has = np.zeros((n_runs, 2), dtype=bool)
     has[run_id, side] = True
-    both = has.all(axis=1)
-    out = key[np.nonzero(new_run)[0]][both]
+    out = key[np.nonzero(new_run)[0]][keep_of(has)]
     return pa.table({"custkey": pa.array(out.astype(np.int64))})
+
+
+def _intersect_block(block: pa.Table) -> pa.Table:
+    """Emit each co-located key once iff its run contains BOTH sides."""
+    return _set_op_block(block, lambda has: has.all(axis=1))
 
 
 def active_customer_ids(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
@@ -527,12 +532,12 @@ def _part_side(batch: pa.Table) -> pa.Table:
 def _lineitem_part_side(batch: pa.Table) -> pa.Table:
     """Probe side pre-aggregated per partkey within the batch (combiner
     before the shuffle, as in :func:`_lineitem_side`)."""
-    p = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
-    d = np.asarray(batch.column("l_discount"), dtype=np.float64)
     t = pa.table(
         {
             "key": batch.column("l_partkey").cast(pa.int64()),
-            "cents": pa.array(np.floor(p * (1.0 - d) * 100).astype(np.int64)),
+            "cents": discounted_floored_cents(
+                batch.column("l_extendedprice"), batch.column("l_discount")
+            ),
         }
     )
     g = t.group_by(["key"]).aggregate([("cents", "sum"), ([], "count_all")])
@@ -598,23 +603,9 @@ ORDER BY custkey
 
 def _except_block(block: pa.Table) -> pa.Table:
     """Emit each co-located key once iff its run has side 0 (customer)
-    and NOT side 1 (events) — the EXCEPT mask over the same exchange
-    shape as :func:`_intersect_block`."""
-    empty = pa.table({"custkey": pa.array([], pa.int64())})
-    n = block.num_rows
-    if n == 0:
-        return empty
-    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
-    key = np.asarray(block.column("key"))
-    side = np.asarray(block.column("side"))
-    new_run = np.concatenate([[True], key[1:] != key[:-1]])
-    run_id = np.cumsum(new_run) - 1
-    n_runs = run_id[-1] + 1
-    has = np.zeros((n_runs, 2), dtype=bool)
-    has[run_id, side] = True
-    keep = has[:, 0] & ~has[:, 1]
-    out = key[np.nonzero(new_run)[0]][keep]
-    return pa.table({"custkey": pa.array(out.astype(np.int64))})
+    and NOT side 1 (events) — the EXCEPT mask over the shared
+    :func:`_set_op_block` kernel."""
+    return _set_op_block(block, lambda has: has[:, 0] & ~has[:, 1])
 
 
 def inactive_customer_ids(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
@@ -665,8 +656,6 @@ def _cust_left_side(batch: pa.Table) -> pa.Table:
 
 def _orders_agg_side(batch: pa.Table) -> pa.Table:
     """Right side pre-aggregated per custkey within the batch."""
-    from ..functions.money import floored_cents
-
     t = pa.table(
         {
             "key": batch.column("o_custkey").cast(pa.int64()),

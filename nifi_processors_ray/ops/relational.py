@@ -734,31 +734,11 @@ def customer_spend_deciles(sf_dir: str) -> ray.data.Dataset:
     )
     ordered = spend.sort(["spend_cents", "o_custkey"]).materialize()
 
-    def boundary(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table(
-                {
-                    "first_spend": pa.array([], pa.int64()),
-                    "first_cust": pa.array([], pa.int64()),
-                    "n_rows": pa.array([], pa.int64()),
-                }
-            )
-        return pa.table(
-            {
-                "first_spend": b.column("spend_cents").slice(0, 1),
-                "first_cust": b.column("o_custkey").slice(0, 1),
-                "n_rows": pa.array([b.num_rows], pa.int64()),
-            }
-        )
+    from ..functions.blocks import block_offset_index
 
-    bounds = ordered.map_batches(
-        boundary, batch_format="pyarrow", batch_size=None
-    ).take_all()
-    bounds.sort(key=lambda r: (r["first_spend"], r["first_cust"]))
-    n_total = sum(r["n_rows"] for r in bounds)
-    keys = [(r["first_spend"], r["first_cust"]) for r in bounds]
-    offsets = np.concatenate([[0], np.cumsum([r["n_rows"] for r in bounds])])[:-1]
-    offset_by_key = dict(zip(keys, offsets.tolist()))
+    offset_by_key, n_total = block_offset_index(
+        ordered, ["spend_cents", "o_custkey"], lambda b: b.num_rows
+    )
 
     def assign(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

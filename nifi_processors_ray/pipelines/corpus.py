@@ -253,24 +253,13 @@ def token_pack(sf_dir: str, *, budget: int = PACK_TOKEN_BUDGET) -> ray.data.Data
 
     ordered = docs.map_batches(counts, batch_format="pyarrow").sort("doc_id").materialize()
 
-    def boundary(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table(
-                {"first_doc": pa.array([], pa.int64()), "tok_sum": pa.array([], pa.int64())}
-            )
-        import pyarrow.compute as pc
+    import pyarrow.compute as pc
 
-        return pa.table(
-            {
-                "first_doc": b.column("doc_id").slice(0, 1),
-                "tok_sum": pa.array([pc.sum(b.column("n_tokens")).as_py()], pa.int64()),
-            }
-        )
+    from ..functions.blocks import block_offset_index
 
-    bounds = ordered.map_batches(boundary, batch_format="pyarrow", batch_size=None).take_all()
-    bounds.sort(key=lambda r: r["first_doc"])
-    offsets = np.concatenate([[0], np.cumsum([r["tok_sum"] for r in bounds])])[:-1]
-    offset_by_doc = {r["first_doc"]: int(o) for r, o in zip(bounds, offsets)}
+    offset_by_doc, _ = block_offset_index(
+        ordered, ["doc_id"], lambda b: pc.sum(b.column("n_tokens")).as_py()
+    )
 
     def assign(b: pa.Table, *, budget: int) -> pa.Table:
         if b.num_rows == 0:

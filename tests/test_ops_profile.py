@@ -16,14 +16,23 @@ def test_table_profile_matches_oracle(ray_session):
     assert out.reset_index(drop=True).equals(ot.reset_index(drop=True))
 
 
-def test_table_profile_counts_nulls(ray_session):
+def test_profile_partials_count_nulls_and_uniques():
     import pyarrow as pa
-    import ray.data
 
-    ds = ray.data.from_arrow(
-        pa.table({"event_type": pa.array(["a", None, "b", "a", None])})
+    batch = pa.table(
+        {
+            "event_type": pa.array(["a", None, "b", "a", None]),
+            "user_id": pa.array([1, 2, 2, None, 3], pa.int64()),
+            "value": pa.array([1.0, 1.0, None, 2.5, 2.5], pa.float64()),
+        }
     )
-    st = P._col_stats(ds, "event_type", "event_type")
-    assert int(st["n_nulls"]) == 2
-    assert st["min_val"] == "a" and st["max_val"] == "b"
-    assert P._col_distinct(ds, "event_type", "event_type") == 2
+    st = P._stats_partial(batch)
+    assert st.column("event_type__nulls").to_pylist() == [2]
+    assert st.column("event_type__min").to_pylist() == ["a"]
+    assert st.column("event_type__max").to_pylist() == ["b"]
+    assert st.column("value_cents__nulls").to_pylist() == [1]
+    d = P._distinct_partial(batch).to_pydict()
+    pairs = set(zip(d["col"], d["val"]))
+    assert ("event_type", "a") in pairs and ("user_id", "3") in pairs
+    assert ("value_cents", "100") in pairs and ("value_cents", "250") in pairs
+    assert len([c for c in d["col"] if c == "event_type"]) == 2
