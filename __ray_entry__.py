@@ -330,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_customer_ids": _joins.inactive_customer_ids,
         "customer_order_counts": _joins.customer_order_counts,
         "customer_activity_full": _joins.customer_activity_full,
+        "all_actor_ids": _joins.all_actor_ids,
+        "pricing_cube": _rel.pricing_cube,
         "events_approx_users": _q_approx_users,
         # vector aggregation (embeddings table)
         "label_vector_sums": _vec.label_vector_sums,
@@ -462,6 +464,8 @@ FROM _ch
         "inactive_customer_ids": _joins.INACTIVE_CUSTOMER_IDS_SQL,
         "customer_order_counts": _joins.CUSTOMER_ORDER_COUNTS_SQL,
         "customer_activity_full": _joins.CUSTOMER_ACTIVITY_FULL_SQL,
+        "all_actor_ids": _joins.ALL_ACTOR_IDS_SQL,
+        "pricing_cube": _rel.PRICING_CUBE_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
         "training_mix": _corpus.TRAINING_MIX_SQL,

@@ -818,3 +818,39 @@ def customer_activity_full(sf_dir: str, *, sort: bool = True) -> ray.data.Datase
         _full_outer_block, batch_format="pyarrow", batch_size=None
     )
     return out.sort("custkey") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# set operation: UNION (distinct)
+# ---------------------------------------------------------------------------
+
+ALL_ACTOR_IDS_SQL = """
+SELECT c_custkey AS custkey FROM customer
+UNION
+SELECT user_id FROM events
+ORDER BY custkey
+"""
+
+
+def _union_block(block: pa.Table) -> pa.Table:
+    """Every co-located key run emits once — UNION-distinct over the
+    shared :func:`_set_op_block` kernel (the always-true mask)."""
+    return _set_op_block(block, lambda has: np.ones(len(has), dtype=bool))
+
+
+def all_actor_ids(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """UNION (distinct) — every id that is a customer key OR an event
+    user id, once.  Completes the set-operation family (INTERSECT /
+    EXCEPT / UNION) on the identical per-batch-dedup + ONE-sort-exchange
+    shape; only the run mask differs."""
+    sf = sf_dir.rstrip("/")
+    left = read_parquet_clean(f"{sf}/customer.parquet", columns=["c_custkey"]).map_batches(
+        _set_side("c_custkey", 0), batch_format="pyarrow"
+    )
+    right = read_parquet_clean(f"{sf}/events.parquet", columns=["user_id"]).map_batches(
+        _set_side("user_id", 1), batch_format="pyarrow"
+    )
+    out = checked_sort(left.union(right), "key").map_batches(
+        _union_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("custkey") if sort else out

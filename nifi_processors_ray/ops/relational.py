@@ -434,16 +434,9 @@ ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
 """
 
 
-def pricing_rollup(sf_dir: str) -> pa.Table:
-    """``GROUP BY ROLLUP(flag, status)`` — hierarchical subtotals.
-
-    The scale shape: the finest level is a normal distributed
-    partial-aggregate (per-batch combiners, one tiny shuffle); the
-    coarser levels (per-flag subtotals, grand total) are then derived
-    from the ≤|flag×status| base rows — never from the data — so rollup
-    costs exactly one pass regardless of depth.  Base rows are bounded
-    by group cardinality, so the driver-side derivation is O(groups),
-    not O(rows)."""
+def _pricing_base(sf_dir: str) -> pa.Table:
+    """Finest-level (flag × status) aggregate — the ONE distributed pass
+    that both ROLLUP and CUBE derive every coarser level from."""
     from ray.data.aggregate import Sum
 
     ds = read_parquet_clean(
@@ -481,7 +474,7 @@ def pricing_rollup(sf_dir: str) -> pa.Table:
         )
         .take_all()
     )
-    base_t = pa.Table.from_pylist(
+    return pa.Table.from_pylist(
         base,
         schema=pa.schema(
             [
@@ -492,20 +485,23 @@ def pricing_rollup(sf_dir: str) -> pa.Table:
             ]
         ),
     )
-    # subtotal level: per flag (status → NULL)
-    sub = base_t.group_by(["l_returnflag"]).aggregate(
-        [("n_rows", "sum"), ("qty_cents", "sum")]
-    )
-    sub_t = pa.table(
-        {
-            "l_returnflag": sub.column("l_returnflag"),
-            "l_linestatus": pa.nulls(sub.num_rows, pa.string()),
-            "n_rows": sub.column("n_rows_sum"),
-            "qty_cents": sub.column("qty_cents_sum"),
-        }
-    )
-    # grand total (both → NULL)
-    tot_t = pa.table(
+
+
+def _marginal(base_t: pa.Table, key: str, null_col: str) -> pa.Table:
+    """Collapse the base over ``key``, NULLing ``null_col`` — one
+    grouping-set level, O(groups) work."""
+    g = base_t.group_by([key]).aggregate([("n_rows", "sum"), ("qty_cents", "sum")])
+    cols = {
+        key: g.column(key),
+        null_col: pa.nulls(g.num_rows, pa.string()),
+        "n_rows": g.column("n_rows_sum"),
+        "qty_cents": g.column("qty_cents_sum"),
+    }
+    return pa.table(cols).select(["l_returnflag", "l_linestatus", "n_rows", "qty_cents"])
+
+
+def _grand_total(base_t: pa.Table) -> pa.Table:
+    return pa.table(
         {
             "l_returnflag": pa.nulls(1, pa.string()),
             "l_linestatus": pa.nulls(1, pa.string()),
@@ -515,7 +511,49 @@ def pricing_rollup(sf_dir: str) -> pa.Table:
             ),
         }
     )
-    out = pa.concat_tables([base_t, sub_t, tot_t])
+
+
+def pricing_rollup(sf_dir: str) -> pa.Table:
+    """``GROUP BY ROLLUP(flag, status)`` — hierarchical subtotals.
+
+    The scale shape: the finest level is a normal distributed
+    partial-aggregate (per-batch combiners, one tiny shuffle); the
+    coarser levels (per-flag subtotals, grand total) are then derived
+    from the ≤|flag×status| base rows — never from the data — so rollup
+    costs exactly one pass regardless of depth.  Base rows are bounded
+    by group cardinality, so the driver-side derivation is O(groups),
+    not O(rows)."""
+    base_t = _pricing_base(sf_dir)
+    # subtotal level: per flag (status → NULL) + grand total
+    out = pa.concat_tables(
+        [base_t, _marginal(base_t, "l_returnflag", "l_linestatus"), _grand_total(base_t)]
+    )
+    return out.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+PRICING_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+
+def pricing_cube(sf_dir: str) -> pa.Table:
+    """``GROUP BY CUBE(flag, status)`` — all four grouping sets from the
+    SAME single distributed pass as ROLLUP: the per-status marginal is
+    one more O(groups) fold over the base rows."""
+    base_t = _pricing_base(sf_dir)
+    out = pa.concat_tables(
+        [
+            base_t,
+            _marginal(base_t, "l_returnflag", "l_linestatus"),
+            _marginal(base_t, "l_linestatus", "l_returnflag"),
+            _grand_total(base_t),
+        ]
+    )
     return out.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
 
 
