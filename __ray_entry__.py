@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_dense": _ev.hourly_dense,
         "events_profile": _prof.table_profile,
         "events_quantile_sketch": _q_quantile_sketch,
+        "events_median_cont": _ev.median_cont,
         "pricing_unpivot": _rel.pricing_unpivot,
         # keep-latest-per-key upsert compaction + fact-to-dim shuffle join
         "latest_event_per_user": _ev.latest_event_per_user,
@@ -466,6 +467,7 @@ FROM _ch
         "customer_activity_full": _joins.CUSTOMER_ACTIVITY_FULL_SQL,
         "all_actor_ids": _joins.ALL_ACTOR_IDS_SQL,
         "pricing_cube": _rel.PRICING_CUBE_SQL,
+        "events_median_cont": _ev.MEDIAN_CONT_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
         "training_mix": _corpus.TRAINING_MIX_SQL,

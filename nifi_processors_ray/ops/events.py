@@ -1190,3 +1190,81 @@ def hourly_dense(sf_dir: str) -> pa.Table:
             "n_events": pa.array(dense),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# interpolated (continuous) median — percentile_cont companion to the
+# quantile_disc-exact value_quantiles
+# ---------------------------------------------------------------------------
+
+MEDIAN_CONT_SQL = """
+SELECT event_type,
+       quantile_cont(CAST(FLOOR(value * 100) AS BIGINT), 0.5) AS median_cents,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _median_cont_finalize(block: pa.Table) -> pa.Table:
+    """Per co-located event_type run: interpolated median off the merged
+    histogram.  DuckDB ``quantile_cont(x, 0.5)`` = linear interpolation
+    at 0-based position (n-1)/2 (calibrated: [1,2,3]→2, [1,2,3,10]→2.5);
+    with q = 0.5 the fraction is exactly 0 or 0.5, so int + 0.5·int is
+    IEEE-exact and the DOUBLE output can never drift from the twin."""
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "median_cents": pa.array([], pa.float64()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    b = block.sort_by([("event_type", "ascending"), ("value_cents", "ascending")])
+    et = np.asarray(b.column("event_type").combine_chunks().dictionary_encode().indices)
+    vals = np.asarray(b.column("value_cents"), dtype=np.float64)  # null → NaN
+    cnt = np.asarray(b.column("n"))
+    new_run = np.concatenate([[True], et[1:] != et[:-1]])
+    starts = np.nonzero(new_run)[0]
+    ends = np.concatenate([starts[1:], [len(et)]])
+    types = b.column("event_type")
+    out: dict[str, list] = {"event_type": [], "median_cents": [], "n_events": []}
+    for s, e in zip(starts, ends):  # one iteration per GROUP (tiny), not per row
+        w, v = cnt[s:e], vals[s:e]
+        valid = ~np.isnan(v)
+        out["event_type"].append(types[int(s)].as_py())
+        out["n_events"].append(int(w.sum()))
+        wv, xv = w[valid], v[valid]
+        cum = np.cumsum(wv)
+        m = int(cum[-1]) if len(cum) else 0
+        if m == 0:
+            out["median_cents"].append(None)
+            continue
+        lo = (m - 1) // 2  # 0-based lower order statistic
+        vlo = xv[np.searchsorted(cum, lo + 1)]
+        if (m - 1) % 2 == 0:
+            out["median_cents"].append(float(vlo))
+        else:
+            vhi = xv[np.searchsorted(cum, lo + 2)]
+            out["median_cents"].append(float(vlo + 0.5 * (vhi - vlo)))
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "median_cents": pa.array(out["median_cents"], pa.float64()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+        }
+    )
+
+
+def median_cont(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Interpolated per-type median (``percentile_cont`` semantics) —
+    same distributed histogram shape as :func:`value_quantiles`: the
+    shuffle moves DISTINCT (type, cents) pairs with counts, never rows."""
+    ds = _events(sf_dir, ["event_type", "value"])
+    partials = ds.map_batches(_quantile_partials, batch_format="pyarrow")
+    out = checked_sort(partials, "event_type").map_batches(
+        _median_cont_finalize, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("event_type") if sort else out
