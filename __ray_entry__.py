@@ -230,6 +230,27 @@ def _q_quantile_sketch(sf_dir: str):
     )
 
 
+def _q_heavy_users(sf_dir: str):
+    """Misra-Gries approximate heavy hitters over user_id — the
+    mergeable top-k scale path next to the exact events_topk_users
+    (full groupby exchange).  Approximate (undercount ≤ n/(k+1)), so
+    rows-only; the guarantee is pinned in tests/test_sketches.py."""
+    import pyarrow as pa
+    import ray.data
+
+    from nifi_processors_ray.functions.sketches import heavy_hitters
+
+    ds = ray.data.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet", columns=["user_id"])
+    keys, est = heavy_hitters(ds, "user_id", k=64)
+    top = slice(0, 10)
+    return pa.table(
+        {
+            "user_id": pa.array(keys[top].astype("int64")),
+            "approx_count": pa.array(est[top], pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC / incremental-ingest core
@@ -317,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": _prof.table_profile,
         "events_quantile_sketch": _q_quantile_sketch,
         "events_median_cont": _ev.median_cont,
+        "events_heavy_users": _q_heavy_users,
         "pricing_unpivot": _rel.pricing_unpivot,
         # keep-latest-per-key upsert compaction + fact-to-dim shuffle join
         "latest_event_per_user": _ev.latest_event_per_user,

@@ -147,3 +147,78 @@ def approx_quantiles(
     vs = np.fromiter((r["v"] for r in rows), np.float64, len(rows))
     _, sample = qsketch_partial(vs, hs, k)
     return qsketch_quantiles(sample, qs)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: approximate top-k at shuffle-free cost
+# ---------------------------------------------------------------------------
+#
+# Exact top-k needs a full groupby exchange (ops/events.py's topk_users).
+# The scale path is the Misra-Gries summary: keep ≤ k counters; merging
+# two summaries = summing counters pointwise, then subtracting the
+# (k+1)-th largest count and dropping non-positives (the mergeable form
+# from Agarwal et al. 2013, "Mergeable Summaries" — public algorithm).
+# Guarantee after any merge tree over n rows: every key with true count
+# > n/(k+1) survives, and each kept estimate undercounts its true count
+# by at most n/(k+1).  Only k (key, count) pairs per block ever move.
+
+DEFAULT_MG_K = 64
+
+
+def _mg_compress(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Keep ≤ k counters: subtract the (k+1)-th largest count, drop ≤0."""
+    if len(keys) <= k:
+        return keys, counts
+    kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    adj = counts - kth
+    keep = adj > 0
+    return keys[keep], adj[keep]
+
+
+def mg_partial(col, k: int = DEFAULT_MG_K):
+    """One batch → its ≤k (key, undercount) counters (exact batch counts
+    first — the Arrow hash-agg combiner — then one compress)."""
+    t = pa.table({"key": col}).drop_null()
+    g = t.group_by(["key"]).aggregate([([], "count_all")])
+    keys = np.asarray(g.column("key"))
+    counts = np.asarray(g.column("count_all"), dtype=np.int64)
+    return _mg_compress(keys, counts, k)
+
+
+def mg_merge(parts, k: int = DEFAULT_MG_K):
+    """Merge summaries: pointwise-sum shared keys, then one compress.
+    Associative/commutative up to the shared error bound — any task
+    tree yields estimates within n/(k+1) of truth."""
+    if not parts:
+        return np.array([], np.int64), np.array([], np.int64)
+    keys = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1] for p in parts])
+    uk, inv = np.unique(keys, return_inverse=True)
+    summed = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(summed, inv, counts)
+    return _mg_compress(uk, summed, k)
+
+
+def heavy_hitters(ds, column: str, k: int = DEFAULT_MG_K):
+    """Approximate heavy hitters of ``column`` over a Dataset: one
+    vectorized pass, ≤k (key, count) pairs per block reach the driver.
+    Returns (keys, undercount_estimates) sorted by estimate desc."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ks, cs = mg_partial(batch.column(column), k)
+        return pa.table({"key": pa.array(ks), "count": pa.array(cs, pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return np.array([], np.int64), np.array([], np.int64)
+    keys = np.array([r["key"] for r in rows])
+    counts = np.array([r["count"] for r in rows], dtype=np.int64)
+    mk, mc = _mg_compress(*_sum_shared(keys, counts), k)
+    order = np.argsort(-mc, kind="stable")
+    return mk[order], mc[order]
+
+
+def _sum_shared(keys: np.ndarray, counts: np.ndarray):
+    uk, inv = np.unique(keys, return_inverse=True)
+    summed = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(summed, inv, counts)
+    return uk, summed

@@ -77,3 +77,39 @@ def test_qsketch_exact_when_population_fits():
     keys = S.hash_ints_u64(pa.array(np.arange(5, dtype=np.int64)))
     _, sample = S.qsketch_partial(v, keys)
     assert S.qsketch_quantiles(sample, (0.5,)) == [3.0]  # k > n: sample IS the data
+
+
+def test_mg_guarantee_on_events(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.01/events.parquet"
+    ds = ray.data.read_parquet(sf, columns=["user_id"])
+    keys, est = S.heavy_hitters(ds, "user_id", k=64)
+    con = duckdb.connect()
+    exact = dict(
+        con.sql(
+            f"SELECT user_id, COUNT(*) FROM read_parquet('{sf}') GROUP BY 1"
+        ).fetchall()
+    )
+    n = sum(exact.values())
+    bound = n / 65  # n/(k+1)
+    est_by_key = dict(zip(keys.tolist(), est.tolist()))
+    for u, c in exact.items():
+        if c > bound:  # every true heavy hitter must survive
+            assert u in est_by_key, (u, c, bound)
+    for u, e in est_by_key.items():  # estimates only ever undercount, within bound
+        assert exact[u] - bound <= e <= exact[u], (u, e, exact[u])
+
+
+def test_mg_merge_matches_whole_stream_bound():
+    rng = np.random.default_rng(11)
+    # zipf-ish stream: key 0 is ~half the mass
+    stream = np.concatenate([np.zeros(5000, np.int64), rng.integers(1, 500, 5000)])
+    halves = [
+        S.mg_partial(pa.array(stream[:5000]), k=16),
+        S.mg_partial(pa.array(stream[5000:]), k=16),
+    ]
+    keys, est = S.mg_merge(halves, k=16)
+    d = dict(zip(keys.tolist(), est.tolist()))
+    true0 = int((stream == 0).sum())
+    assert 0 in d and true0 - len(stream) / 17 <= d[0] <= true0
