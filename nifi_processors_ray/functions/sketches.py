@@ -185,6 +185,14 @@ def mg_partial(col, k: int = DEFAULT_MG_K):
     return _mg_compress(keys, counts, k)
 
 
+def _sum_shared(keys: np.ndarray, counts: np.ndarray):
+    """Pointwise-sum counters sharing a key (the merge's sum half)."""
+    uk, inv = np.unique(keys, return_inverse=True)
+    summed = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(summed, inv, counts)
+    return uk, summed
+
+
 def mg_merge(parts, k: int = DEFAULT_MG_K):
     """Merge summaries: pointwise-sum shared keys, then one compress.
     Associative/commutative up to the shared error bound — any task
@@ -193,10 +201,7 @@ def mg_merge(parts, k: int = DEFAULT_MG_K):
         return np.array([], np.int64), np.array([], np.int64)
     keys = np.concatenate([p[0] for p in parts])
     counts = np.concatenate([p[1] for p in parts])
-    uk, inv = np.unique(keys, return_inverse=True)
-    summed = np.zeros(len(uk), dtype=np.int64)
-    np.add.at(summed, inv, counts)
-    return _mg_compress(uk, summed, k)
+    return _mg_compress(*_sum_shared(keys, counts), k)
 
 
 def heavy_hitters(ds, column: str, k: int = DEFAULT_MG_K):
@@ -212,13 +217,6 @@ def heavy_hitters(ds, column: str, k: int = DEFAULT_MG_K):
         return np.array([], np.int64), np.array([], np.int64)
     keys = np.array([r["key"] for r in rows])
     counts = np.array([r["count"] for r in rows], dtype=np.int64)
-    mk, mc = _mg_compress(*_sum_shared(keys, counts), k)
+    mk, mc = mg_merge([(keys, counts)], k)
     order = np.argsort(-mc, kind="stable")
     return mk[order], mc[order]
-
-
-def _sum_shared(keys: np.ndarray, counts: np.ndarray):
-    uk, inv = np.unique(keys, return_inverse=True)
-    summed = np.zeros(len(uk), dtype=np.int64)
-    np.add.at(summed, inv, counts)
-    return uk, summed

@@ -177,7 +177,10 @@ def _window_finalize(block: pa.Table) -> pa.Table:
     if n == 0:
         return empty
     wh = np.asarray(block.column("window_hour"))
-    et = np.asarray(block.column("event_type").combine_chunks().dictionary_encode().indices)
+    # null event_type → code -1 (ONE run), not NaN (every null its own run)
+    et = np.asarray(
+        pc.fill_null(block.column("event_type").combine_chunks().dictionary_encode().indices, -1)
+    )
     # null user_id must NOT count as a distinct user (SQL COUNT(DISTINCT
     # user_id) skips nulls; and a null int64 surfaces here as NaN, where
     # NaN != NaN would make every null row its own "user") — null rows
@@ -470,7 +473,10 @@ def _quantile_finalize(block: pa.Table, qs: tuple[float, ...] = (0.5, 0.95)) -> 
     if block.num_rows == 0:
         return pa.table(cols)
     b = block.sort_by([("event_type", "ascending"), ("value_cents", "ascending")])
-    et = np.asarray(b.column("event_type").combine_chunks().dictionary_encode().indices)
+    # null event_type → code -1 (ONE run), not NaN (every null its own run)
+    et = np.asarray(
+        pc.fill_null(b.column("event_type").combine_chunks().dictionary_encode().indices, -1)
+    )
     vals = np.asarray(b.column("value_cents"), dtype=np.float64)  # null → NaN
     cnt = np.asarray(b.column("n"))
     new_run = np.concatenate([[True], et[1:] != et[:-1]])
@@ -1223,7 +1229,10 @@ def _median_cont_finalize(block: pa.Table) -> pa.Table:
     if block.num_rows == 0:
         return empty
     b = block.sort_by([("event_type", "ascending"), ("value_cents", "ascending")])
-    et = np.asarray(b.column("event_type").combine_chunks().dictionary_encode().indices)
+    # null event_type → code -1 (ONE run), not NaN (every null its own run)
+    et = np.asarray(
+        pc.fill_null(b.column("event_type").combine_chunks().dictionary_encode().indices, -1)
+    )
     vals = np.asarray(b.column("value_cents"), dtype=np.float64)  # null → NaN
     cnt = np.asarray(b.column("n"))
     new_run = np.concatenate([[True], et[1:] != et[:-1]])

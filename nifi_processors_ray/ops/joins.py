@@ -440,8 +440,17 @@ ORDER BY custkey
 
 
 def _set_side(col: str, side: int):
+    """Per-batch DISTINCT non-null keys, side-tagged.
+
+    Set ops here are defined over NON-NULL keys (the twins filter
+    nulls explicitly): a null key would surface as NaN in the block
+    kernel's numpy view, where NaN != NaN makes every null its own run
+    and the int64 cast of NaN is undefined — and a cross-side null
+    match cannot be decided block-locally anyway (each side's single
+    null partial may land in different blocks)."""
+
     def fn(batch: pa.Table) -> pa.Table:
-        keys = pc.unique(batch.column(col).cast(pa.int64()).combine_chunks())
+        keys = pc.unique(pc.drop_null(batch.column(col).cast(pa.int64()).combine_chunks()))
         return pa.table(
             {
                 "key": keys,
@@ -824,10 +833,11 @@ def customer_activity_full(sf_dir: str, *, sort: bool = True) -> ray.data.Datase
 # set operation: UNION (distinct)
 # ---------------------------------------------------------------------------
 
+# set ops are over NON-NULL keys (see _set_side) — the twins say so too
 ALL_ACTOR_IDS_SQL = """
-SELECT c_custkey AS custkey FROM customer
+SELECT c_custkey AS custkey FROM customer WHERE c_custkey IS NOT NULL
 UNION
-SELECT user_id FROM events
+SELECT user_id FROM events WHERE user_id IS NOT NULL
 ORDER BY custkey
 """
 

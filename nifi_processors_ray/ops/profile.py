@@ -98,7 +98,9 @@ def _distinct_partial(b: pa.Table) -> pa.Table:
         parts.append(
             pa.table(
                 {
-                    "col": pa.array([name] * len(vals)),
+                    # explicit string type: [] would infer null type and
+                    # fail schema unification in the shared exchange
+                    "col": pa.array([name] * len(vals), pa.string()),
                     "val": pc.cast(vals, pa.string()),
                 }
             )

@@ -249,3 +249,12 @@ def test_full_outer_block_empty_is_schema_stable():
     )
     assert out.num_rows == 0
     assert out.schema.names == ["custkey", "c_name", "n_events"]
+
+
+def test_set_side_drops_null_keys():
+    # null keys are excluded from the set-op domain (the twins filter
+    # them too) — a null would NaN-split in the block kernel and its
+    # int64 cast is undefined
+    batch = pa.table({"user_id": pa.array([1, None, 2, 1], pa.int64())})
+    out = J._set_side("user_id", 1)(batch)
+    assert sorted(out.column("key").to_pylist()) == [1, 2]

@@ -36,3 +36,28 @@ def test_profile_partials_count_nulls_and_uniques():
     assert ("event_type", "a") in pairs and ("user_id", "3") in pairs
     assert ("value_cents", "100") in pairs and ("value_cents", "250") in pairs
     assert len([c for c in d["col"] if c == "event_type"]) == 2
+
+
+def test_table_profile_null_heavy_end_to_end(ray_session, tmp_path):
+    """Distributed profile over a null-bearing table — all-null value
+    batches must survive the shared distinct exchange (typed col arrays)
+    and the stats reduce, matching DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["a", None, "b", "a"] * 50),
+            "user_id": pa.array([1, None, 2, 3] * 50, pa.int64()),
+            "value": pa.array([None, None, None, None] * 50, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = P.table_profile(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    ot = con.sql(P.TABLE_PROFILE_SQL).df()
+    assert out.reset_index(drop=True).equals(ot.reset_index(drop=True))
