@@ -251,6 +251,16 @@ def _q_heavy_users(sf_dir: str):
     )
 
 
+def _q_conversation_token_stats(sf_dir: str):
+    """Lake analytics composition: converged CDC state → per-conversation
+    turn/token/tool statistics (the transcripts payload analyzed by the
+    text library, exactly the A+B axes pairing)."""
+    from nifi_processors_ray.pipelines.conversations import token_stats
+
+    eng = _replayed_engine(sf_dir)
+    return token_stats(eng.final_state())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC / incremental-ingest core
@@ -260,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         "cdc_lineage_totals": _q_cdc_lineage_totals,
         "cdc_conversations": _q_cdc_conversations,
+        "conversation_token_stats": _q_conversation_token_stats,
         # text analysis (documents table)
         "text_stats": _text.text_stats,
         "lang_id": _text.lang_id,
@@ -414,6 +425,22 @@ SELECT conv_id,
        COUNT(*) AS n_turns,
        string_agg(coalesce(role, ''), chr(31) ORDER BY turn_idx) AS roles,
        string_agg(coalesce(text, ''), chr(31) ORDER BY turn_idx) AS transcript
+FROM latest WHERE rn = 1 AND op <> 'D'
+GROUP BY conv_id
+ORDER BY conv_id
+""",
+        "conversation_token_stats": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CAST(len(regexp_extract_all(coalesce(text, ''),
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)) AS BIGINT) AS bpe_tokens,
+       CAST(COUNT(tool) AS BIGINT) AS tool_turns
 FROM latest WHERE rn = 1 AND op <> 'D'
 GROUP BY conv_id
 ORDER BY conv_id

@@ -74,3 +74,57 @@ def reconstruct(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     return checked_sort(ds, "conv_id").map_batches(
         fold_conversations_block, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# lake analytics: per-conversation token/turn statistics
+# ---------------------------------------------------------------------------
+
+
+def token_stats_block(batch: pa.Table) -> pa.Table:
+    """Per-batch (conv_id → turns, BPE tokens, tool turns) partials —
+    the combiner: each batch collapses to ≤ distinct-convs rows before
+    the shuffle, and tokenization runs once, in Arrow's RE2 kernel."""
+    from ..ops.text import BPE_ISH_PATTERN
+
+    text = pc.fill_null(batch.column("text"), "")
+    toks = pc.count_substring_regex(text, BPE_ISH_PATTERN).cast(pa.int64())
+    t = pa.table(
+        {
+            "conv_id": batch.column("conv_id"),
+            "toks": toks,
+            # COUNT(tool) semantics: 1 where tool is non-null
+            "tool_flag": pc.is_valid(batch.column("tool")).cast(pa.int64()),
+        }
+    )
+    g = t.group_by(["conv_id"]).aggregate(
+        [("toks", "sum"), ("tool_flag", "sum"), ([], "count_all")]
+    )
+    return pa.table(
+        {
+            "conv_id": g.column("conv_id"),
+            "n_turns": g.column("count_all"),
+            "bpe_tokens": g.column("toks_sum"),
+            "tool_turns": g.column("tool_flag_sum"),
+        }
+    )
+
+
+def token_stats(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-conversation size statistics over the CONVERGED lake — the
+    composition the engine exists for: CDC replay (exactly-once LWW
+    state) feeding the text-analysis library.  Turn counts, BPE-ish
+    token totals and tool-call turns per conversation; partials bound
+    the exchange by distinct conversations per batch, never rows."""
+    from ray.data.aggregate import Sum
+
+    return (
+        transcripts.map_batches(token_stats_block, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("bpe_tokens", alias_name="bpe_tokens"),
+            Sum("tool_turns", alias_name="tool_turns"),
+        )
+        .sort("conv_id")
+    )
