@@ -261,6 +261,15 @@ def _q_conversation_token_stats(sf_dir: str):
     return token_stats(eng.final_state())
 
 
+def _q_role_transitions(sf_dir: str):
+    """Dialogue-structure profile of the converged lake: (prev role →
+    next role) step counts in turn order across all conversations."""
+    from nifi_processors_ray.pipelines.conversations import role_transitions
+
+    eng = _replayed_engine(sf_dir)
+    return role_transitions(eng.final_state())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC / incremental-ingest core
@@ -271,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lineage_totals": _q_cdc_lineage_totals,
         "cdc_conversations": _q_cdc_conversations,
         "conversation_token_stats": _q_conversation_token_stats,
+        "conversation_role_transitions": _q_role_transitions,
         # text analysis (documents table)
         "text_stats": _text.text_stats,
         "lang_id": _text.lang_id,
@@ -444,6 +454,24 @@ SELECT conv_id,
 FROM latest WHERE rn = 1 AND op <> 'D'
 GROUP BY conv_id
 ORDER BY conv_id
+""",
+        "conversation_role_transitions": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+),
+state AS (SELECT conv_id, turn_idx, role FROM latest WHERE rn = 1 AND op <> 'D'),
+steps AS (
+  SELECT role AS next_role,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM state
+)
+SELECT prev_role, next_role, CAST(COUNT(*) AS BIGINT) AS n
+FROM steps WHERE prev_role IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
 """,
         # Conservation law: applied + rejected partitions the stream —
         # the SQL twin counts valid/invalid rows straight off the CTE.

@@ -325,3 +325,22 @@ def test_hourly_dense_zero_fills_gaps(ray_session):
     assert sum(counts) == duckdb.sql(
         f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/events.parquet')"
     ).fetchone()[0]
+
+
+def test_role_transitions_block_skips_null_prev():
+    from nifi_processors_ray.pipelines import conversations as C
+
+    block = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * 4),
+            "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+            "role": pa.array(["user", None, "assistant", "user"]),
+        }
+    )
+    out = C.role_transitions_block(block).sort_by(
+        [("prev_role", "ascending"), ("next_role", "ascending")]
+    )
+    # steps: user->NULL kept (prev non-null), NULL->assistant dropped,
+    # assistant->user kept
+    assert out.column("prev_role").to_pylist() == ["assistant", "user"]
+    assert out.column("next_role").to_pylist() == ["user", None]
