@@ -105,3 +105,47 @@ def block_offset_index(ordered, key_cols, weight_fn):
     weights = [r["w"] for r in rows]
     offsets = np.concatenate([[0], np.cumsum(weights)])
     return {keyof(r): int(o) for r, o in zip(rows, offsets[:-1])}, int(offsets[-1])
+
+
+def transition_pairs_block(block, group_col, order_cols, value_col):
+    """Shared lag-transitions kernel: per co-located ``group_col`` run in
+    ``order_cols`` order, collapse (previous value → value) steps to
+    pair-count partials.
+
+    Null robustness, matching the SQL twins' ``LAG ... PARTITION BY``:
+    null group keys form ONE run (dictionary codes with nulls filled to
+    -1 — a raw numpy view would surface them as NaN where NaN != NaN
+    makes every null its own run), and steps FROM a null value are
+    dropped (``WHERE prev IS NOT NULL``) while steps INTO one are kept.
+    Returns columns (prev, next, n).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "prev": pa.array([], block.column(value_col).type),
+            "next": pa.array([], block.column(value_col).type),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([(group_col, "ascending")] + [(c, "ascending") for c in order_cols])
+    g = block.column(group_col).combine_chunks().dictionary_encode().indices
+    g = np.asarray(pc.fill_null(g, -1))
+    new_run = np.concatenate([[True], g[1:] != g[:-1]])
+    vals = block.column(value_col)
+    # shift-by-one: run starts are filtered below, so clamping row 0's
+    # index keeps `take` in bounds without changing the result
+    prev = vals.take(pa.array(np.maximum(np.arange(n, dtype=np.int64) - 1, 0)))
+    keep = pa.array(~new_run)
+    if prev.null_count:
+        keep = pc.and_(keep, pc.is_valid(prev))
+    pairs = pa.table({"prev": prev, "next": vals}).filter(keep)
+    agg = pairs.group_by(["prev", "next"]).aggregate([([], "count_all")])
+    return pa.table(
+        {"prev": agg.column("prev"), "next": agg.column("next"), "n": agg.column("count_all")}
+    )

@@ -1075,45 +1075,15 @@ ORDER BY 1, 2
 
 
 def _transition_partials(block: pa.Table) -> pa.Table:
-    """Per co-located user run: (prev_type → type) pair counts.
+    """Per co-located user run: (prev_type → type) pair counts via the
+    shared lag-transitions kernel (null user_ids form ONE partition and
+    null prev types are dropped, both matching the SQL twin)."""
+    from ..functions.blocks import transition_pairs_block
 
-    Establishes (ts, event_id) order block-locally, shifts the type
-    column by one, masks run starts, and collapses to pair partials —
-    the exchange downstream moves ≤ n_types² rows per block."""
-    empty = pa.table(
-        {
-            "prev_type": pa.array([], pa.string()),
-            "next_type": pa.array([], pa.string()),
-            "n": pa.array([], pa.int64()),
-        }
+    out = transition_pairs_block(
+        block, "user_id", ["ts", "event_id"], "event_type"
     )
-    n = block.num_rows
-    if n == 0:
-        return empty
-    block = block.sort_by(
-        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
-    )
-    uid = np.asarray(block.column("user_id"))
-    new_run = np.concatenate([[True], uid[1:] != uid[:-1]])
-    types = block.column("event_type")
-    # shift-by-one: row i's predecessor is row i-1 (same run only); run
-    # starts are filtered below, so clamping row 0's index keeps `take`
-    # in bounds without changing the result
-    prev_idx = np.maximum(np.arange(n, dtype=np.int64) - 1, 0)
-    pairs = pa.table(
-        {
-            "prev_type": types.take(pa.array(prev_idx)),
-            "next_type": types,
-        }
-    ).filter(pa.array(~new_run))
-    g = pairs.group_by(["prev_type", "next_type"]).aggregate([([], "count_all")])
-    return pa.table(
-        {
-            "prev_type": g.column("prev_type"),
-            "next_type": g.column("next_type"),
-            "n": g.column("count_all"),
-        }
-    )
+    return out.rename_columns(["prev_type", "next_type", "n"])
 
 
 def type_transitions(sf_dir: str) -> ray.data.Dataset:

@@ -603,9 +603,9 @@ def brand_revenue(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 INACTIVE_CUSTOMER_IDS_SQL = """
-SELECT c_custkey AS custkey FROM customer
+SELECT c_custkey AS custkey FROM customer WHERE c_custkey IS NOT NULL
 EXCEPT
-SELECT user_id FROM events
+SELECT user_id FROM events WHERE user_id IS NOT NULL
 ORDER BY custkey
 """
 

@@ -137,40 +137,13 @@ def token_stats(transcripts: ray.data.Dataset) -> ray.data.Dataset:
 
 def role_transitions_block(block: pa.Table) -> pa.Table:
     """Per co-located conversation run: (prev role → role) step counts
-    in turn order — the conversation-structure mirror of
-    ``ops.events.type_transitions`` (same shift-mask-collapse kernel,
-    group key = conv_id, order key = turn_idx)."""
-    empty = pa.table(
-        {
-            "prev_role": pa.array([], pa.string()),
-            "next_role": pa.array([], pa.string()),
-            "n": pa.array([], pa.int64()),
-        }
-    )
-    n = block.num_rows
-    if n == 0:
-        return empty
-    block = block.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-    conv = block.column("conv_id").combine_chunks().dictionary_encode().indices
-    conv = np.asarray(pc.fill_null(conv, -1))
-    new_run = np.concatenate([[True], conv[1:] != conv[:-1]])
-    roles = block.column("role")
-    prev_idx = np.maximum(np.arange(n, dtype=np.int64) - 1, 0)
-    prev = roles.take(pa.array(prev_idx))
-    # like the twin's WHERE prev_role IS NOT NULL: a null-role turn ends
-    # a chain (no step FROM it); steps INTO a null role are kept
-    keep = pa.array(~new_run) if prev.null_count == 0 else pc.and_(
-        pa.array(~new_run), pc.is_valid(prev)
-    )
-    pairs = pa.table({"prev_role": prev, "next_role": roles}).filter(keep)
-    g = pairs.group_by(["prev_role", "next_role"]).aggregate([([], "count_all")])
-    return pa.table(
-        {
-            "prev_role": g.column("prev_role"),
-            "next_role": g.column("next_role"),
-            "n": g.column("count_all"),
-        }
-    )
+    in turn order — the shared lag-transitions kernel keyed to
+    (conv_id, turn_idx) (see ``functions.blocks.transition_pairs_block``
+    for the null-group / null-prev contract)."""
+    from ..functions.blocks import transition_pairs_block
+
+    out = transition_pairs_block(block, "conv_id", ["turn_idx"], "role")
+    return out.rename_columns(["prev_role", "next_role", "n"])
 
 
 def role_transitions(transcripts: ray.data.Dataset) -> ray.data.Dataset:
@@ -180,9 +153,7 @@ def role_transitions(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     exchange on conv_id; order, shift and collapse are block-local."""
     from ray.data.aggregate import Sum
 
-    cols = transcripts.map_batches(
-        lambda b: b.select(["conv_id", "turn_idx", "role"]), batch_format="pyarrow"
-    )
+    cols = transcripts.select_columns(["conv_id", "turn_idx", "role"])
     partials = checked_sort(cols, "conv_id").map_batches(
         role_transitions_block, batch_format="pyarrow", batch_size=None
     )

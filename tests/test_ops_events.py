@@ -344,3 +344,20 @@ def test_role_transitions_block_skips_null_prev():
     # assistant->user kept
     assert out.column("prev_role").to_pylist() == ["assistant", "user"]
     assert out.column("next_role").to_pylist() == ["user", None]
+
+
+def test_transition_partials_null_users_form_one_partition():
+    # SQL LAG ... PARTITION BY user_id puts all NULL user_ids in ONE
+    # partition; the kernel must count their steps, not NaN-split them
+    block = pa.table(
+        {
+            "user_id": pa.array([None, None, 1], pa.int64()),
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([1, 2, 1], pa.timestamp("us")),
+            "event_type": pa.array(["a", "b", "c"]),
+        }
+    )
+    out = EV._transition_partials(block)
+    assert out.column("prev_type").to_pylist() == ["a"]
+    assert out.column("next_type").to_pylist() == ["b"]
+    assert out.column("n").to_pylist() == [1]
