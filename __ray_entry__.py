@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_sketch": _q_quantile_sketch,
         "events_median_cont": _ev.median_cont,
         "events_heavy_users": _q_heavy_users,
+        "events_user_gaps": _ev.user_gaps,
         "pricing_unpivot": _rel.pricing_unpivot,
         # keep-latest-per-key upsert compaction + fact-to-dim shuffle join
         "latest_event_per_user": _ev.latest_event_per_user,
@@ -545,6 +546,7 @@ FROM _ch
         "all_actor_ids": _joins.ALL_ACTOR_IDS_SQL,
         "pricing_cube": _rel.PRICING_CUBE_SQL,
         "events_median_cont": _ev.MEDIAN_CONT_SQL,
+        "events_user_gaps": _ev.USER_GAPS_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
         "training_mix": _corpus.TRAINING_MIX_SQL,

@@ -1247,3 +1247,75 @@ def median_cont(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         _median_cont_finalize, batch_format="pyarrow", batch_size=None
     )
     return out.sort("event_type") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival gap statistics: aggregate-of-LAG
+# ---------------------------------------------------------------------------
+
+USER_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(MAX(gap_us), 0) AS BIGINT) AS max_gap_us,
+       CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us
+FROM g
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def _user_gaps_block(block: pa.Table) -> pa.Table:
+    """Per co-located user run: inter-arrival gap aggregates.
+
+    Gaps are ts diffs within the run (event-time order, deterministic
+    event_id tie-break); run starts contribute a 0 gap, which matches
+    the twin's COALESCE(MAX/SUM, 0) exactly because real gaps are ≥ 0
+    under the ascending sort — a single-event user yields (0, 0)."""
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "max_gap_us": pa.array([], pa.int64()),
+            "sum_gap_us": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+    )
+    codes = block.column("user_id").combine_chunks().dictionary_encode().indices
+    codes = np.asarray(pc.fill_null(codes, -1))  # null users: ONE group, like SQL
+    new_run = np.concatenate([[True], codes[1:] != codes[:-1]])
+    starts = np.nonzero(new_run)[0]
+    ts = np.asarray(block.column("ts").cast(pa.int64()))
+    d = np.empty(n, dtype=np.int64)
+    d[1:] = ts[1:] - ts[:-1]
+    d[starts] = 0
+    return pa.table(
+        {
+            "user_id": block.column("user_id").take(pa.array(starts)),
+            "n_events": pa.array(np.diff(np.concatenate([starts, [n]])).astype(np.int64)),
+            "max_gap_us": pa.array(np.maximum.reduceat(d, starts).astype(np.int64)),
+            "sum_gap_us": pa.array(np.add.reduceat(d, starts).astype(np.int64)),
+        }
+    )
+
+
+def user_gaps(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Per-user inter-arrival statistics (the aggregate-of-LAG family):
+    event count, largest and total gap between consecutive events.
+    ONE sort exchange on the partition key; event-time order, the lag
+    diff and the per-run reduceat folds are all block-local."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+    out = checked_sort(ds, "user_id").map_batches(
+        _user_gaps_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("user_id") if sort else out

@@ -361,3 +361,18 @@ def test_transition_partials_null_users_form_one_partition():
     assert out.column("prev_type").to_pylist() == ["a"]
     assert out.column("next_type").to_pylist() == ["b"]
     assert out.column("n").to_pylist() == [1]
+
+
+def test_user_gaps_block_single_event_and_runs():
+    block = pa.table(
+        {
+            "user_id": pa.array([2, 1, 1, 1], pa.int64()),
+            "event_id": pa.array([9, 1, 2, 3], pa.int64()),
+            "ts": pa.array([100, 10, 40, 45], pa.timestamp("us")),
+        }
+    )
+    out = EV._user_gaps_block(block)
+    assert out.column("user_id").to_pylist() == [1, 2]
+    assert out.column("n_events").to_pylist() == [3, 1]
+    assert out.column("max_gap_us").to_pylist() == [30, 0]  # single event -> 0
+    assert out.column("sum_gap_us").to_pylist() == [35, 0]
