@@ -88,8 +88,70 @@ def check_sort_colocation(ds: ray.data.Dataset, keys: list[str]) -> None:
             )
 
 
+# Sentinels for the null-safe exchange: Ray's sample-based range
+# partitioner compares raw Python values when planning boundaries, and a
+# None landing in the sample raises TypeError (observed, nondeterministic
+# — it depends on which rows the sampler draws).  ``null_safe_sort``
+# therefore sorts on shadow key columns with nulls filled to a reserved
+# extreme; the fill asserts the sentinel is absent from real data, so a
+# collision fails loud instead of silently merging groups.
+NULL_INT_SENTINEL = -(2**63)  # int64 min
+NULL_STR_SENTINEL = "\x00"
+
+
+def _null_safe_fill(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    import pyarrow.compute as pc
+
+    t = col.type
+    if pa.types.is_integer(t):
+        sent = NULL_INT_SENTINEL
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        sent = NULL_STR_SENTINEL
+    elif pa.types.is_floating(t):
+        sent = float("-inf")
+    elif pa.types.is_timestamp(t):
+        sent = NULL_INT_SENTINEL  # filled via int64 view below
+        return pc.fill_null(col.cast(pa.int64()), sent)
+    else:  # unhandled type: let the caller's sort fail loudly as before
+        return col
+    if pc.any(pc.equal(col, sent)).as_py():
+        raise ValueError(
+            f"null-safe sort sentinel {sent!r} collides with real data in a "
+            f"{t} key column — choose a different exchange key"
+        )
+    return pc.fill_null(col, sent)
+
+
+def null_safe_sort(ds: ray.data.Dataset, keys, *, descending=None) -> ray.data.Dataset:
+    """``ds.sort(keys)`` that tolerates NULLs in the key columns.
+
+    Adds shadow ``__ns_<key>`` columns (nulls filled to a reserved
+    sentinel), sorts on those, and drops them after — so all null keys
+    form ONE co-located run (SQL GROUP BY / PARTITION BY semantics) and
+    Ray's boundary sampler never sees a None.  Zero-copy when a batch's
+    key columns carry no nulls (the common case: the shadow is the
+    same Arrow buffer)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    shadow = {k: f"__ns_{k}" for k in key_list}
+
+    def add(b: pa.Table) -> pa.Table:
+        for k, sk in shadow.items():
+            b = b.append_column(sk, _null_safe_fill(b.column(k)))
+        return b
+
+    def drop(b: pa.Table) -> pa.Table:
+        return b.drop_columns(list(shadow.values()))
+
+    out = ds.map_batches(add, batch_format="pyarrow").sort(
+        list(shadow.values()),
+        **({"descending": descending} if descending is not None else {}),
+    )
+    return out.map_batches(drop, batch_format="pyarrow")
+
+
 def checked_sort(ds: ray.data.Dataset, keys, *, descending=None, check_keys=None) -> ray.data.Dataset:
-    """``ds.sort(keys, descending=...)``, with the co-location invariant
+    """``ds.sort(keys, descending=...)``, null-safe (shadow sentinel
+    keys — see :func:`null_safe_sort`), with the co-location invariant
     verified when ``NPR_DEBUG_COLOCATION`` is set (debug only).
     ``check_keys`` narrows the boundary check to the group-key prefix
     when the trailing sort keys are only an intra-group order.
@@ -102,8 +164,63 @@ def checked_sort(ds: ray.data.Dataset, keys, *, descending=None, check_keys=None
     exists for slip through.
     """
     key_list = [keys] if isinstance(keys, str) else list(keys)
-    out = ds.sort(keys, descending=descending) if descending is not None else ds.sort(keys)
+    shadow = {k: f"__ns_{k}" for k in key_list}
+
+    def add(b: pa.Table) -> pa.Table:
+        for k, sk in shadow.items():
+            b = b.append_column(sk, _null_safe_fill(b.column(k)))
+        return b
+
+    def drop(b: pa.Table) -> pa.Table:
+        return b.drop_columns(list(shadow.values()))
+
+    skeys = [shadow[k] for k in key_list]
+    pre = ds.map_batches(add, batch_format="pyarrow")
+    out = pre.sort(skeys, descending=descending) if descending is not None else pre.sort(skeys)
     if colocation_check_enabled():
         out = out.materialize()
-        check_sort_colocation(out, check_keys or key_list)
-    return out
+        check_sort_colocation(out, [shadow[k] for k in (check_keys or key_list)])
+    # the drop map is 1:1 over the (possibly materialized) sorted blocks,
+    # so co-location and block splits carry through to the kernels
+    return out.map_batches(drop, batch_format="pyarrow")
+
+
+def null_safe_groupby_agg(ds: ray.data.Dataset, keys, *aggs) -> ray.data.Dataset:
+    """``ds.groupby(keys).aggregate(*aggs)`` that tolerates NULL keys.
+
+    Ray's groupby is sort-based, so a NULL group key hits the same
+    nondeterministic boundary-sampling TypeError as a null sort key.
+    Same shadow-sentinel mechanism as :func:`null_safe_sort`: group on
+    filled copies, then restore the sentinel back to NULL in the output
+    (SQL GROUP BY keeps null groups, so they must survive round-trip).
+    """
+    import pyarrow.compute as pc
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    shadow = {k: f"__ns_{k}" for k in key_list}
+
+    def add(b: pa.Table) -> pa.Table:
+        for k, sk in shadow.items():
+            if pa.types.is_timestamp(b.column(k).type):
+                raise TypeError("null_safe_groupby_agg: timestamp keys unsupported")
+            b = b.append_column(sk, _null_safe_fill(b.column(k)))
+        return b
+
+    out = ds.map_batches(add, batch_format="pyarrow").groupby(list(shadow.values())).aggregate(*aggs)
+
+    def restore(b: pa.Table) -> pa.Table:
+        for k, sk in shadow.items():
+            col = b.column(sk)
+            t = col.type
+            sent = (
+                NULL_STR_SENTINEL
+                if (pa.types.is_string(t) or pa.types.is_large_string(t))
+                else (float("-inf") if pa.types.is_floating(t) else NULL_INT_SENTINEL)
+            )
+            col = pc.if_else(pc.equal(col, sent), pa.nulls(len(col), t), col)
+            b = b.drop_columns([sk]).append_column(k, col)
+        # keys back in front, original order
+        names = key_list + [c for c in b.schema.names if c not in key_list]
+        return b.select(names)
+
+    return out.map_batches(restore, batch_format="pyarrow")

@@ -33,7 +33,7 @@ import ray.data
 
 from ..sources.reader import read_parquet as read_parquet_clean
 
-from ..functions.debug import checked_sort
+from ..functions.debug import checked_sort, null_safe_groupby_agg, null_safe_sort
 
 _US_PER_HOUR = 3_600_000_000
 _SESSION_GAP_US = 1_800_000_000  # 30 min
@@ -246,7 +246,7 @@ def window_agg(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     )
     # tiny result; final sort restores deterministic row order (block
     # order out of the streaming executor is not guaranteed)
-    return out.sort(["window_hour", "event_type"]) if sort else out
+    return null_safe_sort(out, ["window_hour", "event_type"]) if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -307,14 +307,13 @@ def hopping_agg(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
 
     ds = _events(sf_dir, ["ts", "event_type", "value"])
     partials = ds.map_batches(_hop_partials, batch_format="pyarrow")
-    out = (
-        partials.groupby(["window_idx", "event_type"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("value_cents", alias_name="value_cents"),
-        )
+    out = null_safe_groupby_agg(
+        partials,
+        ["window_idx", "event_type"],
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_cents", alias_name="value_cents"),
     )
-    return out.sort(["window_idx", "event_type"]) if sort else out
+    return null_safe_sort(out, ["window_idx", "event_type"]) if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -326,7 +325,10 @@ def _sessionize_block(block: pa.Table) -> pa.Table:
         sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
     )
     b = block.take(order)
-    uid = np.asarray(b.column("user_id"))
+    uid_col = b.column("user_id").combine_chunks()
+    # null users form ONE partition, like SQL's PARTITION BY (a raw numpy
+    # view would surface nulls as NaN where NaN != NaN splits every row)
+    uid = np.asarray(pc.fill_null(uid_col.dictionary_encode().indices, -1))
     ts = np.asarray(b.column("ts").cast(pa.int64()))
     n = len(uid)
     if n == 0:
@@ -346,7 +348,7 @@ def _sessionize_block(block: pa.Table) -> pa.Table:
     ends = np.concatenate([starts[1:], [n]])
     return pa.table(
         {
-            "user_id": pa.array(uid[starts].astype(np.int64)),
+            "user_id": uid_col.take(pa.array(starts)),
             "n_sessions": pa.array(cs[ends] - cs[starts]),
             "n_events": pa.array((ends - starts).astype(np.int64)),
         }
@@ -365,7 +367,7 @@ def sessionize(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     out = checked_sort(ds, "user_id").map_batches(
         _sessionize_block, batch_format="pyarrow", batch_size=None
     )
-    return out.sort("user_id") if sort else out
+    return null_safe_sort(out, "user_id") if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -381,12 +383,14 @@ def topk_users(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
-    agg = ds.groupby("user_id").aggregate(
+    agg = null_safe_groupby_agg(
+        ds,
+        "user_id",
         Sum("value_cents", alias_name="value_cents"),
         Count(alias_name="n_events"),
     )
     # deterministic top-k: order by (-value, user_id)
-    return agg.sort(["value_cents", "user_id"], descending=[True, False]).limit(10)
+    return null_safe_sort(agg, ["value_cents", "user_id"], descending=[True, False]).limit(10)
 
 
 def sample_events(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
@@ -524,7 +528,7 @@ def value_quantiles(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     out = checked_sort(partials, "event_type").map_batches(
         _quantile_finalize, batch_format="pyarrow", batch_size=None
     )
-    return out.sort("event_type") if sort else out
+    return null_safe_sort(out, "event_type") if sort else out
 
 
 def distinct_types(sf_dir: str) -> ray.data.Dataset:
@@ -535,12 +539,12 @@ def distinct_types(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"event_type": pa.compute.unique(b.column("event_type"))})
 
     # partial unique per block → tiny → final unique in one block
-    return (
+    out = (
         ds.map_batches(per_block, batch_format="pyarrow")
         .repartition(1)
         .map_batches(per_block, batch_format="pyarrow", batch_size=None)
-        .sort("event_type")
     )
+    return null_safe_sort(out, "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -573,8 +577,13 @@ def _pivot_partials(batch: pa.Table) -> pa.Table:
     downstream groupby is over per-batch partials, never events."""
     uid = batch.column("user_id").combine_chunks()
     codes_u = uid.dictionary_encode()
-    u_idx = np.asarray(codes_u.indices)
+    # null users are a real group (SQL GROUP BY keeps them): give them
+    # the extra scatter row n_users and emit it only when present
+    has_null_user = codes_u.null_count > 0
+    u_idx = np.asarray(pc.fill_null(codes_u.indices, len(codes_u.dictionary)))
     users = codes_u.dictionary
+    if has_null_user:
+        users = pa.concat_arrays([users.cast(users.type), pa.nulls(1, users.type)])
     n_users = len(users)
     # domain code per row; nulls (= out-of-domain type) only count in n_events
     t_idx = np.asarray(
@@ -601,7 +610,7 @@ def type_pivot(sf_dir: str) -> ray.data.Dataset:
     partials = ds.map_batches(_pivot_partials, batch_format="pyarrow")
     aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in PIVOT_EVENT_TYPES]
     aggs.append(Sum("n_events", alias_name="n_events"))
-    return partials.groupby("user_id").aggregate(*aggs).sort("user_id")
+    return null_safe_sort(null_safe_groupby_agg(partials, "user_id", *aggs), "user_id")
 
 
 # ---------------------------------------------------------------------------
@@ -686,28 +695,39 @@ def _moving_block(block: pa.Table) -> pa.Table:
     block = block.sort_by(
         [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
     )
-    uid = np.asarray(block.column("user_id"))
-    cents = np.asarray(block.column("cents"))
+    uid = np.asarray(
+        pc.fill_null(block.column("user_id").combine_chunks().dictionary_encode().indices, -1)
+    )  # null users: ONE partition, like the twin's PARTITION BY
+    cents_col = block.column("cents").combine_chunks()
+    cvalid = pc.is_valid(cents_col).to_numpy(zero_copy_only=False)
+    cents = np.asarray(pc.fill_null(cents_col, 0))
     cs = np.cumsum(cents)
+    vc = np.cumsum(cvalid.astype(np.int64))
     new_run = np.concatenate([[True], uid[1:] != uid[:-1]])
     starts = np.nonzero(new_run)[0]
     run_len = np.diff(np.concatenate([starts, [n]]))
     run_start = np.repeat(starts, run_len)
     lo = np.maximum(np.arange(n) - 2, run_start)  # first row in the frame
     w3 = cs - cs[lo] + cents[lo]
+    # SQL SUM over the frame skips null cents and is NULL only when the
+    # whole frame is null — count valid rows per frame the same way
+    frame_valid = vc - vc[lo] + cvalid[lo]
     delta = np.empty(n, dtype=np.int64)
     delta[1:] = cents[1:] - cents[:-1]
     delta[0] = 0
+    # lag() has no predecessor at a run start → NULL, like SQL; a null
+    # operand on either side also nulls the difference
+    prev_valid = np.concatenate([[True], cvalid[:-1]])
+    delta_null = new_run | ~cvalid | ~prev_valid
     return pa.table(
         {
             "user_id": block.column("user_id"),
             "event_id": block.column("event_id"),
-            "w3_cents": pa.array(w3.astype(np.int64)),
-            # lag() has no predecessor at a run start → NULL, like SQL.
-            # mask= keeps the column int64 even when EVERY row is a run
-            # start (np.where(..., None, ...) would infer Arrow null type
-            # there and the block would fail schema unification).
-            "delta_cents": pa.array(delta, type=pa.int64(), mask=new_run),
+            # mask= keeps the columns int64 even when EVERY row is masked
+            # (np.where(..., None, ...) would infer Arrow null type there
+            # and the block would fail schema unification)
+            "w3_cents": pa.array(w3.astype(np.int64), type=pa.int64(), mask=frame_valid == 0),
+            "delta_cents": pa.array(delta, type=pa.int64(), mask=delta_null),
         }
     )
 
@@ -732,7 +752,7 @@ def moving_sum(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     out = checked_sort(ds.map_batches(project, batch_format="pyarrow"), "user_id").map_batches(
         _moving_block, batch_format="pyarrow", batch_size=None
     )
-    return out.sort(["user_id", "event_id"]) if sort else out
+    return null_safe_sort(out, ["user_id", "event_id"]) if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -834,7 +854,9 @@ def _latest_partial(batch: pa.Table) -> pa.Table:
     b = batch.sort_by(
         [("user_id", "ascending"), ("ts", "descending"), ("event_id", "descending")]
     )
-    uid = np.asarray(b.column("user_id"))
+    uid = np.asarray(
+        pc.fill_null(b.column("user_id").combine_chunks().dictionary_encode().indices, -1)
+    )  # null users: ONE partition (SQL ROW_NUMBER ... PARTITION BY)
     first = np.concatenate([[True], uid[1:] != uid[:-1]])
     return b.filter(pa.array(first))
 
@@ -881,7 +903,7 @@ def latest_event_per_user(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset
     out = checked_sort(partials, "user_id").map_batches(
         _latest_block, batch_format="pyarrow", batch_size=None
     )
-    return out.sort("user_id") if sort else out
+    return null_safe_sort(out, "user_id") if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -892,7 +914,8 @@ FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 
 FUNNEL_SQL = """
 WITH s1 AS (
-  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY user_id
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY user_id
 ),
 s2 AS (
   SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
@@ -923,7 +946,10 @@ def _funnel_project(batch: pa.Table) -> pa.Table:
     """Shrink the exchange: keep only funnel-step events, as
     (user_id, step, ts_us) — 17 bytes/row instead of the full event."""
     step = pc.index_in(batch.column("event_type"), value_set=_FUNNEL_TYPE_ARR)
-    keep = step.is_valid()
+    # null users are excluded from funnels on BOTH sides: the twin's
+    # self-join equality can never match a NULL user_id, so the engine's
+    # merged null partition would otherwise overcount
+    keep = pc.and_(step.is_valid(), pc.is_valid(batch.column("user_id")))
     return pa.table(
         {
             "user_id": batch.column("user_id").cast(pa.int64()).filter(keep),
@@ -949,7 +975,9 @@ def _funnel_block(block: pa.Table) -> pa.Table:
     if n == 0:
         return empty
     block = block.sort_by([("user_id", "ascending")])
-    uid = np.asarray(block.column("user_id"))
+    uid = np.asarray(
+        pc.fill_null(block.column("user_id").combine_chunks().dictionary_encode().indices, -1)
+    )  # null users: ONE partition, like the twin's PARTITION BY
     step = np.asarray(block.column("step"))
     ts = np.asarray(block.column("ts_us")).astype(np.float64)
     new_run = np.concatenate([[True], uid[1:] != uid[:-1]])
@@ -1019,12 +1047,16 @@ ORDER BY 1
 
 
 def _hist_partials(batch: pa.Table) -> pa.Table:
-    cents = np.asarray(_cents(batch.column("value")))
-    # np floor-division == SQL FLOOR(x / w) for every sign (both floor)
+    cents_col = _cents(batch.column("value")).combine_chunks()
+    valid = pc.is_valid(cents_col).to_numpy(zero_copy_only=False)
+    cents = np.asarray(pc.fill_null(cents_col, 0))
+    # np floor-division == SQL FLOOR(x / w) for every sign (both floor);
+    # null values keep a NULL bucket (one group, like the twin) instead
+    # of leaking NaN through a numpy view
     t = pa.table(
         {
-            "bucket": pa.array(cents // _HIST_WIDTH_CENTS),
-            "cents": pa.array(cents),
+            "bucket": pa.array(cents // _HIST_WIDTH_CENTS, mask=~valid),
+            "cents": cents_col,
         }
     )
     g = t.group_by(["bucket"]).aggregate([("cents", "sum"), ([], "count_all")])
@@ -1046,13 +1078,22 @@ def value_histogram(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     ds = _events(sf_dir, ["value"]).map_batches(_hist_partials, batch_format="pyarrow")
-    return (
-        ds.groupby("bucket")
-        .aggregate(
-            Sum("n_events", alias_name="n_events"), Sum("sum_cents", alias_name="sum_cents")
-        )
-        .sort("bucket")
+    agg = null_safe_groupby_agg(
+        ds, "bucket", Sum("n_events", alias_name="n_events"), Sum("sum_cents", alias_name="sum_cents")
     )
+
+    def stabilize(b: pa.Table) -> pa.Table:
+        # an all-null group's Sum infers Arrow `null` type for its block;
+        # pin every block to the declared schema so pandas sees int64
+        return pa.table(
+            {
+                "bucket": b.column("bucket").cast(pa.int64()),
+                "n_events": b.column("n_events").cast(pa.int64()),
+                "sum_cents": b.column("sum_cents").cast(pa.int64()),
+            }
+        )
+
+    return null_safe_sort(agg.map_batches(stabilize, batch_format="pyarrow"), "bucket")
 
 
 # ---------------------------------------------------------------------------
@@ -1098,11 +1139,8 @@ def type_transitions(sf_dir: str) -> ray.data.Dataset:
     partials = checked_sort(ds, "user_id").map_batches(
         _transition_partials, batch_format="pyarrow", batch_size=None
     )
-    return (
-        partials.groupby(["prev_type", "next_type"])
-        .aggregate(Sum("n", alias_name="n"))
-        .sort(["prev_type", "next_type"])
-    )
+    agg = null_safe_groupby_agg(partials, ["prev_type", "next_type"], Sum("n", alias_name="n"))
+    return null_safe_sort(agg, ["prev_type", "next_type"])
 
 
 # ---------------------------------------------------------------------------
@@ -1246,7 +1284,7 @@ def median_cont(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     out = checked_sort(partials, "event_type").map_batches(
         _median_cont_finalize, batch_format="pyarrow", batch_size=None
     )
-    return out.sort("event_type") if sort else out
+    return null_safe_sort(out, "event_type") if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -1318,4 +1356,4 @@ def user_gaps(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     out = checked_sort(ds, "user_id").map_batches(
         _user_gaps_block, batch_format="pyarrow", batch_size=None
     )
-    return out.sort("user_id") if sort else out
+    return null_safe_sort(out, "user_id") if sort else out

@@ -750,16 +750,20 @@ CUSTOMER_ACTIVITY_FULL_SQL = """
 SELECT COALESCE(c.c_custkey, e.user_id) AS custkey,
        c.c_name,
        CAST(COUNT(e.user_id) AS BIGINT) AS n_events
-FROM customer c FULL JOIN events e ON e.user_id = c.c_custkey
+FROM customer c
+FULL JOIN (SELECT user_id FROM events WHERE user_id IS NOT NULL) e
+  ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 ORDER BY 1
 """
 
 
 def _events_count_side(batch: pa.Table) -> pa.Table:
-    """Right side: per-batch event counts per user (count partials)."""
+    """Right side: per-batch event counts per user (count partials).
+    Null user_ids are excluded — the twin filters them too (a null key
+    can neither match nor be decided block-locally; see _set_side)."""
     g = (
-        pa.table({"key": batch.column("user_id").cast(pa.int64())})
+        pa.table({"key": pc.drop_null(batch.column("user_id").cast(pa.int64()).combine_chunks())})
         .group_by(["key"])
         .aggregate([([], "count_all")])
     )

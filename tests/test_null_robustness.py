@@ -1,0 +1,84 @@
+"""Null-injected oracle parity for the event-analytics family.
+
+Foreign data carries NULLs the synthetic testdata never does.  This
+suite injects 5% nulls into events.{user_id,event_type,value} and runs
+every event-consuming oracled query against its DuckDB twin on the SAME
+corrupted table — pinning the engine-wide null contract:
+
+- exchanges (sort AND sort-based groupby) ride shadow sentinel keys
+  (``functions.debug.null_safe_sort`` / ``null_safe_groupby_agg``) —
+  Ray's boundary sampler TypeErrors nondeterministically on raw None;
+- block kernels group null keys as ONE run (dictionary codes, never a
+  NaN-float view where NaN != NaN splits every row);
+- set-op/join key domains exclude nulls EXPLICITLY on both sides;
+- window frames over null measures match SQL (skip-null sums, null
+  when the whole frame is null).
+"""
+
+import os
+import shutil
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __ray_entry__ as entry
+
+SRC = "/root/testdata/sf0.001"
+
+TARGETS = [
+    "events_window_agg", "events_sessionize", "events_topk_users",
+    "events_distinct_types", "events_sample", "events_stratified_sample",
+    "events_value_quantiles", "events_median_cont", "events_moving_sum",
+    "events_hourly_retention", "events_value_histogram",
+    "events_type_transitions", "events_hourly_dense", "events_profile",
+    "events_user_gaps", "events_type_pivot", "events_hopping_agg",
+    "events_funnel", "latest_event_per_user", "active_customer_ids",
+    "inactive_customer_ids", "all_actor_ids", "customer_activity_full",
+    "events_user_enrich", "events_asof_order", "customer_spend_deciles",
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("nullsf"))
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SRC, f), tmp)
+    t = pq.read_table(os.path.join(SRC, "events.parquet"))
+    rng = np.random.default_rng(42)
+    n = t.num_rows
+
+    def inject(col, typ):
+        mask = rng.random(n) < 0.05
+        vals = [None if m else v for v, m in zip(t.column(col).to_pylist(), mask)]
+        return pa.array(vals, typ)
+
+    for col, typ in [("user_id", pa.int64()), ("event_type", pa.string()), ("value", pa.float64())]:
+        t = t.set_column(t.schema.get_field_index(col), col, inject(col, typ))
+    pq.write_table(t, os.path.join(tmp, "events.parquet"))
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def null_con(null_sf):
+    con = duckdb.connect()
+    for v in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{null_sf}/{v}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", TARGETS)
+def test_null_injected_parity(ray_session, null_sf, null_con, name):
+    res = entry.queries()[name](null_sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    ot = null_con.sql(entry.oracle_sql()[name]).df()
+    df = df.sort_index(axis=1)
+    ot = ot.sort_index(axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
+    assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
