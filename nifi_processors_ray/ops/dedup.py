@@ -67,7 +67,12 @@ def _first_per_text(block: pa.Table) -> pa.Table:
     text = g.column("text")
     n = g.num_rows
     if n > 1:
-        prev_same = pc.fill_null(pc.equal(text.slice(1), text.slice(0, n - 1)), False)
+        a, b = text.slice(1), text.slice(0, n - 1)
+        # NULL == NULL here: SQL's PARTITION BY text puts all null texts
+        # in ONE group (they co-locate — nulls hash to a fixed value and
+        # sort adjacently), so only the first null doc survives
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        prev_same = pc.or_(pc.fill_null(pc.equal(a, b), False), both_null)
         keep = np.concatenate([[True], ~np.asarray(prev_same)])
         g = g.filter(pa.array(keep))
     return g.drop_columns(["__h"])

@@ -82,3 +82,54 @@ def test_null_injected_parity(ray_session, null_sf, null_con, name):
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
     ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
     assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
+
+
+DOC_TARGETS = [
+    "text_stats", "lang_id", "token_counts", "exact_dedup", "corpus_clean",
+    "token_pack", "decontaminate", "text_redact", "top_ngrams",
+    "training_mix", "jaccard_dup_pairs", "dedup_clusters",
+]
+
+
+@pytest.fixture(scope="module")
+def null_docs_sf(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("nulldocs"))
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SRC, f), tmp)
+    t = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    rng = np.random.default_rng(7)
+    n = t.num_rows
+
+    def inject(col):
+        mask = rng.random(n) < 0.05
+        vals = [None if m else v for v, m in zip(t.column(col).to_pylist(), mask)]
+        return pa.array(vals, pa.string())
+
+    for col in ["text", "lang"]:
+        t = t.set_column(t.schema.get_field_index(col), col, inject(col))
+    pq.write_table(t, os.path.join(tmp, "documents.parquet"))
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def null_docs_con(null_docs_sf):
+    con = duckdb.connect()
+    for v in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(
+            f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{null_docs_sf}/{v}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", DOC_TARGETS)
+def test_null_text_parity(ray_session, null_docs_sf, null_docs_con, name):
+    res = entry.queries()[name](null_docs_sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    ot = null_docs_con.sql(entry.oracle_sql()[name]).df()
+    df = df.sort_index(axis=1)
+    ot = ot.sort_index(axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
+    assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
