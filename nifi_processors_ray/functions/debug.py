@@ -91,35 +91,95 @@ def check_sort_colocation(ds: ray.data.Dataset, keys: list[str]) -> None:
 # Sentinels for the null-safe exchange: Ray's sample-based range
 # partitioner compares raw Python values when planning boundaries, and a
 # None landing in the sample raises TypeError (observed, nondeterministic
-# — it depends on which rows the sampler draws).  ``null_safe_sort``
-# therefore sorts on shadow key columns with nulls filled to a reserved
-# extreme; the fill asserts the sentinel is absent from real data, so a
-# collision fails loud instead of silently merging groups.
+# — it depends on which rows the sampler draws).  The exchange wrappers
+# below therefore sort/group on shadow key columns with nulls filled to
+# a reserved extreme; the fill asserts the sentinel is absent from real
+# data, so a collision fails loud instead of silently merging groups.
+#
+# One spec drives fill AND restore so the two can never drift: shadow
+# types are CANONICAL (every signed/narrow int and timestamp widens to
+# int64) — restore returns the canonical type, which is identity for
+# every key the engine uses (int64 / string / float64).
 NULL_INT_SENTINEL = -(2**63)  # int64 min
+NULL_UINT_SENTINEL = 2**64 - 1
 NULL_STR_SENTINEL = "\x00"
 
 
-def _null_safe_fill(col: pa.ChunkedArray) -> pa.ChunkedArray:
+def _shadow_spec(t: pa.DataType):
+    """(canonical shadow type, sentinel) for a key type, or None if the
+    type has no shadow mapping (the caller decides whether that is a
+    pass-through or an error)."""
+    if pa.types.is_uint64(t):
+        return pa.uint64(), NULL_UINT_SENTINEL
+    if pa.types.is_integer(t) or pa.types.is_timestamp(t):
+        return pa.int64(), NULL_INT_SENTINEL
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.string(), NULL_STR_SENTINEL
+    if pa.types.is_floating(t):
+        return pa.float64(), float("-inf")
+    return None
+
+
+def _null_safe_fill(col: pa.ChunkedArray, *, strict: bool = False):
+    """Shadow copy of a key column: canonical type, nulls → sentinel.
+
+    ``strict=True`` (the groupby path, where the shadow must round-trip
+    back through ``_restore``) raises on unmapped types; the sort path
+    passes them through so the raw sort fails loudly as before."""
     import pyarrow.compute as pc
 
-    t = col.type
-    if pa.types.is_integer(t):
-        sent = NULL_INT_SENTINEL
-    elif pa.types.is_string(t) or pa.types.is_large_string(t):
-        sent = NULL_STR_SENTINEL
-    elif pa.types.is_floating(t):
-        sent = float("-inf")
-    elif pa.types.is_timestamp(t):
-        sent = NULL_INT_SENTINEL  # filled via int64 view below
-        return pc.fill_null(col.cast(pa.int64()), sent)
-    else:  # unhandled type: let the caller's sort fail loudly as before
+    spec = _shadow_spec(col.type)
+    if spec is None:
+        if strict:
+            raise TypeError(f"null-safe exchange: unsupported key type {col.type}")
         return col
+    cast_t, sent = spec
+    if col.type != cast_t:
+        col = col.cast(cast_t)
+    # typed scalar: a bare python int 2**64-1 overflows Arrow's default
+    # int64 scalar inference for the uint64 sentinel
+    sent = pa.scalar(sent, cast_t)
+    # always assert (not only when nulls are present): restore() maps the
+    # sentinel back to NULL, so a legitimate sentinel value would be
+    # silently nulled if it slipped through
     if pc.any(pc.equal(col, sent)).as_py():
         raise ValueError(
-            f"null-safe sort sentinel {sent!r} collides with real data in a "
-            f"{t} key column — choose a different exchange key"
+            f"null-safe exchange sentinel {sent!r} collides with real data in a "
+            f"{col.type} key column — choose a different exchange key"
         )
-    return pc.fill_null(col, sent)
+    return pc.fill_null(col, sent) if col.null_count else col
+
+
+def _restore(col: pa.ChunkedArray):
+    """Inverse of :func:`_null_safe_fill` on a shadow column: sentinel →
+    NULL.  Returns the canonical type (identity for engine keys)."""
+    import pyarrow.compute as pc
+
+    spec = _shadow_spec(col.type)
+    if spec is None:  # unreachable via strict fill; defensive
+        return col
+    _, sent = spec
+    sent = pa.scalar(sent, col.type)
+    return pc.if_else(pc.equal(col, sent), pa.nulls(len(col), col.type), col)
+
+
+def _with_shadow_keys(ds: ray.data.Dataset, key_list: list[str], *, strict: bool = False):
+    """Append ``__ns_<key>`` shadow columns; returns (ds, shadow names)."""
+    shadow = {k: f"__ns_{k}" for k in key_list}
+
+    def add(b: pa.Table) -> pa.Table:
+        for k, sk in shadow.items():
+            b = b.append_column(sk, _null_safe_fill(b.column(k), strict=strict))
+        return b
+
+    return ds.map_batches(add, batch_format="pyarrow"), [shadow[k] for k in key_list]
+
+
+def _drop_columns_fn(names: list[str]):
+    def drop(b: pa.Table) -> pa.Table:
+        return b.drop_columns(names)
+
+    return drop
 
 
 def null_safe_sort(ds: ray.data.Dataset, keys, *, descending=None) -> ray.data.Dataset:
@@ -132,21 +192,43 @@ def null_safe_sort(ds: ray.data.Dataset, keys, *, descending=None) -> ray.data.D
     key columns carry no nulls (the common case: the shadow is the
     same Arrow buffer)."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
-    shadow = {k: f"__ns_{k}" for k in key_list}
+    pre, skeys = _with_shadow_keys(ds, key_list)
+    out = pre.sort(skeys, **({"descending": descending} if descending is not None else {}))
+    return out.map_batches(_drop_columns_fn(skeys), batch_format="pyarrow")
 
-    def add(b: pa.Table) -> pa.Table:
-        for k, sk in shadow.items():
-            b = b.append_column(sk, _null_safe_fill(b.column(k)))
-        return b
 
-    def drop(b: pa.Table) -> pa.Table:
-        return b.drop_columns(list(shadow.values()))
+def null_safe_groupby_agg(ds: ray.data.Dataset, keys, *aggs, out_types=None) -> ray.data.Dataset:
+    """``ds.groupby(keys).aggregate(*aggs)`` that tolerates NULL keys.
 
-    out = ds.map_batches(add, batch_format="pyarrow").sort(
-        list(shadow.values()),
-        **({"descending": descending} if descending is not None else {}),
-    )
-    return out.map_batches(drop, batch_format="pyarrow")
+    Ray's groupby is sort-based, so a NULL group key hits the same
+    nondeterministic boundary-sampling TypeError as a null sort key.
+    Same shadow-sentinel mechanism as :func:`null_safe_sort`: group on
+    filled copies, then restore the sentinel back to NULL in the output
+    (SQL GROUP BY keeps null groups, so they must survive round-trip).
+    Key columns come back in CANONICAL types (int64 for narrow ints and
+    timestamps — identity for every key the engine uses).
+
+    ``out_types`` (optional ``{column: pa.DataType}``) pins aggregate
+    output columns: an all-null group's Sum yields an Arrow null-typed
+    block that would otherwise fail schema unification downstream.
+    """
+    import pyarrow.compute as pc  # noqa: F401  (restore uses it via _restore)
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    pre, skeys = _with_shadow_keys(ds, key_list, strict=True)
+    out = pre.groupby(skeys).aggregate(*aggs)
+
+    def restore(b: pa.Table) -> pa.Table:
+        for k, sk in zip(key_list, skeys):
+            b = b.drop_columns([sk]).append_column(k, _restore(b.column(sk)))
+        if out_types:
+            for c, t in out_types.items():
+                if b.column(c).type != t:
+                    b = b.set_column(b.schema.get_field_index(c), c, b.column(c).cast(t))
+        names = key_list + [c for c in b.schema.names if c not in key_list]
+        return b.select(names)
+
+    return out.map_batches(restore, batch_format="pyarrow")
 
 
 def checked_sort(ds: ray.data.Dataset, keys, *, descending=None, check_keys=None) -> ray.data.Dataset:
@@ -164,63 +246,13 @@ def checked_sort(ds: ray.data.Dataset, keys, *, descending=None, check_keys=None
     exists for slip through.
     """
     key_list = [keys] if isinstance(keys, str) else list(keys)
-    shadow = {k: f"__ns_{k}" for k in key_list}
-
-    def add(b: pa.Table) -> pa.Table:
-        for k, sk in shadow.items():
-            b = b.append_column(sk, _null_safe_fill(b.column(k)))
-        return b
-
-    def drop(b: pa.Table) -> pa.Table:
-        return b.drop_columns(list(shadow.values()))
-
-    skeys = [shadow[k] for k in key_list]
-    pre = ds.map_batches(add, batch_format="pyarrow")
+    pre, skeys = _with_shadow_keys(ds, key_list)
     out = pre.sort(skeys, descending=descending) if descending is not None else pre.sort(skeys)
+    out = out.map_batches(_drop_columns_fn(skeys), batch_format="pyarrow")
     if colocation_check_enabled():
+        # materialize and check the EXACT dataset the kernels consume
+        # (post-drop): the boundary comparison is equality-based, so
+        # null keys compare fine (None == None) on the original columns
         out = out.materialize()
-        check_sort_colocation(out, [shadow[k] for k in (check_keys or key_list)])
-    # the drop map is 1:1 over the (possibly materialized) sorted blocks,
-    # so co-location and block splits carry through to the kernels
-    return out.map_batches(drop, batch_format="pyarrow")
-
-
-def null_safe_groupby_agg(ds: ray.data.Dataset, keys, *aggs) -> ray.data.Dataset:
-    """``ds.groupby(keys).aggregate(*aggs)`` that tolerates NULL keys.
-
-    Ray's groupby is sort-based, so a NULL group key hits the same
-    nondeterministic boundary-sampling TypeError as a null sort key.
-    Same shadow-sentinel mechanism as :func:`null_safe_sort`: group on
-    filled copies, then restore the sentinel back to NULL in the output
-    (SQL GROUP BY keeps null groups, so they must survive round-trip).
-    """
-    import pyarrow.compute as pc
-
-    key_list = [keys] if isinstance(keys, str) else list(keys)
-    shadow = {k: f"__ns_{k}" for k in key_list}
-
-    def add(b: pa.Table) -> pa.Table:
-        for k, sk in shadow.items():
-            if pa.types.is_timestamp(b.column(k).type):
-                raise TypeError("null_safe_groupby_agg: timestamp keys unsupported")
-            b = b.append_column(sk, _null_safe_fill(b.column(k)))
-        return b
-
-    out = ds.map_batches(add, batch_format="pyarrow").groupby(list(shadow.values())).aggregate(*aggs)
-
-    def restore(b: pa.Table) -> pa.Table:
-        for k, sk in shadow.items():
-            col = b.column(sk)
-            t = col.type
-            sent = (
-                NULL_STR_SENTINEL
-                if (pa.types.is_string(t) or pa.types.is_large_string(t))
-                else (float("-inf") if pa.types.is_floating(t) else NULL_INT_SENTINEL)
-            )
-            col = pc.if_else(pc.equal(col, sent), pa.nulls(len(col), t), col)
-            b = b.drop_columns([sk]).append_column(k, col)
-        # keys back in front, original order
-        names = key_list + [c for c in b.schema.names if c not in key_list]
-        return b.select(names)
-
-    return out.map_batches(restore, batch_format="pyarrow")
+        check_sort_colocation(out, check_keys or key_list)
+    return out

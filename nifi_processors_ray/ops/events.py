@@ -312,6 +312,7 @@ def hopping_agg(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         ["window_idx", "event_type"],
         Sum("n_events", alias_name="n_events"),
         Sum("value_cents", alias_name="value_cents"),
+        out_types={"n_events": pa.int64(), "value_cents": pa.int64()},
     )
     return null_safe_sort(out, ["window_idx", "event_type"]) if sort else out
 
@@ -348,7 +349,7 @@ def _sessionize_block(block: pa.Table) -> pa.Table:
     ends = np.concatenate([starts[1:], [n]])
     return pa.table(
         {
-            "user_id": uid_col.take(pa.array(starts)),
+            "user_id": uid_col.take(pa.array(starts)).cast(pa.int64()),
             "n_sessions": pa.array(cs[ends] - cs[starts]),
             "n_events": pa.array((ends - starts).astype(np.int64)),
         }
@@ -388,6 +389,7 @@ def topk_users(sf_dir: str) -> ray.data.Dataset:
         "user_id",
         Sum("value_cents", alias_name="value_cents"),
         Count(alias_name="n_events"),
+        out_types={"value_cents": pa.int64(), "n_events": pa.int64()},
     )
     # deterministic top-k: order by (-value, user_id)
     return null_safe_sort(agg, ["value_cents", "user_id"], descending=[True, False]).limit(10)
@@ -610,7 +612,11 @@ def type_pivot(sf_dir: str) -> ray.data.Dataset:
     partials = ds.map_batches(_pivot_partials, batch_format="pyarrow")
     aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in PIVOT_EVENT_TYPES]
     aggs.append(Sum("n_events", alias_name="n_events"))
-    return null_safe_sort(null_safe_groupby_agg(partials, "user_id", *aggs), "user_id")
+    out_types = {f"n_{t}": pa.int64() for t in PIVOT_EVENT_TYPES}
+    out_types["n_events"] = pa.int64()
+    return null_safe_sort(
+        null_safe_groupby_agg(partials, "user_id", *aggs, out_types=out_types), "user_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1079,21 +1085,15 @@ def value_histogram(sf_dir: str) -> ray.data.Dataset:
 
     ds = _events(sf_dir, ["value"]).map_batches(_hist_partials, batch_format="pyarrow")
     agg = null_safe_groupby_agg(
-        ds, "bucket", Sum("n_events", alias_name="n_events"), Sum("sum_cents", alias_name="sum_cents")
+        ds,
+        "bucket",
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_cents", alias_name="sum_cents"),
+        # an all-null group's Sum infers an Arrow null-typed block that
+        # would fail schema unification — pin the aggregate outputs
+        out_types={"n_events": pa.int64(), "sum_cents": pa.int64()},
     )
-
-    def stabilize(b: pa.Table) -> pa.Table:
-        # an all-null group's Sum infers Arrow `null` type for its block;
-        # pin every block to the declared schema so pandas sees int64
-        return pa.table(
-            {
-                "bucket": b.column("bucket").cast(pa.int64()),
-                "n_events": b.column("n_events").cast(pa.int64()),
-                "sum_cents": b.column("sum_cents").cast(pa.int64()),
-            }
-        )
-
-    return null_safe_sort(agg.map_batches(stabilize, batch_format="pyarrow"), "bucket")
+    return null_safe_sort(agg, "bucket")
 
 
 # ---------------------------------------------------------------------------
@@ -1139,7 +1139,10 @@ def type_transitions(sf_dir: str) -> ray.data.Dataset:
     partials = checked_sort(ds, "user_id").map_batches(
         _transition_partials, batch_format="pyarrow", batch_size=None
     )
-    agg = null_safe_groupby_agg(partials, ["prev_type", "next_type"], Sum("n", alias_name="n"))
+    agg = null_safe_groupby_agg(
+        partials, ["prev_type", "next_type"], Sum("n", alias_name="n"),
+        out_types={"n": pa.int64()},
+    )
     return null_safe_sort(agg, ["prev_type", "next_type"])
 
 

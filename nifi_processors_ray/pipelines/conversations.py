@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.debug import checked_sort, null_safe_sort
+from ..functions.debug import checked_sort, null_safe_groupby_agg, null_safe_sort
 
 SEP = "\x1f"
 
@@ -157,5 +157,8 @@ def role_transitions(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     partials = checked_sort(cols, "conv_id").map_batches(
         role_transitions_block, batch_format="pyarrow", batch_size=None
     )
-    agg = partials.groupby(["prev_role", "next_role"]).aggregate(Sum("n", alias_name="n"))
+    agg = null_safe_groupby_agg(
+        partials, ["prev_role", "next_role"], Sum("n", alias_name="n"),
+        out_types={"n": pa.int64()},
+    )
     return null_safe_sort(agg, ["prev_role", "next_role"])

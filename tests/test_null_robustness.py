@@ -133,3 +133,39 @@ def test_null_text_parity(ray_session, null_docs_sf, null_docs_con, name):
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
     ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
     assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
+
+
+def test_null_safe_fill_widens_narrow_and_unsigned_ints():
+    from nifi_processors_ray.functions import debug as D
+
+    # int32 with a null: must widen to int64 and fill (fill of int64-min
+    # into raw int32 would raise ArrowInvalid)
+    col = pa.chunked_array([pa.array([1, None, 3], pa.int32())])
+    out = D._null_safe_fill(col, strict=True)
+    assert out.type == pa.int64()
+    assert out.to_pylist() == [1, D.NULL_INT_SENTINEL, 3]
+    assert D._restore(out).to_pylist() == [1, None, 3]
+    # uint64 keeps its own sentinel (cast to int64 could overflow)
+    col = pa.chunked_array([pa.array([1, None, 2**63 + 5], pa.uint64())])
+    out = D._null_safe_fill(col, strict=True)
+    assert out.type == pa.uint64()
+    assert D._restore(out).to_pylist() == [1, None, 2**63 + 5]
+
+
+def test_null_safe_fill_rejects_sentinel_collision():
+    from nifi_processors_ray.functions import debug as D
+
+    col = pa.chunked_array([pa.array(["a", D.NULL_STR_SENTINEL], pa.string())])
+    with pytest.raises(ValueError, match="collides"):
+        D._null_safe_fill(col)
+
+
+def test_null_safe_groupby_rejects_unmapped_key_type(ray_session):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from nifi_processors_ray.functions import debug as D
+
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([True, False, None])}))
+    with pytest.raises(Exception, match="unsupported key type"):
+        D.null_safe_groupby_agg(ds, "k", Count(alias_name="n")).take_all()
