@@ -64,28 +64,36 @@ def _boundary_batch(batch: pa.Table, keys: list[str]) -> pa.Table:
     )
 
 
-def check_sort_colocation(ds: ray.data.Dataset, keys: list[str]) -> None:
-    """Assert no sort key value spans adjacent blocks of ``ds``.
-
-    ``ds`` must already be sorted by ``keys``.  Dataset row order is
-    stable through ``map_batches``, so the collected boundary rows come
-    back in block order: rows alternate (first, last) per non-empty
-    block, and the invariant is ``last(block i) != first(block i+1)``.
-    """
+def find_colocation_violations(ds: ray.data.Dataset, keys: list[str]) -> list:
+    """Key tuples that span adjacent blocks of ``ds`` (empty = invariant
+    holds).  ``ds`` must already be sorted by ``keys``.  Dataset row
+    order is stable through ``map_batches``, so the collected boundary
+    rows come back in block order: rows alternate (first, last) per
+    non-empty block, and the invariant is ``last(i) != first(i+1)``.
+    Metadata-cheap: two boundary rows per block move, never data."""
     rows = ds.map_batches(
         _boundary_batch, batch_format="pyarrow", batch_size=None, fn_kwargs={"keys": keys}
     ).take_all()
     assert len(rows) % 2 == 0
+    out = []
     for i in range(1, len(rows) - 1, 2):
         hi = tuple(rows[i][k] for k in keys)
         lo = tuple(rows[i + 1][k] for k in keys)
         if hi == lo:
-            raise AssertionError(
-                f"Ray sort split an equal-key run across blocks: key {hi!r} is the "
-                f"last row of one block and the first of the next. The blockwise "
-                f"group operators (dedup/sessionize/window finalize) are NOT safe "
-                f"on this Ray version — see tests/test_sort_colocation.py."
-            )
+            out.append(hi)
+    return out
+
+
+def check_sort_colocation(ds: ray.data.Dataset, keys: list[str]) -> None:
+    """Assert no sort key value spans adjacent blocks of ``ds``."""
+    viol = find_colocation_violations(ds, keys)
+    if viol:
+        raise AssertionError(
+            f"Ray sort split an equal-key run across blocks: key {viol[0]!r} is the "
+            f"last row of one block and the first of the next. The blockwise "
+            f"group operators (dedup/sessionize/window finalize) are NOT safe "
+            f"on this Ray version — see tests/test_sort_colocation.py."
+        )
 
 
 # Sentinels for the null-safe exchange: Ray's sample-based range
@@ -249,10 +257,26 @@ def checked_sort(ds: ray.data.Dataset, keys, *, descending=None, check_keys=None
     pre, skeys = _with_shadow_keys(ds, key_list)
     out = pre.sort(skeys, descending=descending) if descending is not None else pre.sort(skeys)
     out = out.map_batches(_drop_columns_fn(skeys), batch_format="pyarrow")
-    if colocation_check_enabled():
-        # materialize and check the EXACT dataset the kernels consume
-        # (post-drop): the boundary comparison is equality-based, so
-        # null keys compare fine (None == None) on the original columns
-        out = out.materialize()
-        check_sort_colocation(out, check_keys or key_list)
+    # ALWAYS-ON run-integrity check and repair (round-2 advice upgraded
+    # after the hot-key stress suite proved the exposure): Ray sort DOES
+    # split an equal-key run across blocks once the run outgrows
+    # target_max_block_size — the norm for hot keys at scale, silent
+    # wrong answers for every blockwise kernel.  The check is
+    # metadata-cheap (2 boundary rows per block); on violation, coalesce
+    # adjacent blocks (order-preserving repartition) until every run is
+    # whole.  A hot run larger than worker memory then fails LOUD in the
+    # kernel instead of returning quietly wrong results.  Materializing
+    # here also pins block splits, which a lazy sorted plan would
+    # re-draw on every consumption.
+    out = out.materialize()
+    keys_to_check = check_keys or key_list
+    for _ in range(64):
+        if not find_colocation_violations(out, keys_to_check):
+            break
+        nb = out.num_blocks()
+        if nb <= 1:
+            break  # single block: no boundaries left
+        out = out.repartition(max(1, nb // 2)).materialize()
+    else:  # pragma: no cover - 2^64 blocks
+        raise AssertionError("run-integrity repair did not converge")
     return out

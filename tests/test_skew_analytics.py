@@ -1,0 +1,88 @@
+"""Hot-key skew stress for the blockwise analytics operators.
+
+At 100 TB a 'hot' key (one conversation, one power user) is the norm,
+not the exception.  The blockwise group operators rely on Ray sort
+co-location, which necessarily pulls a hot key's ENTIRE run into one
+output block — these tests pin that (a) the kernels stay correct when
+one key owns half the table and the surrounding blocks are tiny, and
+(b) results still match the DuckDB twins row for row.
+
+(The CDC merge path handles hot conversations by SALTING the hash
+partitioner — `stages/partition.py` — because LWW merge only needs
+per-(key, salt) locality.  The analytics window ops cannot salt without
+breaking frame semantics, so their contract is 'hot run fits one
+block'; this suite is the executable statement of that contract.)
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __ray_entry__ as entry
+
+N = 20_000
+HOT_FRACTION = 0.5
+
+
+@pytest.fixture(scope="module")
+def skew_sf(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("skewsf")
+    rng = np.random.default_rng(13)
+    n_hot = int(N * HOT_FRACTION)
+    user = np.concatenate([np.zeros(n_hot, np.int64), rng.integers(1, 500, N - n_hot)])
+    rng.shuffle(user)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(N, dtype=np.int64)),
+            "ts": pa.array(
+                np.sort(rng.integers(0, 86_400_000_000, N)).astype("datetime64[us]")
+            ),
+            "user_id": pa.array(user),
+            "event_type": pa.array(
+                rng.choice(["signup", "view", "click", "purchase", "error"], N)
+            ),
+            "value": pa.array(rng.uniform(0.01, 500, N).round(2)),
+            "props": pa.array(["{}"] * N),
+        }
+    )
+    # many small row groups → many input blocks → the hot run must be
+    # re-co-located by the exchange, not inherited from the layout
+    pq.write_table(t, str(tmp / "events.parquet"), row_group_size=512)
+    return str(tmp)
+
+
+@pytest.fixture(scope="module")
+def skew_con(skew_sf):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{skew_sf}/events.parquet')")
+    return con
+
+
+SKEW_TARGETS = [
+    "events_sessionize", "events_moving_sum", "events_user_gaps",
+    "events_type_transitions", "latest_event_per_user", "events_topk_users",
+    "events_window_agg", "events_funnel", "events_value_quantiles",
+]
+
+
+@pytest.mark.parametrize("name", SKEW_TARGETS)
+def test_hot_key_parity(ray_session, skew_sf, skew_con, name):
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.target_max_block_size
+    ctx.target_max_block_size = 64 * 1024  # force many small blocks
+    try:
+        res = entry.queries()[name](skew_sf)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    finally:
+        ctx.target_max_block_size = prev
+    ot = skew_con.sql(entry.oracle_sql()[name]).df()
+    df = df.sort_index(axis=1)
+    ot = ot.sort_index(axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
+    assert df.equals(ot), f"{name}: hot-key divergence\n{df.head()}\nvs\n{ot.head()}"
