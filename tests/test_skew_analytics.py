@@ -86,3 +86,51 @@ def test_hot_key_parity(ray_session, skew_sf, skew_con, name):
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
     ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
     assert df.equals(ot), f"{name}: hot-key divergence\n{df.head()}\nvs\n{ot.head()}"
+
+
+@pytest.fixture(scope="module")
+def skew_docs_sf(tmp_path_factory):
+    """Documents where ONE text is 40% of the corpus (a viral duplicate —
+    the classic dedup hot key) plus unique tails."""
+    tmp = tmp_path_factory.mktemp("skewdocs")
+    rng = np.random.default_rng(29)
+    n = 5_000
+    n_hot = n * 2 // 5
+    texts = ["the same viral boilerplate page text repeated everywhere"] * n_hot + [
+        f"unique document body {i} " + " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta"], 8)
+        )
+        for i in range(n - n_hot)
+    ]
+    order = rng.permutation(n)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array([texts[i] for i in order]),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["web"] * n),
+            "n_chars": pa.array([len(texts[i]) for i in order], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp / "documents.parquet"), row_group_size=256)
+    return str(tmp)
+
+
+def test_hot_duplicate_exact_dedup(ray_session, skew_docs_sf):
+    import ray.data
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{skew_docs_sf}/documents.parquet')"
+    )
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.target_max_block_size
+    ctx.target_max_block_size = 64 * 1024
+    try:
+        df = entry.queries()["exact_dedup"](skew_docs_sf).to_pandas()
+    finally:
+        ctx.target_max_block_size = prev
+    ot = con.sql(entry.oracle_sql()["exact_dedup"]).df()
+    df = df.sort_index(axis=1).sort_values(list(df.sort_index(axis=1).columns)).reset_index(drop=True)
+    ot = ot.sort_index(axis=1).sort_values(list(ot.sort_index(axis=1).columns)).reset_index(drop=True)
+    assert df.equals(ot)
