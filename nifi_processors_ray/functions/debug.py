@@ -1,28 +1,28 @@
-"""Debug-flag runtime invariant checks.
+"""Exchange integrity: null-safe shadow keys + always-on run repair.
 
 The blockwise group operators (exact dedup, the LSH pair generators,
 sessionize, the window/quantile finalizes, the shuffle join, top-N per
 group, and the conversation fold) rely on Ray sort CO-LOCATING equal
-keys: a sorted
-run of one key value is never split across output blocks.  That holds
-empirically and is pinned by ``tests/test_sort_colocation.py`` — but a
-Ray upgrade could break it silently, and the ops would then return
-subtly wrong results (extra "firsts", missed pairs) in production while
-CI is green against the old Ray.
+keys: a sorted run of one key value must never be split across output
+blocks.  That holds ONLY while every run fits in
+``target_max_block_size`` — a hot key's run (one power user, one viral
+duplicate) provably gets split once it outgrows a block
+(``tests/test_skew_analytics.py``), silently corrupting every blockwise
+kernel.
 
-``NPR_DEBUG_COLOCATION=1`` turns on a cheap global check at the call
-sites: after the sort, each block reports its boundary keys and the
-driver asserts no key spans a block boundary, failing LOUD before any
-wrong result escapes.  Costs one extra pass over the sorted data, so on
-a VERIFIED Ray version it is a flag, not a default.
+``checked_sort`` therefore runs a metadata-cheap boundary check after
+EVERY exchange (two boundary rows per block) and, on violation,
+rewrites only the violating chains of adjacent blocks
+(order-preserving split + coalesce) so each run is whole again; a hot
+run larger than worker memory then fails loud in the kernel instead of
+returning quietly wrong results.  ``NPR_DEBUG_COLOCATION=0`` opts out
+for pipelines with verified run-size/block-size ratios.
 
-On an UNVERIFIED Ray version (not in :data:`VERIFIED_RAY_VERSIONS`) the
-guard ARMS ITSELF: an upgrade must not be able to silently break the
-invariant in production while CI is green against the pinned version
-(round-2 ADVICE).  Correctness wins over the extra pass until the new
-version is re-verified (run ``tests/test_sort_colocation.py`` and the
-op suites with the guard armed, then add the version to the set).
-``NPR_DEBUG_COLOCATION=0`` explicitly opts out of both paths.
+NULL keys get the same treatment one layer down: Ray's sample-based
+range partitioner TypeErrors nondeterministically when a None lands in
+its boundary sample, so every exchange (sort AND sort-based groupby)
+rides shadow sentinel key columns (``null_safe_sort``,
+``null_safe_groupby_agg``) that are dropped or restored afterwards.
 """
 
 from __future__ import annotations
@@ -35,17 +35,20 @@ import ray.data
 
 ENV_FLAG = "NPR_DEBUG_COLOCATION"
 
-# Ray versions whose sort is verified to co-locate equal full-tuple key
-# runs (tests/test_sort_colocation.py + the blockwise-op suites run with
-# the guard armed).  Extend ONLY after re-running those on the new pin.
-VERIFIED_RAY_VERSIONS = frozenset({"2.49.2"})
+
+def run_integrity_enabled() -> bool:
+    """The per-exchange run-integrity check+repair is ON by default —
+    Ray sort splits an equal-key run across blocks whenever the run
+    outgrows ``target_max_block_size`` (hot keys at scale), which the
+    old opt-in guard could only detect, not survive.  ``{ENV_FLAG}=0``
+    is the explicit escape hatch for pipelines that have verified their
+    key-run sizes against their block size."""
+    return os.environ.get(ENV_FLAG, "1") not in ("", "0")
 
 
-def colocation_check_enabled() -> bool:
-    flag = os.environ.get(ENV_FLAG)
-    if flag is not None:
-        return flag not in ("", "0")
-    return ray.__version__ not in VERIFIED_RAY_VERSIONS
+# Backwards-compatible alias (the old opt-in guard's predicate; the
+# check is now always-on, so both names answer the same question).
+colocation_check_enabled = run_integrity_enabled
 
 
 def _boundary_batch(batch: pa.Table, keys: list[str]) -> pa.Table:
@@ -79,9 +82,15 @@ def find_colocation_violations(ds: ray.data.Dataset, keys: list[str]) -> list:
     for i in range(1, len(rows) - 1, 2):
         hi = tuple(rows[i][k] for k in keys)
         lo = tuple(rows[i + 1][k] for k in keys)
-        if hi == lo:
+        if _keys_equal(hi, lo):
             out.append(hi)
     return out
+
+
+def _keys_equal(a: tuple, b: tuple) -> bool:
+    """Tuple equality where NaN == NaN (a float key's NaN rows sort into
+    one run; plain ``==`` would never flag that run as split)."""
+    return all((x == y) or (x != x and y != y) for x, y in zip(a, b))
 
 
 def check_sort_colocation(ds: ray.data.Dataset, keys: list[str]) -> None:
@@ -239,10 +248,75 @@ def null_safe_groupby_agg(ds: ray.data.Dataset, keys, *aggs, out_types=None) -> 
     return out.map_batches(restore, batch_format="pyarrow")
 
 
+def _repair_split_runs(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
+    """Targeted run-integrity repair over a MATERIALIZED sorted dataset.
+
+    From the boundary pass (2 rows + a row count per non-empty block)
+    find maximal chains of adjacent blocks that share a spanning key,
+    then rewrite ONLY those chains: split the dataset at each chain's
+    global row offsets (order-preserving) and coalesce each chain to one
+    block.  Cold blocks are untouched, so a hot key costs exactly one
+    rewrite of its own rows — not a dataset-wide repartition that would
+    collapse parallelism for every downstream task.
+    """
+    import logging
+
+    rows = ds.map_batches(
+        _boundary_batch, batch_format="pyarrow", batch_size=None, fn_kwargs={"keys": keys}
+    ).take_all()
+    assert len(rows) % 2 == 0
+    nb = len(rows) // 2
+    if nb <= 1:
+        return ds
+    counts = [rows[2 * i]["__n"] for i in range(nb)]
+    firsts = [tuple(rows[2 * i][k] for k in keys) for i in range(nb)]
+    lasts = [tuple(rows[2 * i + 1][k] for k in keys) for i in range(nb)]
+    spans = [i for i in range(nb - 1) if _keys_equal(lasts[i], firsts[i + 1])]
+    if not spans:
+        return ds
+    # maximal chains of adjacent blocks connected by spanning keys
+    chains: list[tuple[int, int]] = []
+    for i in spans:
+        if chains and chains[-1][1] == i:
+            chains[-1] = (chains[-1][0], i + 1)
+        else:
+            chains.append((i, i + 1))
+    offsets = [0]
+    for c in counts:
+        offsets.append(offsets[-1] + c)
+    total = offsets[-1]
+    logging.getLogger(__name__).warning(
+        "run-integrity repair: %d equal-key run(s) split across blocks "
+        "(e.g. key %r); coalescing %d chain(s) covering %d of %d rows",
+        len(spans),
+        lasts[spans[0]],
+        len(chains),
+        sum(offsets[j + 1] - offsets[i] for i, j in chains),
+        total,
+    )
+    cuts = sorted(
+        {offsets[i] for i, _ in chains} | {offsets[j + 1] for _, j in chains} - {0, total}
+    )
+    cuts = [c for c in cuts if 0 < c < total]
+    parts = ds.split_at_indices(cuts)
+    bounds = [0] + cuts + [total]
+    chain_ranges = {(offsets[i], offsets[j + 1]) for i, j in chains}
+    fixed = [
+        p.repartition(1) if (bounds[k], bounds[k + 1]) in chain_ranges else p
+        for k, p in enumerate(parts)
+    ]
+    out = (fixed[0].union(*fixed[1:]) if len(fixed) > 1 else fixed[0]).materialize()
+    left = find_colocation_violations(out, keys)
+    if left:  # pragma: no cover - single-pass repair is total by construction
+        raise AssertionError(f"run-integrity repair left split runs: {left[:3]!r}")
+    return out
+
+
 def checked_sort(ds: ray.data.Dataset, keys, *, descending=None, check_keys=None) -> ray.data.Dataset:
     """``ds.sort(keys, descending=...)``, null-safe (shadow sentinel
     keys — see :func:`null_safe_sort`), with the co-location invariant
-    verified when ``NPR_DEBUG_COLOCATION`` is set (debug only).
+    checked and repaired on EVERY call (``NPR_DEBUG_COLOCATION=0`` opts
+    out — see :func:`run_integrity_enabled`).
     ``check_keys`` narrows the boundary check to the group-key prefix
     when the trailing sort keys are only an intra-group order.
 
@@ -262,21 +336,15 @@ def checked_sort(ds: ray.data.Dataset, keys, *, descending=None, check_keys=None
     # split an equal-key run across blocks once the run outgrows
     # target_max_block_size — the norm for hot keys at scale, silent
     # wrong answers for every blockwise kernel.  The check is
-    # metadata-cheap (2 boundary rows per block); on violation, coalesce
-    # adjacent blocks (order-preserving repartition) until every run is
-    # whole.  A hot run larger than worker memory then fails LOUD in the
-    # kernel instead of returning quietly wrong results.  Materializing
-    # here also pins block splits, which a lazy sorted plan would
-    # re-draw on every consumption.
+    # metadata-cheap (2 boundary rows per block); on violation, ONLY the
+    # violating chains of adjacent blocks are rewritten (targeted
+    # split+coalesce — cold blocks keep their size and parallelism).  A
+    # hot run larger than worker memory then fails LOUD in the kernel
+    # instead of returning quietly wrong results.  Materializing here
+    # also pins block splits, which a lazy sorted plan would re-draw on
+    # every consumption.  ``NPR_DEBUG_COLOCATION=0`` is the escape
+    # hatch for pipelines with verified run-size/block-size ratios.
     out = out.materialize()
-    keys_to_check = check_keys or key_list
-    for _ in range(64):
-        if not find_colocation_violations(out, keys_to_check):
-            break
-        nb = out.num_blocks()
-        if nb <= 1:
-            break  # single block: no boundaries left
-        out = out.repartition(max(1, nb // 2)).materialize()
-    else:  # pragma: no cover - 2^64 blocks
-        raise AssertionError("run-integrity repair did not converge")
+    if run_integrity_enabled():
+        out = _repair_split_runs(out, check_keys or key_list)
     return out

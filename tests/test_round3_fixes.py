@@ -6,7 +6,7 @@
   drop its suppliers (INNER-join parity), not emit a NULL-region group.
 - write_partitioned_parquet: resuming with different key/num_partitions
   must fail loud, not silently mix two partition layouts.
-- colocation guard: arms itself on an unverified Ray version.
+- run-integrity check: always on, env escape hatch honored.
 """
 
 import json
@@ -142,14 +142,12 @@ def test_cow_split_multifile_partitions_at_replay_scale(ray_session, tmp_path):
     assert len(final) == len(oracle) and final.equals(oracle)
 
 
-def test_colocation_guard_arms_on_unverified_ray(monkeypatch):
+def test_run_integrity_default_on_with_escape_hatch(monkeypatch):
+    # the check+repair is ALWAYS ON (it replaced the old version-gated
+    # arming); NPR_DEBUG_COLOCATION=0 is the explicit escape hatch
     monkeypatch.delenv(DBG.ENV_FLAG, raising=False)
-    assert ray.__version__ in DBG.VERIFIED_RAY_VERSIONS  # this repo's pin
-    assert not DBG.colocation_check_enabled()
-    monkeypatch.setattr(DBG, "VERIFIED_RAY_VERSIONS", frozenset())
-    assert DBG.colocation_check_enabled()  # unverified → auto-armed
+    assert DBG.run_integrity_enabled()
     monkeypatch.setenv(DBG.ENV_FLAG, "0")
-    assert not DBG.colocation_check_enabled()  # explicit opt-out wins
+    assert not DBG.run_integrity_enabled()
     monkeypatch.setenv(DBG.ENV_FLAG, "1")
-    monkeypatch.setattr(DBG, "VERIFIED_RAY_VERSIONS", frozenset({ray.__version__}))
-    assert DBG.colocation_check_enabled()  # explicit opt-in wins too
+    assert DBG.run_integrity_enabled()
