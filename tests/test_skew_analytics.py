@@ -134,3 +134,54 @@ def test_hot_duplicate_exact_dedup(ray_session, skew_docs_sf):
     df = df.sort_index(axis=1).sort_values(list(df.sort_index(axis=1).columns)).reset_index(drop=True)
     ot = ot.sort_index(axis=1).sort_values(list(ot.sort_index(axis=1).columns)).reset_index(drop=True)
     assert df.equals(ot)
+
+
+@pytest.fixture(scope="module")
+def hot_null_sf(tmp_path_factory):
+    """Events where the HOT key is NULL itself — 40% anonymous traffic.
+    The sentinel-filled shadow key makes the null run sortable; the
+    run-integrity repair must then treat the None run like any other
+    spanning key (the boundary compare sees None == None)."""
+    tmp = tmp_path_factory.mktemp("hotnull")
+    rng = np.random.default_rng(31)
+    n = 20_000
+    n_null = int(n * 0.4)
+    user = [None] * n_null + [int(u) for u in rng.integers(1, 400, n - n_null)]
+    rng.shuffle(user)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(
+                np.sort(rng.integers(0, 86_400_000_000, n)).astype("datetime64[us]")
+            ),
+            "user_id": pa.array(user, pa.int64()),
+            "event_type": pa.array(
+                rng.choice(["signup", "view", "click", "purchase"], n)
+            ),
+            "value": pa.array(rng.uniform(0.01, 500, n).round(2)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(t, str(tmp / "events.parquet"), row_group_size=512)
+    return str(tmp)
+
+
+@pytest.mark.parametrize(
+    "name", ["events_sessionize", "events_user_gaps", "events_moving_sum", "latest_event_per_user"]
+)
+def test_hot_null_key_parity(ray_session, hot_null_sf, name):
+    import ray.data
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{hot_null_sf}/events.parquet')")
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.target_max_block_size
+    ctx.target_max_block_size = 64 * 1024
+    try:
+        df = entry.queries()[name](hot_null_sf).to_pandas()
+    finally:
+        ctx.target_max_block_size = prev
+    ot = con.sql(entry.oracle_sql()[name]).df()
+    df = df.sort_index(axis=1).sort_values(list(df.sort_index(axis=1).columns)).reset_index(drop=True)
+    ot = ot.sort_index(axis=1).sort_values(list(ot.sort_index(axis=1).columns)).reset_index(drop=True)
+    assert df.equals(ot), f"{name}: hot-NULL-key divergence"
