@@ -133,13 +133,36 @@ def _q_cdc_replay_mor(sf_dir: str):
 
     Epoch size adapts to the stream (~4 epochs at any sf) so the delta
     path runs everywhere without drowning large sfs in commit barriers."""
+    return _mor_engine(sf_dir).final_state(sort=True)
+
+
+def _mor_engine(sf_dir: str) -> CdcEngine:
+    """The multi-epoch merge-on-read engine (~4 epochs at any sf) —
+    shared by the MOR-convergence, time-travel and changefeed queries
+    (one replay, one cache entry)."""
     import pyarrow.parquet as pq
 
     n = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
-    eng = _replayed_engine(
+    return _replayed_engine(
         sf_dir, merge_mode="mor", compact_threshold=3, epoch_events=max(2_000, n // 4)
     )
-    return eng.final_state(sort=True)
+
+
+def _q_cdc_time_travel(sf_dir: str):
+    """Snapshot-isolation time travel: the lake AS OF epoch 2's commit
+    (or the only epoch on short streams) read from the immutable
+    manifest snapshot — the Iceberg/Delta ``VERSION AS OF`` surface.
+    The SQL twin replays the changelog only up to that epoch's
+    watermark: min(2·E − 1, head) with E = the engine's epoch size."""
+    eng = _mor_engine(sf_dir)
+    return eng.state_at(min(2, eng.store.latest().epoch), sort=True)
+
+
+def _q_cdc_epoch_changes(sf_dir: str):
+    """Changefeed of the LATEST committed epoch: the net change per
+    (conv_id, turn_idx) key in that epoch's seq window, deletes
+    included — the CDC-consumer (Delta CDF) surface."""
+    return _mor_engine(sf_dir).epoch_changes()
 
 
 def _q_cdc_rejected(sf_dir: str):
@@ -276,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay": _q_cdc_replay,
         "cdc_replay_mor": _q_cdc_replay_mor,
         "cdc_rejected": _q_cdc_rejected,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_epoch_changes": _q_cdc_epoch_changes,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         "cdc_lineage_totals": _q_cdc_lineage_totals,
         "cdc_conversations": _q_cdc_conversations,
@@ -411,6 +436,47 @@ latest AS (
 )
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM latest WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+""",
+        # Time travel: the state as of epoch min(2, latest) — the seq
+        # cutoff is min(2·E − 1, head) with E = max(2000, n_events // 4),
+        # exactly the engine's epoch-window arithmetic (wm_k = k·E − 1).
+        "cdc_time_travel": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+cut AS (
+  SELECT least(2 * greatest(2000, (SELECT COUNT(*) FROM events) // 4) - 1,
+               (SELECT MAX(seq) FROM _ch)) AS hi
+),
+valid AS (
+  SELECT * FROM _ch WHERE ({VALID_PREDICATE_SQL}) AND seq <= (SELECT hi FROM cut)
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+""",
+        # Changefeed of the LAST epoch: its window starts at the previous
+        # epoch's watermark E·(head // E) − 1 (engine window arithmetic).
+        "cdc_epoch_changes": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+par AS (
+  SELECT greatest(2000, (SELECT COUNT(*) FROM events) // 4) AS e,
+         (SELECT MAX(seq) FROM _ch) AS head
+),
+valid AS (
+  SELECT * FROM _ch
+  WHERE ({VALID_PREDICATE_SQL})
+    AND seq > (SELECT e * (head // e) - 1 FROM par)
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+)
+SELECT conv_id, turn_idx, op, role, text, tool, ts, seq
+FROM latest WHERE rn = 1
 ORDER BY conv_id, turn_idx
 """,
         "cdc_rejected": f"""

@@ -82,6 +82,42 @@ def _apply_enrich(batch: pa.Table, fn) -> pa.Table:
     return out
 
 
+# Changefeed output: the winning change event per key, envelope order.
+_CHANGEFEED_COLS = ("conv_id", "turn_idx", "op", "role", "text", "tool", "ts", "seq")
+
+
+def _changefeed_empty() -> pa.Table:
+    from ..schema import CHANGELOG_SCHEMA
+
+    return CHANGELOG_SCHEMA.empty_table().select(list(_CHANGEFEED_COLS))
+
+
+def _changefeed_latest(batch: pa.Table) -> pa.Table:
+    """Keep each (conv_id, turn_idx) key's locally-latest event (max
+    seq).  Rows here are VALID changelog rows, so conv_id/turn_idx are
+    never null and the run detection below never sees a null key."""
+    import numpy as np
+
+    if batch.num_rows == 0:
+        return _changefeed_empty()
+    b = batch.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending"), ("seq", "descending")]
+    )
+    conv = np.asarray(b.column("conv_id").combine_chunks().dictionary_encode().indices)
+    turn = np.asarray(b.column("turn_idx"))
+    first = np.concatenate([[True], (conv[1:] != conv[:-1]) | (turn[1:] != turn[:-1])])
+    return b.filter(pa.array(first))
+
+
+def _changefeed_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for the changefeed: validity filter + local
+    latest-per-key, so the sort exchange moves ≤1 row per key per batch."""
+    import pyarrow.compute as pc
+
+    batch = batch.filter(pc.is_null(batch.column("reject_reason")))
+    return _changefeed_latest(batch.select(list(_CHANGEFEED_COLS)))
+
+
 @dataclass
 class EpochResult:
     epoch: int
@@ -362,7 +398,40 @@ class CdcEngine:
         construction).  With cow-only partitions (one live file, no
         tombstones) the resolve is a no-op pass.
         """
-        man = self.store.latest()
+        return self._state_from_manifest(self.store.latest(), sort=sort)
+
+    def state_at(self, epoch: int, sort: bool = False) -> ray.data.Dataset:
+        """Time travel: the lake exactly as of commit ``epoch``.
+
+        Manifest snapshots are immutable and named by epoch, so a
+        historical read is just the same partition-resolve pipeline over
+        the old snapshot's file list — identical machinery, older
+        pointer (the Iceberg/Delta ``VERSION AS OF`` semantic).  Valid
+        until :meth:`vacuum` deletes files only the old snapshot
+        references; a vacuumed-away snapshot fails loud here instead of
+        returning a partial state.
+        """
+        man = self.store.at_epoch(epoch)
+        if man is None:
+            raise ValueError(
+                f"no manifest committed at epoch {epoch} "
+                f"(committed epochs: {self.store.epochs()!r})"
+            )
+        missing = [
+            f
+            for fs in man.files.values()
+            for f in fs
+            if not os.path.exists(os.path.join(self.cfg.lake_dir, f))
+        ]
+        if missing:
+            raise RuntimeError(
+                f"epoch {epoch} is no longer time-travelable: {len(missing)} of its "
+                f"data files were vacuumed (e.g. {missing[0]!r}); only epochs whose "
+                "files survive vacuum can be read"
+            )
+        return self._state_from_manifest(man, sort=sort)
+
+    def _state_from_manifest(self, man: Manifest | None, sort: bool) -> ray.data.Dataset:
         items = []
         if man:
             for p, fs in sorted(man.files.items()):
@@ -384,6 +453,45 @@ class CdcEngine:
         if sort:
             ds = ds.sort(["conv_id", "turn_idx"])
         return ds
+
+    def changes_between(self, lo: int, hi: int) -> ray.data.Dataset:
+        """Changefeed: the NET change per (conv_id, turn_idx) in the seq
+        window ``(lo, hi]`` — each key's latest VALID event, deletes
+        included (``op='D'``) so a consumer can apply the window as an
+        idempotent diff.  This is the CDC-consumer surface (Delta CDF /
+        Kafka-compacted-topic analog): downstreams incrementally follow
+        the lake without rereading converged state.
+
+        Shape: offset-pruned window scan → validate → per-batch
+        latest-per-key combiner (≤1 row per key per batch crosses the
+        exchange) → ONE sort on the (conv_id, turn_idx) group tuple →
+        block-local winner pick; the reduce side never sees more rows
+        than distinct keys touched in the window.
+        """
+        from ..functions.debug import checked_sort
+
+        ds = tailer.read_window(self.log_infos(), lo, hi, num_blocks=self._read_num_blocks())
+        if ds is None:
+            return ray.data.from_arrow(_changefeed_empty())
+        ds = ds.map_batches(
+            validate_batch, batch_format="pyarrow", batch_size=self.cfg.batch_size
+        ).map_batches(_changefeed_partial, batch_format="pyarrow")
+        # the winner within a co-located run is picked by the same
+        # latest-per-key kernel (idempotent on already-combined rows)
+        return checked_sort(ds, ["conv_id", "turn_idx"]).map_batches(
+            _changefeed_latest, batch_format="pyarrow", batch_size=None
+        )
+
+    def epoch_changes(self, epoch: int | None = None) -> ray.data.Dataset:
+        """The changefeed of one committed epoch's seq window (default:
+        the latest).  Window bounds come from the immutable manifest
+        snapshots — (previous epoch's watermark, this epoch's]."""
+        man_hi = self.store.latest() if epoch is None else self.store.at_epoch(epoch)
+        if man_hi is None:
+            raise ValueError(f"no manifest committed at epoch {epoch}")
+        man_lo = self.store.at_epoch(man_hi.epoch - 1) if man_hi.epoch > 0 else None
+        lo = man_lo.min_watermark if man_lo is not None else -1
+        return self.changes_between(lo, man_hi.min_watermark)
 
     def lineage(self) -> ray.data.Dataset:
         man = self.store.latest()

@@ -106,6 +106,26 @@ class ManifestStore:
         self.dir = manifest_dir
         os.makedirs(self.dir, exist_ok=True)
 
+    def at_epoch(self, epoch: int) -> Manifest | None:
+        """The immutable snapshot committed at ``epoch`` (None if never
+        committed).  Snapshots are retained forever (vacuum only deletes
+        data/metadata files, never manifests), so any historical epoch
+        can be addressed; whether its DATA files still exist depends on
+        vacuum — see ``CdcEngine.state_at``."""
+        path = os.path.join(self.dir, f"manifest-{epoch:010d}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return Manifest.from_json(f.read())
+
+    def epochs(self) -> list[int]:
+        """All committed epochs, ascending."""
+        out = []
+        for f in os.listdir(self.dir):
+            if f.startswith("manifest-") and f.endswith(".json"):
+                out.append(int(f[len("manifest-") : -len(".json")]))
+        return sorted(out)
+
     def latest(self) -> Manifest | None:
         cur = os.path.join(self.dir, "CURRENT")
         if not os.path.exists(cur):

@@ -1,0 +1,163 @@
+"""Time travel (``state_at``) and changefeed (``changes_between`` /
+``epoch_changes``) over the immutable manifest history.
+
+Oracle strategy: the naive applier run on a seq-truncated changelog is
+the state as of any epoch's watermark; the changefeed oracle is the
+max-seq valid row per key inside the window, computed in pandas.
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from nifi_processors_ray.oracle import apply_changelog, split_valid
+from nifi_processors_ray.synth import write_changelog_from_events
+
+from test_replay_e2e import SF_DIR, make_engine, read_log
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("lake"))
+    log = str(tmp_path_factory.mktemp("log"))
+    paths = write_changelog_from_events(SF_DIR, log, files=3)
+    eng = make_engine(lake, log, epoch_events=300, merge_mode="mor", compact_threshold=3)
+    results = eng.replay()
+    assert len(results) == 4  # 1000 events / 300
+    return eng, paths
+
+
+def _oracle_at(paths, cutoff):
+    log = read_log(paths)
+    return apply_changelog(log.filter(pc.less_equal(log.column("seq"), cutoff)))
+
+
+def test_state_at_every_epoch_matches_truncated_oracle(engine):
+    eng, paths = engine
+    for epoch in (1, 2, 3, 4):
+        man = eng.store.at_epoch(epoch)
+        got = eng.state_at(epoch, sort=True).to_pandas().reset_index(drop=True)
+        want = _oracle_at(paths, man.min_watermark).to_pandas().reset_index(drop=True)
+        assert got.equals(want), f"epoch {epoch} snapshot != truncated oracle"
+
+
+def test_state_at_latest_equals_final_state(engine):
+    eng, _ = engine
+    latest = eng.store.latest().epoch
+    a = eng.state_at(latest, sort=True).to_pandas()
+    b = eng.final_state(sort=True).to_pandas()
+    assert a.equals(b)
+
+
+def test_state_at_unknown_epoch_raises(engine):
+    eng, _ = engine
+    with pytest.raises(ValueError, match="no manifest committed"):
+        eng.state_at(99)
+
+
+def test_epoch_zero_snapshot_is_empty(engine):
+    eng, _ = engine
+    assert eng.state_at(0).count() == 0
+
+
+def _changefeed_oracle(paths, lo, hi):
+    log = read_log(paths)
+    valid, _ = split_valid(log)
+    valid = valid.filter(
+        pc.and_(pc.greater(valid.column("seq"), lo), pc.less_equal(valid.column("seq"), hi))
+    )
+    df = valid.to_pandas()
+    # drop_duplicates(keep='last'), NOT groupby().last(): the latter
+    # skips NaNs per column and would resurrect pre-delete values
+    df = df.sort_values(["conv_id", "turn_idx", "seq"]).drop_duplicates(
+        ["conv_id", "turn_idx"], keep="last"
+    )
+    return df[["conv_id", "turn_idx", "op", "role", "text", "tool", "ts", "seq"]].sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+
+
+def test_changes_between_matches_pandas_oracle(engine):
+    eng, paths = engine
+    for lo, hi in ((-1, 299), (299, 599), (599, 999), (-1, 999)):
+        got = (
+            eng.changes_between(lo, hi)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        want = _changefeed_oracle(paths, lo, hi)
+        assert got.equals(want), f"changefeed ({lo}, {hi}] != oracle"
+
+
+def test_epoch_changes_covers_each_epoch_window(engine):
+    eng, paths = engine
+    for epoch in (1, 2, 3, 4):
+        lo = eng.store.at_epoch(epoch - 1).min_watermark
+        hi = eng.store.at_epoch(epoch).min_watermark
+        got = (
+            eng.epoch_changes(epoch)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(_changefeed_oracle(paths, lo, hi))
+
+
+def test_epoch_changes_default_is_latest(engine):
+    eng, _ = engine
+    a = eng.epoch_changes().to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = (
+        eng.epoch_changes(eng.store.latest().epoch)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_changefeed_deletes_are_visible(engine):
+    """Unlike the converged state, the feed carries op='D' rows (the
+    consumer must see deletions to mirror them)."""
+    eng, _ = engine
+    ops = set(eng.epoch_changes().to_pandas()["op"].unique())
+    assert "D" in ops
+
+
+def test_applying_feed_windows_reproduces_state(engine):
+    """Folding each epoch's net changes LWW over the previous snapshot
+    reproduces the next snapshot — the consumer-side contract."""
+    import pandas as pd
+
+    eng, _ = engine
+    state = None  # keyed dict: (conv_id, turn_idx) -> row
+    for epoch in (1, 2, 3, 4):
+        feed = eng.epoch_changes(epoch).to_pandas()
+        state = feed if state is None else (
+            pd.concat([state, feed])
+            .sort_values("seq")
+            .drop_duplicates(["conv_id", "turn_idx"], keep="last")
+        )
+        live = state[state["op"] != "D"]
+        want = (
+            eng.state_at(epoch, sort=True).to_pandas().reset_index(drop=True)
+        )
+        got = (
+            live[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), f"feed fold diverged at epoch {epoch}"
+
+
+def test_vacuum_invalidates_old_snapshots_loudly(engine):
+    eng, _ = engine
+    # COW/MOR folds leave superseded files around until vacuum; after
+    # vacuum an old snapshot whose files were deleted must FAIL, not
+    # return a partial table.  (Run last: vacuum mutates the lake dir.)
+    eng.vacuum()
+    latest = eng.store.latest().epoch
+    assert eng.state_at(latest).count() > 0  # current snapshot unaffected
+    with pytest.raises(RuntimeError, match="no longer time-travelable"):
+        for epoch in (1, 2, 3):
+            eng.state_at(epoch)
