@@ -389,7 +389,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_unpivot": _rel.pricing_unpivot,
         # keep-latest-per-key upsert compaction + fact-to-dim shuffle join
         "latest_event_per_user": _ev.latest_event_per_user,
+        "events_modal_type": _ev.modal_event_type,
         "brand_revenue": _joins.brand_revenue,
+        # 3-table join chain (the TPC-H Q3 shape): two co-partition exchanges
+        "shipping_priority": _joins.shipping_priority,
         # benchmark decontamination (broadcast eval n-gram set, pure map)
         "decontaminate": _text.decontaminate,
         # ordered conversion funnel (the self-join-free chain evaluation)
@@ -602,7 +605,9 @@ FROM _ch
         "events_profile": _prof.TABLE_PROFILE_SQL,
         "pricing_unpivot": _rel.PRICING_UNPIVOT_SQL,
         "latest_event_per_user": _ev.LATEST_EVENT_SQL,
+        "events_modal_type": _ev.MODAL_TYPE_SQL,
         "brand_revenue": _joins.BRAND_REVENUE_SQL,
+        "shipping_priority": _joins.SHIPPING_PRIORITY_SQL,
         "decontaminate": _text.DECONTAMINATE_SQL,
         "events_funnel": _ev.FUNNEL_SQL,
         "customer_spend_deciles": _rel.SPEND_DECILES_SQL,

@@ -1360,3 +1360,96 @@ def user_gaps(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         _user_gaps_block, batch_format="pyarrow", batch_size=None
     )
     return null_safe_sort(out, "user_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-group mode (modal event type per user)
+# ---------------------------------------------------------------------------
+
+MODAL_TYPE_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+  FROM counts
+)
+SELECT user_id, event_type AS modal_type, n
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def _modal_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (user, type) count partials — the combiner bounds the
+    exchange at distinct (user, type) pairs per batch, never events.
+    Arrow group_by keeps null KEYS as groups (SQL GROUP BY parity)."""
+    g = (
+        batch.select(["user_id", "event_type"])
+        .group_by(["user_id", "event_type"])
+        .aggregate([([], "count_all")])
+    )
+    return pa.table(
+        {
+            "user_id": g.column("user_id").cast(pa.int64()),
+            "event_type": g.column("event_type"),
+            "n": g.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+def _modal_block(block: pa.Table) -> pa.Table:
+    """Per co-located user run: fold the (user, type) partials, then
+    pick the modal type with the SQL twin's total tie-break
+    (n DESC, event_type ASC — nulls last, DuckDB's ASC default)."""
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "modal_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    # fold duplicate (user, type) partials from different batches
+    g = block.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+    uid = np.asarray(pc.fill_null(g.column("user_id").combine_chunks().dictionary_encode().indices, -1))
+    tcodes_arr = g.column("event_type").combine_chunks().dictionary_encode()
+    n_dict = len(tcodes_arr.dictionary)
+    tcode = np.asarray(pc.fill_null(tcodes_arr.indices, n_dict))  # null types sort LAST
+    # dictionary code order is insertion order, not lexicographic — remap
+    order = np.argsort(np.asarray(tcodes_arr.dictionary).astype(object), kind="stable")
+    rank_of = np.empty(n_dict + 1, dtype=np.int64)
+    rank_of[order] = np.arange(n_dict)
+    rank_of[n_dict] = n_dict
+    trank = rank_of[tcode]
+    n = np.asarray(g.column("n_sum"))
+    pick = np.lexsort((trank, -n, uid))
+    uid_sorted = uid[pick]
+    first = np.concatenate([[True], uid_sorted[1:] != uid_sorted[:-1]])
+    idx = pa.array(pick[first].astype(np.int64))
+    return pa.table(
+        {
+            "user_id": g.column("user_id").take(idx),
+            "modal_type": g.column("event_type").take(idx),
+            "n": g.column("n_sum").take(idx).cast(pa.int64()),
+        }
+    )
+
+
+def modal_event_type(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Deterministic per-group MODE: each user's most frequent event
+    type, ties broken lexicographically (the SQL twin's row_number
+    order), null users forming ONE group (SQL PARTITION BY semantics).
+    Per-batch (user, type) count partials bound the exchange; ONE sort
+    on the group key co-locates each user; the block kernel folds
+    partials and picks the winner vectorized."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    partials = ds.map_batches(_modal_partial, batch_format="pyarrow")
+    out = checked_sort(partials, "user_id").map_batches(
+        _modal_block, batch_format="pyarrow", batch_size=None
+    )
+    return null_safe_sort(out, "user_id") if sort else out

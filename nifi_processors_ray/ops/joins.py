@@ -599,6 +599,206 @@ def brand_revenue(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# multi-way (3-table) join: the TPC-H-Q3 shape
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-01-01"  # orders strictly before, shipments strictly after
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT l.l_orderkey AS o_orderkey,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       o.o_orderdate
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l.l_shipdate  > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, o.o_orderdate, o_orderkey
+LIMIT 10
+"""
+
+
+def _q3_cust_side(batch: pa.Table) -> pa.Table:
+    """Semi-join build side: DISTINCT keys of segment customers (the
+    predicate is pushed into the scan; c_custkey is a pk, but dedup
+    keeps the contract explicit)."""
+    keys = pc.unique(batch.column("c_custkey").cast(pa.int64()).combine_chunks())
+    m = len(keys)
+    return pa.table(
+        {
+            "key": keys,
+            "side": pa.array(np.zeros(m, dtype=np.int8)),
+            "o_orderkey": pa.nulls(m, pa.int64()),
+            "o_orderdate": pa.nulls(m, pa.timestamp("us")),
+        }
+    )
+
+
+def _q3_orders_side(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "key": batch.column("o_custkey").cast(pa.int64()),
+            "side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "o_orderdate": batch.column("o_orderdate"),
+        }
+    )
+
+
+def _semi_emit_block(block: pa.Table) -> pa.Table:
+    """Per co-located key run: if a build row (side 0) is present, emit
+    the run's probe rows' payload columns — a semi-join that KEEPS the
+    probe payload (unlike :func:`_exists_block`, which keeps the build
+    side).  Used as the first exchange of multi-way join chains."""
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
+    key = np.asarray(block.column("key"))
+    side = np.asarray(block.column("side"))
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    run_id = np.cumsum(new_run) - 1
+    has_build = np.zeros(run_id[-1] + 1, dtype=bool)
+    np.logical_or.at(has_build, run_id, side == 0)
+    keep = (side == 1) & has_build[run_id]
+    if not keep.any():
+        return empty
+    kept = block.filter(pa.array(keep))
+    return pa.table(
+        {"o_orderkey": kept.column("o_orderkey"), "o_orderdate": kept.column("o_orderdate")}
+    )
+
+
+def _q3_order_build_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("o_orderkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "o_orderdate": batch.column("o_orderdate"),
+            "cents": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q3_lineitem_side(batch: pa.Table) -> pa.Table:
+    """Probe side pre-aggregated per orderkey within the batch (the
+    shipdate predicate is pushed into the scan)."""
+    t = pa.table(
+        {
+            "key": batch.column("l_orderkey").cast(pa.int64()),
+            "cents": discounted_floored_cents(
+                batch.column("l_extendedprice"), batch.column("l_discount")
+            ),
+        }
+    )
+    g = t.group_by(["key"]).aggregate([("cents", "sum")])
+    m = g.num_rows
+    return pa.table(
+        {
+            "key": g.column("key"),
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "o_orderdate": pa.nulls(m, pa.timestamp("us")),
+            "cents": g.column("cents_sum"),
+        }
+    )
+
+
+def _q3_join_block(block: pa.Table) -> pa.Table:
+    """Inner join per run (unique build key): one output row per run
+    that has BOTH the build row and ≥1 probe partial, revenue = the
+    run's summed partials.  The run IS the GROUP BY (l_orderkey,
+    o_orderdate) group — orderdate is functionally dependent on the
+    unique orderkey — so no further aggregation exchange is needed."""
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "revenue_cents": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
+    key = np.asarray(block.column("key"))
+    side = np.asarray(block.column("side"))
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    has_build = side[starts] == 0
+    has_probe = run_len > has_build.astype(np.int64)  # any row beyond the build one
+    cents = np.asarray(pc.fill_null(block.column("cents"), 0).combine_chunks())
+    run_cents = np.add.reduceat(cents, starts)
+    keep = has_build & has_probe
+    if not keep.any():
+        return empty
+    idx = pa.array(starts[keep].astype(np.int64))
+    return pa.table(
+        {
+            "o_orderkey": pa.array(key[starts[keep]].astype(np.int64)),
+            "revenue_cents": pa.array(run_cents[keep].astype(np.int64)),
+            "o_orderdate": block.column("o_orderdate").take(idx),
+        }
+    )
+
+
+def shipping_priority(sf_dir: str, n_top: int = 10) -> ray.data.Dataset:
+    """Multi-way join (the TPC-H Q3 shape): segment customers ⋈ orders
+    ⋈ lineitem → top-``n_top`` open orders by outstanding revenue.
+
+    Two co-partitioned sort exchanges chain: (1) on ``custkey`` — the
+    segment-customer key stream semi-filters the date-filtered orders
+    (emitting only (orderkey, orderdate)); (2) on ``orderkey`` — the
+    surviving orders join the shipdate-filtered lineitem partials.  All
+    predicates are pushed into the parquet scans, every probe side ships
+    per-batch partials, and only ≤1 row per surviving order leaves the
+    second exchange — the final top-k sort sees orders, not lineitems.
+    Deterministic order: (revenue desc, orderdate asc, orderkey asc),
+    a total order because orderkey is unique.
+    """
+    import pyarrow.compute as _pc
+
+    sf = sf_dir.rstrip("/")
+    cut = pa.scalar(np.datetime64(Q3_CUTOFF, "us"), pa.timestamp("us"))
+    cust = read_parquet_clean(
+        f"{sf}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=_pc.field("c_mktsegment") == Q3_SEGMENT,
+    ).map_batches(_q3_cust_side, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=_pc.field("o_orderdate") < cut,
+    ).map_batches(_q3_orders_side, batch_format="pyarrow")
+    open_orders = checked_sort(cust.union(orders), "key").map_batches(
+        _semi_emit_block, batch_format="pyarrow", batch_size=None
+    )
+    build = open_orders.map_batches(_q3_order_build_side, batch_format="pyarrow")
+    items = read_parquet_clean(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=_pc.field("l_shipdate") > cut,
+    ).map_batches(_q3_lineitem_side, batch_format="pyarrow")
+    joined = checked_sort(build.union(items), "key").map_batches(
+        _q3_join_block, batch_format="pyarrow", batch_size=None
+    )
+    return joined.sort(
+        ["revenue_cents", "o_orderdate", "o_orderkey"], descending=[True, False, False]
+    ).limit(n_top)
+
+
+# ---------------------------------------------------------------------------
 # set operation: EXCEPT
 # ---------------------------------------------------------------------------
 

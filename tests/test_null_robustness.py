@@ -36,7 +36,8 @@ TARGETS = [
     "events_hourly_retention", "events_value_histogram",
     "events_type_transitions", "events_hourly_dense", "events_profile",
     "events_user_gaps", "events_type_pivot", "events_hopping_agg",
-    "events_funnel", "latest_event_per_user", "active_customer_ids",
+    "events_funnel", "latest_event_per_user", "events_modal_type",
+    "active_customer_ids",
     "inactive_customer_ids", "all_actor_ids", "customer_activity_full",
     "events_user_enrich", "events_asof_order", "customer_spend_deciles",
 ]

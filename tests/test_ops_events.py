@@ -376,3 +376,23 @@ def test_user_gaps_block_single_event_and_runs():
     assert out.column("n_events").to_pylist() == [3, 1]
     assert out.column("max_gap_us").to_pylist() == [30, 0]  # single event -> 0
     assert out.column("sum_gap_us").to_pylist() == [35, 0]
+
+
+def test_modal_block_tie_breaks_lexicographically():
+    """Equal counts → lexicographically smallest type wins (the SQL
+    twin's row_number order); null types lose every tie (NULLS LAST)."""
+    import pyarrow as pa
+    from nifi_processors_ray.ops.events import _modal_block
+
+    block = pa.table(
+        {
+            "user_id": pa.array([7, 7, 7, 8, 8, None], pa.int64()),
+            "event_type": pa.array(["view", "click", "click", None, "zzz", "purchase"]),
+            "n": pa.array([2, 1, 1, 3, 3, 5], pa.int64()),
+        }
+    )
+    out = _modal_block(block).to_pydict()
+    got = dict(zip(out["user_id"], zip(out["modal_type"], out["n"])))
+    assert got[7] == ("click", 2)  # click partials fold to 2, tying view → 'click' < 'view'
+    assert got[8] == ("zzz", 3)    # null type loses the tie to a real type
+    assert got[None] == ("purchase", 5)  # null users form ONE group
