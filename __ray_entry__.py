@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": _text.top_ngrams,
         # ReplaceText-style regex content transform
         "text_redact": _text.text_redact,
+        # per-doc repetition quality signals (dup words, top bigram)
+        "doc_repetition": _text.doc_repetition,
         # deduplication
         "exact_dedup": _dedup.exact_dedup,
         "minhash_dup_pairs": lambda sf: _dedup.minhash_dup_pairs(
@@ -360,8 +362,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": _rel.lineitem_pricing_summary,
         "events_asof_order": _rel.events_asof_order,
         "supplier_nation_rollup": _rel.supplier_nation_rollup,
-        # window function: cumulative sum per partition key
+        # window functions: cumulative sum, DENSE_RANK
         "orders_running_total": _rel.orders_running_total,
+        "part_price_rank": _rel.part_price_rank,
         # ROLLUP grouping sets + calendar bucketing
         "pricing_rollup": _rel.pricing_rollup,
         "orders_monthly_volume": _rel.orders_monthly_volume,
@@ -563,6 +566,8 @@ FROM _ch
         "dedup_clusters": _dedup.DEDUP_CLUSTERS_SQL,
         "top_ngrams": _text.TOP_NGRAMS_SQL,
         "text_redact": _text.TEXT_REDACT_SQL,
+        "doc_repetition": _text.DOC_REPETITION_SQL,
+        "part_price_rank": _rel.PART_PRICE_RANK_SQL,
         "text_stats": _text.TEXT_STATS_SQL,
         "token_counts": _text.TOKEN_COUNTS_SQL,
         "text_stats_jsonl": _text.TEXT_STATS_SQL,

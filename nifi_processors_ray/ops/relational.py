@@ -23,6 +23,7 @@ import ray
 import ray.data
 
 from ..sources.reader import read_parquet as read_parquet_clean
+from ..functions.debug import checked_sort, null_safe_sort
 from ..functions.money import floored_cents
 
 EVENTS_USER_ENRICH_SQL = """
@@ -800,3 +801,85 @@ def customer_spend_deciles(sf_dir: str) -> ray.data.Dataset:
 
     out = ordered.map_batches(assign, batch_format="pyarrow", batch_size=None)
     return out.sort("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# DENSE_RANK window function (rank family completion: row_number in
+# top_orders_per_cust, NTILE in customer_spend_deciles, dense_rank here)
+# ---------------------------------------------------------------------------
+
+PART_PRICE_RANK_SQL = """
+SELECT p_brand, p_partkey,
+       CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents,
+       CAST(DENSE_RANK() OVER (
+           PARTITION BY p_brand
+           ORDER BY CAST(FLOOR(p_retailprice * 100) AS BIGINT) DESC
+       ) AS BIGINT) AS price_rank
+FROM part
+ORDER BY p_brand, price_rank, p_partkey
+"""
+
+
+def _dense_rank_block(block: pa.Table) -> pa.Table:
+    """Dense rank within co-located brand runs: rank increments only on
+    a VALUE change (ties share a rank, no gaps) — one cumsum over the
+    change mask, rebased per run.  Block-local order (brand asc, price
+    desc, partkey asc) is established here; the exchange sorts on the
+    group key alone."""
+    empty = pa.table(
+        {
+            "p_brand": pa.array([], pa.string()),
+            "p_partkey": pa.array([], pa.int64()),
+            "price_cents": pa.array([], pa.int64()),
+            "price_rank": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by(
+        [("p_brand", "ascending"), ("price_cents", "descending"), ("p_partkey", "ascending")]
+    )
+    brand = np.asarray(
+        pc.fill_null(block.column("p_brand").combine_chunks().dictionary_encode().indices, -1)
+    )
+    price = np.asarray(block.column("price_cents"))
+    new_run = np.concatenate([[True], brand[1:] != brand[:-1]])
+    new_val = np.concatenate([[True], (price[1:] != price[:-1]) | new_run[1:]])
+    cum = np.cumsum(new_val)
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    rank = cum - np.repeat(cum[starts], run_len) + 1
+    return pa.table(
+        {
+            "p_brand": block.column("p_brand"),
+            "p_partkey": block.column("p_partkey"),
+            "price_cents": block.column("price_cents"),
+            "price_rank": pa.array(rank.astype(np.int64)),
+        }
+    )
+
+
+def part_price_rank(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """DENSE_RANK: parts ranked by retail price within brand, ties
+    sharing a rank with no gaps.  ONE sort exchange on the partition
+    key alone; the rank is a vectorized block-local cumsum over the
+    price-change mask — no window-function engine, no per-group Python."""
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_retailprice"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": b.column("p_brand"),
+                "p_partkey": b.column("p_partkey").cast(pa.int64()),
+                "price_cents": floored_cents(b.column("p_retailprice")),
+            }
+        )
+
+    out = checked_sort(ds.map_batches(project, batch_format="pyarrow"), "p_brand").map_batches(
+        _dense_rank_block, batch_format="pyarrow", batch_size=None
+    )
+    return null_safe_sort(out, ["p_brand", "price_rank", "p_partkey"]) if sort else out

@@ -548,3 +548,111 @@ def decontaminate(sf_dir: str) -> ray.data.Dataset:
         scan, batch_format="pyarrow"
     )
     return out.sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# per-document repetition metrics (Gopher/C4-style quality signals)
+# ---------------------------------------------------------------------------
+
+DOC_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, str_split(lower(coalesce(text, '')), ' ') AS t FROM documents
+),
+wx AS (SELECT doc_id, unnest(t) AS w FROM toks),
+dw AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words
+  FROM wx GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i)
+),
+bgc AS (SELECT doc_id, gram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, gram, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram) AS rn
+  FROM bgc
+)
+SELECT dw.doc_id, dw.n_words, dw.n_distinct_words,
+       CAST(dw.n_words - 1 AS BIGINT) AS n_bigrams,
+       t.gram AS top_bigram,
+       CAST(t.n AS BIGINT) AS top_bigram_n
+FROM dw LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc repetition signals, all Arrow/numpy: duplicate-word mass
+    (n_words vs n_distinct_words) and the most-repeated bigram — the
+    Gopher-style repetition filters a training-data pipeline gates on.
+    Document-local by definition, so the operator is a pure map: no
+    shuffle at any scale."""
+    nd = batch.num_rows
+    text = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+    values, offsets = _token_lists(text)
+    n_words = np.diff(offsets).astype(np.int64)
+    d_idx = np.repeat(np.arange(nd, dtype=np.int64), n_words)
+    # distinct words per doc: Arrow hash-distinct on (doc, word) pairs
+    pairs = pa.table({"d": pa.array(d_idx), "w": values}).group_by(["d", "w"]).aggregate([])
+    n_distinct = np.bincount(np.asarray(pairs.column("d")), minlength=nd).astype(np.int64)
+    # bigrams: adjacent-token join masked at doc boundaries
+    nv = len(values)
+    top_gram = pa.nulls(nd, pa.string())
+    top_n = np.full(nd, -1, dtype=np.int64)  # -1 = no bigrams → NULL
+    if nv >= 2:
+        grams = pc.binary_join_element_wise(values.slice(0, nv - 1), values.slice(1), " ")
+        valid = np.ones(nv - 1, dtype=bool)
+        starts = offsets[1:-1]
+        valid[starts - 1] = False
+        gd = d_idx[: nv - 1][valid]
+        gc = (
+            pa.table({"d": pa.array(gd), "g": grams.filter(pa.array(valid))})
+            .group_by(["d", "g"])
+            .aggregate([([], "count_all")])
+        )
+        gc = gc.sort_by(
+            [("d", "ascending"), ("count_all", "descending"), ("g", "ascending")]
+        )
+        dcol = np.asarray(gc.column("d"))
+        if len(dcol):
+            first = np.concatenate([[True], dcol[1:] != dcol[:-1]])
+            widx = np.nonzero(first)[0]
+            wins_d = dcol[widx]
+            top_n[wins_d] = np.asarray(gc.column("count_all"))[widx]
+            scatter = np.full(nd, -1, dtype=np.int64)
+            scatter[wins_d] = widx
+            has = scatter >= 0
+            taken = gc.column("g").take(pa.array(scatter[has]))
+            # scatter the winners into a full-length column (NULL elsewhere)
+            full = np.full(nd, None, dtype=object)
+            full[has] = np.asarray(taken).astype(object)
+            top_gram = pa.array(full, pa.string())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_words": pa.array(n_words),
+            "n_distinct_words": pa.array(n_distinct),
+            "n_bigrams": pa.array(np.maximum(n_words - 1, 0)),
+            "top_bigram": top_gram,
+            "top_bigram_n": pc.if_else(
+                pa.array(top_n >= 0), pa.array(top_n, pa.int64()), pa.nulls(nd, pa.int64())
+            ),
+        }
+    )
+
+
+def doc_repetition(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Per-document repetition profile: word counts, distinct-word
+    counts and the most-repeated bigram (count-desc, lexicographic
+    tie-break; NULL when the doc has no bigrams).  The duplicate-word
+    and repeated-n-gram fractions these integers define are the
+    standard repetition quality gates; exposing exact integer numerators
+    keeps the oracle hash float-free."""
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(_repetition_batch, batch_format="pyarrow")
+    return out.sort("doc_id") if sort else out

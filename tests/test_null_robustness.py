@@ -88,7 +88,7 @@ def test_null_injected_parity(ray_session, null_sf, null_con, name):
 DOC_TARGETS = [
     "text_stats", "lang_id", "token_counts", "exact_dedup", "corpus_clean",
     "token_pack", "decontaminate", "text_redact", "top_ngrams",
-    "training_mix", "jaccard_dup_pairs", "dedup_clusters",
+    "training_mix", "jaccard_dup_pairs", "dedup_clusters", "doc_repetition",
 ]
 
 
