@@ -165,6 +165,13 @@ def _q_cdc_epoch_changes(sf_dir: str):
     return _mor_engine(sf_dir).epoch_changes()
 
 
+def _q_cdc_point_lookup(sf_dir: str):
+    """Point lookup of the hot conversation ('c0', the skew key every
+    stream contains): manifest-level partition pruning reads only the
+    ≤salt_factor partitions the key can hash to."""
+    return _replayed_engine(sf_dir).read_conversation("c0")
+
+
 def _q_cdc_rejected(sf_dir: str):
     return _replayed_engine(sf_dir).rejected().sort("seq")
 
@@ -284,6 +291,16 @@ def _q_conversation_token_stats(sf_dir: str):
     return token_stats(eng.final_state())
 
 
+def _q_conversation_search(sf_dir: str):
+    """Keyword retrieval over the converged lake: conversations whose
+    turns mention any query term, with match counts — CDC state feeding
+    a vectorized RE2 scan (the third lake-analytics composition)."""
+    from nifi_processors_ray.pipelines.conversations import search
+
+    eng = _replayed_engine(sf_dir)
+    return search(eng.final_state())
+
+
 def _q_role_transitions(sf_dir: str):
     """Dialogue-structure profile of the converged lake: (prev role →
     next role) step counts in turn order across all conversations."""
@@ -291,6 +308,28 @@ def _q_role_transitions(sf_dir: str):
 
     eng = _replayed_engine(sf_dir)
     return role_transitions(eng.final_state())
+
+
+def _conversation_search_sql() -> str:
+    from nifi_processors_ray.pipelines.conversations import SEARCH_PATTERN
+
+    hits = f"len(regexp_extract_all(coalesce(text, ''), '{SEARCH_PATTERN}'))"
+    return f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+),
+state AS (SELECT conv_id, text FROM latest WHERE rn = 1 AND op <> 'D')
+SELECT conv_id,
+       CAST(SUM({hits}) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN {hits} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_turns_matched
+FROM state
+GROUP BY conv_id
+HAVING SUM({hits}) > 0
+ORDER BY conv_id
+"""
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -301,11 +340,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rejected": _q_cdc_rejected,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_epoch_changes": _q_cdc_epoch_changes,
+        "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         "cdc_lineage_totals": _q_cdc_lineage_totals,
         "cdc_conversations": _q_cdc_conversations,
         "conversation_token_stats": _q_conversation_token_stats,
         "conversation_role_transitions": _q_role_transitions,
+        "conversation_search": _q_conversation_search,
         # text analysis (documents table)
         "text_stats": _text.text_stats,
         "lang_id": _text.lang_id,
@@ -354,6 +395,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sample": _ev.sample_events,
         "events_stratified_sample": _ev.stratified_sample,
         "events_value_quantiles": _ev.value_quantiles,
+        "events_value_moments": _ev.value_moments,
+        "events_type_share": _ev.type_share,
+        "events_first_last": _ev.first_last_event,
         "events_hopping_agg": _ev.hopping_agg,
         # per-user event-type pivot (ML feature matrix)
         "events_type_pivot": _ev.type_pivot,
@@ -464,6 +508,17 @@ SELECT conv_id, turn_idx, role, text, tool, ts
 FROM latest WHERE rn = 1 AND op <> 'D'
 ORDER BY conv_id, turn_idx
 """,
+        "cdc_point_lookup": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D' AND conv_id = 'c0'
+ORDER BY turn_idx
+""",
         # Changefeed of the LAST epoch: its window starts at the previous
         # epoch's watermark E·(head // E) − 1 (engine window arithmetic).
         "cdc_epoch_changes": f"""
@@ -546,6 +601,7 @@ FROM steps WHERE prev_role IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2
 """,
+        "conversation_search": _conversation_search_sql(),
         # Conservation law: applied + rejected partitions the stream —
         # the SQL twin counts valid/invalid rows straight off the CTE.
         "cdc_lineage_totals": f"""
@@ -587,6 +643,9 @@ FROM _ch
         "events_sample": _ev.SAMPLE_SQL,
         "events_stratified_sample": _ev.STRATIFIED_SAMPLE_SQL,
         "events_value_quantiles": _ev.VALUE_QUANTILES_SQL,
+        "events_value_moments": _ev.VALUE_MOMENTS_SQL,
+        "events_type_share": _ev.TYPE_SHARE_SQL,
+        "events_first_last": _ev.FIRST_LAST_SQL,
         "events_hopping_agg": _ev.HOPPING_AGG_SQL,
         "events_type_pivot": _ev.TYPE_PIVOT_SQL,
         "events_user_enrich": _rel.EVENTS_USER_ENRICH_SQL,

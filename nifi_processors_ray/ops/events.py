@@ -1453,3 +1453,237 @@ def modal_event_type(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         _modal_block, batch_format="pyarrow", batch_size=None
     )
     return null_safe_sort(out, "user_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# exact second-moment aggregates (variance/stddev numerators)
+# ---------------------------------------------------------------------------
+
+VALUE_MOMENTS_SQL = """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)
+              * CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents_sq
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _moments_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (type → n, Σcents, Σcents²) partials: the mergeable
+    sufficient statistics for mean/variance/stddev, kept in exact int64
+    (cents² sums overflow int64 only past ~9.2e18 — i.e. 10^6 rows of
+    10^6-dollar values per GROUP; document-scale safe).  Null values are
+    excluded from all three (COUNT(value)/SUM skip nulls in SQL); null
+    TYPES form their own group (Arrow group_by keeps null keys)."""
+    cents = _cents(batch.column("value"))
+    t = pa.table(
+        {
+            "event_type": batch.column("event_type"),
+            "cents": cents,
+            "cents_sq": pc.multiply(cents, cents),
+        }
+    )
+    g = t.group_by(["event_type"]).aggregate(
+        [("cents", "count"), ("cents", "sum"), ("cents_sq", "sum")]
+    )
+    return pa.table(
+        {
+            "event_type": g.column("event_type"),
+            "n": g.column("cents_count").cast(pa.int64()),
+            "sum_cents": g.column("cents_sum"),
+            "sum_cents_sq": g.column("cents_sq_sum"),
+        }
+    )
+
+
+def value_moments(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Statistical aggregate: exact (count, sum, sum-of-squares) of
+    floored cents per event type — the sufficient statistics from which
+    mean/variance/stddev derive, exposed as integers so the oracle hash
+    cannot drift on float summation order.  Per-batch partials bound the
+    exchange at (types × blocks) rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["event_type", "value"])
+    partials = ds.map_batches(_moments_partial, batch_format="pyarrow")
+    out = null_safe_groupby_agg(
+        partials,
+        "event_type",
+        Sum("n", alias_name="n"),
+        Sum("sum_cents", alias_name="sum_cents"),
+        Sum("sum_cents_sq", alias_name="sum_cents_sq"),
+        out_types={"n": pa.int64(), "sum_cents": pa.int64(), "sum_cents_sq": pa.int64()},
+    )
+    return null_safe_sort(out, "event_type") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# percent-of-total (window SUM() OVER () ratio), exact ppm integers
+# ---------------------------------------------------------------------------
+
+TYPE_SHARE_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(1000000 * n // SUM(n) OVER () AS BIGINT) AS share_ppm
+FROM c
+ORDER BY event_type
+"""
+
+
+def type_share(sf_dir: str):
+    """Percent-of-total: each event type's share of all events in exact
+    parts-per-million (floored — integer-exact, so the oracle hash can
+    never drift).  The distributed part is the count aggregation
+    (per-batch partials → one tiny groupby); the whole-table window
+    ratio then runs over the ≤|types|-row RESULT — an O(groups) driver
+    fold, same as the ROLLUP/CUBE marginals, never O(rows)."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"event_type": g.column("event_type"), "n": g.column("count_all").cast(pa.int64())}
+        )
+
+    agg = null_safe_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "event_type",
+        Sum("n", alias_name="n"),
+        out_types={"n": pa.int64()},
+    )
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    n = np.asarray(t.column("n"), dtype=np.int64)
+    total = int(n.sum())
+    share = (1_000_000 * n) // total if total else np.zeros_like(n)
+    out = pa.table(
+        {
+            "event_type": t.column("event_type").cast(pa.string()),
+            "n": pa.array(n),
+            "share_ppm": pa.array(share.astype(np.int64)),
+        }
+    )
+    return out.sort_by([("event_type", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# first_value / last_value frame endpoints per partition key
+# ---------------------------------------------------------------------------
+
+FIRST_LAST_SQL = """
+WITH w AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT a.user_id,
+       a.event_type AS first_type, a.ts AS first_ts,
+       d.event_type AS last_type,  d.ts AS last_ts,
+       CAST(a.n AS BIGINT) AS n_events
+FROM (SELECT * FROM w WHERE rn_a = 1) a
+JOIN (SELECT * FROM w WHERE rn_d = 1) d USING (user_id)
+ORDER BY a.user_id
+"""
+
+
+def _first_last_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: each user's LOCAL first and last event rows
+    (two candidate rows per user per batch cross the exchange, plus the
+    local count riding on the first row).  Null users are excluded —
+    the twin's JOIN USING(user_id) can never match a null key."""
+    batch = batch.filter(pc.is_valid(batch.column("user_id")))
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "event_id": pa.array([], pa.int64()),
+                "n_contrib": pa.array([], pa.int64()),
+            }
+        )
+    b = batch.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    uid = np.asarray(b.column("user_id"))
+    m = len(uid)
+    first = np.concatenate([[True], uid[1:] != uid[:-1]])
+    last = np.concatenate([first[1:], [True]])
+    starts = np.nonzero(first)[0]
+    counts = np.diff(np.concatenate([starts, [m]]))
+    n_contrib = np.zeros(m, dtype=np.int64)
+    n_contrib[starts] = counts  # count rides the first candidate only
+    keep = first | last
+    out = b.select(["user_id", "event_type", "ts", "event_id"]).filter(pa.array(keep))
+    return out.append_column("n_contrib", pa.array(n_contrib[keep]))
+
+
+def _first_last_block(block: pa.Table) -> pa.Table:
+    """Per co-located user run: global first = min (ts, event_id)
+    candidate, global last = max, n = summed contributions."""
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "first_type": pa.array([], pa.string()),
+            "first_ts": pa.array([], pa.timestamp("us")),
+            "last_type": pa.array([], pa.string()),
+            "last_ts": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    b = block.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    uid = np.asarray(b.column("user_id"))
+    first = np.concatenate([[True], uid[1:] != uid[:-1]])
+    last = np.concatenate([first[1:], [True]])
+    starts = np.nonzero(first)[0]
+    ends = np.nonzero(last)[0]
+    contrib = np.asarray(b.column("n_contrib"))
+    n_events = np.add.reduceat(contrib, starts)
+    fi = pa.array(starts.astype(np.int64))
+    li = pa.array(ends.astype(np.int64))
+    return pa.table(
+        {
+            "user_id": pa.array(uid[starts].astype(np.int64)),
+            "first_type": b.column("event_type").take(fi),
+            "first_ts": b.column("ts").take(fi),
+            "last_type": b.column("event_type").take(li),
+            "last_ts": b.column("ts").take(li),
+            "n_events": pa.array(n_events.astype(np.int64)),
+        }
+    )
+
+
+def first_last_event(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """first_value/last_value frame endpoints: each user's first and
+    last event (by ts, event_id — a total order) plus the partition
+    count, in ONE pass.  Per-batch combiner ships ≤2 candidate rows per
+    user per batch; one sort on the group key; block-local endpoint
+    pick.  Null users excluded (the twin's JOIN cannot match them)."""
+    ds = _events(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "event_type": b.column("event_type"),
+                "ts": b.column("ts"),
+                "event_id": b.column("event_id").cast(pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(project, batch_format="pyarrow").map_batches(
+        _first_last_partial, batch_format="pyarrow"
+    )
+    out = checked_sort(partials, "user_id").map_batches(
+        _first_last_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("user_id") if sort else out

@@ -162,3 +162,55 @@ def role_transitions(transcripts: ray.data.Dataset) -> ray.data.Dataset:
         out_types={"n": pa.int64()},
     )
     return null_safe_sort(agg, ["prev_role", "next_role"])
+
+
+# ---------------------------------------------------------------------------
+# lake analytics: keyword search over the converged state
+# ---------------------------------------------------------------------------
+
+# Query terms as one RE2 alternation — compiled ONCE in Arrow's C++
+# kernel, never per batch or per row.  The synthetic transcripts embed
+# the originating event type in each turn's text, so these terms hit.
+SEARCH_PATTERN = "click|purchase"
+
+
+def search_block(batch: pa.Table) -> pa.Table:
+    """Per-batch (conv_id → match count, matched-turn count) partials
+    for the keyword search — one vectorized RE2 count per batch."""
+    text = pc.fill_null(batch.column("text"), "")
+    hits = pc.count_substring_regex(text, SEARCH_PATTERN).cast(pa.int64())
+    t = pa.table(
+        {
+            "conv_id": batch.column("conv_id"),
+            "hits": hits,
+            "turn_hit": pc.greater(hits, 0).cast(pa.int64()),
+        }
+    )
+    g = t.group_by(["conv_id"]).aggregate([("hits", "sum"), ("turn_hit", "sum")])
+    return pa.table(
+        {
+            "conv_id": g.column("conv_id"),
+            "n_hits": g.column("hits_sum"),
+            "n_turns_matched": g.column("turn_hit_sum"),
+        }
+    )
+
+
+def search(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Keyword search over the CONVERGED lake: conversations mentioning
+    any query term, with total match and matched-turn counts — the
+    retrieval composition (CDC replay feeding a text scan).  Per-batch
+    regex-count partials bound the exchange by distinct conversations;
+    non-matching conversations are dropped AFTER the fold (a HAVING,
+    not a scan filter, so partial sums stay correct)."""
+    from ray.data.aggregate import Sum
+
+    agg = (
+        transcripts.map_batches(search_block, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_hits", alias_name="n_hits"),
+            Sum("n_turns_matched", alias_name="n_turns_matched"),
+        )
+    )
+    return agg.filter(expr="n_hits > 0").sort("conv_id")

@@ -287,6 +287,89 @@ class CdcEngine:
             partitions_touched=sum(1 for r in rows if r["n_applied"] > 0),
         )
 
+    def bootstrap(self, snapshot_paths, as_of_seq: int) -> EpochResult:
+        """Two-phase ingest, phase one: load an initial SNAPSHOT of the
+        table (plain transcript rows, no envelope) as the lake's first
+        epoch, then tail the change log from ``as_of_seq`` — the
+        standard bulk-load-then-CDC bootstrap (a fresh consumer can't
+        afford to replay a years-long log from TRIM_HORIZON).
+
+        The snapshot flows through the SAME validate → salted partition
+        → merge → 2PC pipeline as change batches (wrapped as op='I'
+        events at ``seq = as_of_seq``), so every invariant — rejected
+        routing, schema unification, exactly-once commit — holds for
+        the bulk phase too.  Later tail events (seq > as_of_seq) win
+        LWW over snapshot rows by the ordinary seq rule.  Only legal on
+        an empty lake; crash-safe like any epoch (no manifest → the
+        bootstrap never happened; rerun is idempotent).
+        """
+        with self.store.writer_lock():
+            man = self.current_manifest()
+            if man.epoch != 0 or any(man.files.values()):
+                raise RuntimeError(
+                    "bootstrap requires an empty lake (no committed epochs); "
+                    f"this lake is at epoch {man.epoch}"
+                )
+            if man.min_watermark >= as_of_seq:
+                raise RuntimeError(
+                    "bootstrap snapshot seq is behind the lake's start position "
+                    f"({as_of_seq} <= watermark {man.min_watermark}); a LATEST-"
+                    "positioned lake cannot be bootstrapped from an older snapshot"
+                )
+            ds = ray.data.read_parquet(snapshot_paths)
+
+            import numpy as np
+
+            def to_changelog(b: pa.Table) -> pa.Table:
+                n = b.num_rows
+                b = b.append_column("seq", pa.array(np.full(n, as_of_seq), pa.int64()))
+                b = b.append_column("op", pa.repeat(pa.scalar("I", pa.string()), n))
+                return b.append_column(
+                    "batch_id", pa.repeat(pa.scalar("bootstrap", pa.string()), n)
+                )
+
+            P, S = self.cfg.num_partitions, self.cfg.salt_factor
+            ds = ds.map_batches(to_changelog, batch_format="pyarrow")
+            ds = ds.map_batches(
+                validate_batch, batch_format="pyarrow", batch_size=self.cfg.batch_size
+            )
+            ds = ds.map_batches(
+                add_partition_column,
+                batch_format="pyarrow",
+                fn_kwargs={"num_partitions": P, "salt_factor": S},
+            )
+            manifest_ref = ray.put(
+                {"watermarks": man.watermarks, "files": man.files, "rows": man.rows}
+            )
+            fn_kwargs = {
+                "lake_dir": self.cfg.lake_dir,
+                "epoch": 1,
+                "manifest_ref": manifest_ref,
+                "mode": self.cfg.merge_mode,
+                "compact_threshold": self.cfg.compact_threshold,
+                "policy": self.cfg.merge_policy,
+                "max_attempts": self.cfg.max_attempts,
+                "target_rows_per_file": self.cfg.target_rows_per_file,
+                "staging_dir": self.cfg.staging_dir,
+            }
+            rows = (
+                ds.groupby(PARTITION_COL)
+                .map_groups(apply_merge_group, batch_format="pyarrow", fn_kwargs=fn_kwargs)
+                .take_all()
+            )
+            # the commit pins every watermark to as_of_seq: the tail
+            # resumes at (as_of_seq, head] — events the snapshot already
+            # reflects are never re-applied
+            self._commit(man, 1, as_of_seq, rows)
+            return EpochResult(
+                epoch=1,
+                seq_lo=as_of_seq,
+                seq_hi=as_of_seq,
+                n_applied=sum(r["n_applied"] for r in rows),
+                n_rejected=sum(r["n_rejected"] for r in rows),
+                partitions_touched=sum(1 for r in rows if r["n_applied"] > 0),
+            )
+
     def replay(self, max_epochs: int | None = None) -> list[EpochResult]:
         """Replay until caught up with the log head (or max_epochs)."""
         results = []
@@ -454,6 +537,43 @@ class CdcEngine:
             ds = ds.sort(["conv_id", "turn_idx"])
         return ds
 
+    def lookup_partitions(self, conv_id: str) -> list[int]:
+        """The ≤``salt_factor`` partitions ``conv_id``'s keys can hash
+        to — partition placement is a pure function of the key
+        (``stages/partition.py``), so a reader can prune everything
+        else without consulting any secondary index."""
+        from ..functions.hashing import hash_strings_u64
+
+        h = int(hash_strings_u64(pa.array([conv_id], pa.string()))[0])
+        P, S = self.cfg.num_partitions, max(1, self.cfg.salt_factor)
+        return sorted({(h + s) % P for s in range(min(S, P))})
+
+    def read_conversation(self, conv_id: str) -> ray.data.Dataset:
+        """Point lookup: ONE conversation in turn order, reading only
+        the partitions its keys can hash to (manifest-level pruning —
+        the salted-hash layout IS the lake's index).  At ``P=16, S=4``
+        this touches ≤1/4 of the lake's files regardless of lake size;
+        the conversation's salted sub-shards re-merge via the final
+        turn-order sort (the documented read-time re-merge)."""
+        man = self.store.latest()
+        parts = set(self.lookup_partitions(conv_id))
+        items = []
+        if man:
+            for p, fs in sorted(man.files.items()):
+                if p in parts and fs:
+                    items.append({"paths": [os.path.join(self.cfg.lake_dir, f) for f in fs]})
+        if not items:
+            return ray.data.from_arrow(LAKE_SCHEMA.empty_table().select(TRANSCRIPT_COLS))
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        ds = ds.map_batches(
+            _resolve_partition,
+            batch_format="pyarrow",
+            batch_size=None,
+            fn_kwargs={"policy": self.cfg.merge_policy},
+        )
+        ds = ds.filter(expr=f"conv_id == {conv_id!r}")
+        return ds.sort("turn_idx")
+
     def changes_between(self, lo: int, hi: int) -> ray.data.Dataset:
         """Changefeed: the NET change per (conv_id, turn_idx) in the seq
         window ``(lo, hi]`` — each key's latest VALID event, deletes
@@ -556,6 +676,14 @@ class CdcEngine:
         )
         self.store.commit(new_man)
         return new_man
+
+    def expire_snapshots(self, keep_last: int) -> int:
+        """Bound manifest history: keep only the newest ``keep_last``
+        snapshots (the current one always survives).  Expired epochs
+        stop being time-travelable; data-file reclamation stays
+        vacuum's job.  Together (expire → vacuum) they bound BOTH
+        metadata and storage on a long-running stream."""
+        return self.store.expire(keep_last)
 
     def vacuum(self) -> int:
         """Delete files no committed manifest will ever reference again.

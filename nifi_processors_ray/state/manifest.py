@@ -126,6 +126,33 @@ class ManifestStore:
                 out.append(int(f[len("manifest-") : -len(".json")]))
         return sorted(out)
 
+    def expire(self, keep_last: int) -> int:
+        """Delete manifest snapshots older than the newest ``keep_last``.
+
+        Bounds metadata growth on a long stream (one snapshot per epoch
+        forever otherwise) — the Iceberg ``expire_snapshots`` analog.
+        The CURRENT pointer's target is always kept regardless.  Expired
+        epochs simply stop being time-travelable (``at_epoch`` → None);
+        data files are untouched (vacuum owns those).  Returns the
+        number of snapshots deleted.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be ≥ 1")
+        epochs = self.epochs()
+        cur = self.latest()
+        keep = set(epochs[-keep_last:])
+        if cur is not None:
+            keep.add(cur.epoch)
+        deleted = 0
+        for e in epochs:
+            if e in keep:
+                continue
+            os.remove(os.path.join(self.dir, f"manifest-{e:010d}.json"))
+            deleted += 1
+        if deleted:
+            self._fsync_dir()
+        return deleted
+
     def latest(self) -> Manifest | None:
         cur = os.path.join(self.dir, "CURRENT")
         if not os.path.exists(cur):

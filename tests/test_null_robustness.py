@@ -37,6 +37,7 @@ TARGETS = [
     "events_type_transitions", "events_hourly_dense", "events_profile",
     "events_user_gaps", "events_type_pivot", "events_hopping_agg",
     "events_funnel", "latest_event_per_user", "events_modal_type",
+    "events_value_moments", "events_type_share", "events_first_last",
     "active_customer_ids",
     "inactive_customer_ids", "all_actor_ids", "customer_activity_full",
     "events_user_enrich", "events_asof_order", "customer_spend_deciles",

@@ -150,6 +150,25 @@ def test_applying_feed_windows_reproduces_state(engine):
         assert got.equals(want), f"feed fold diverged at epoch {epoch}"
 
 
+def test_point_lookup_prunes_partitions_and_matches_full_scan(engine):
+    """read_conversation touches only the ≤salt_factor partitions the
+    key can hash to, and returns exactly the full scan's rows for that
+    conversation in turn order."""
+    eng, _ = engine
+    parts = eng.lookup_partitions("c0")
+    assert 1 <= len(parts) <= eng.cfg.salt_factor < eng.cfg.num_partitions
+    got = eng.read_conversation("c0").to_pandas().reset_index(drop=True)
+    full = eng.final_state(sort=True).to_pandas()
+    want = full[full["conv_id"] == "c0"].reset_index(drop=True)
+    assert got.equals(want)
+    assert len(got) > 0  # 'c0' is the hot conversation: always present
+
+
+def test_point_lookup_missing_conversation_is_empty(engine):
+    eng, _ = engine
+    assert eng.read_conversation("no-such-conv").count() == 0
+
+
 def test_vacuum_invalidates_old_snapshots_loudly(engine):
     eng, _ = engine
     # COW/MOR folds leave superseded files around until vacuum; after
@@ -161,3 +180,32 @@ def test_vacuum_invalidates_old_snapshots_loudly(engine):
     with pytest.raises(RuntimeError, match="no longer time-travelable"):
         for epoch in (1, 2, 3):
             eng.state_at(epoch)
+
+
+def test_expire_snapshots_bounds_manifest_history(engine):
+    """expire keeps the newest K snapshots (current always included);
+    expired epochs stop being addressable.  Runs after the vacuum test —
+    both mutate the shared lake in compatible order."""
+    eng, _ = engine
+    before = eng.store.epochs()
+    assert len(before) >= 4
+    deleted = eng.expire_snapshots(keep_last=2)
+    assert deleted == len(before) - 2
+    after = eng.store.epochs()
+    assert after == before[-2:]
+    # the current snapshot still resolves and still reads
+    assert eng.store.latest().epoch == after[-1]
+    assert eng.final_state().count() > 0
+    # expired epochs are no longer addressable
+    with pytest.raises(ValueError, match="no manifest committed"):
+        eng.state_at(before[0])
+
+
+def test_expire_keep_last_validates():
+    from nifi_processors_ray.state.manifest import ManifestStore
+    import tempfile
+
+    store = ManifestStore(tempfile.mkdtemp(prefix="npr_man_"))
+    with pytest.raises(ValueError):
+        store.expire(0)
+    assert store.expire(3) == 0  # empty store: nothing to delete
