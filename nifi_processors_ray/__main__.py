@@ -132,6 +132,41 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_bootstrap(args) -> int:
+    """Bulk-load an initial table snapshot, then (optionally) tail."""
+    if args.snapshot is None or args.as_of_seq is None:
+        print("bootstrap requires --snapshot and --as-of-seq", file=sys.stderr)
+        return 2
+    _ensure_ray()
+    eng = _engine(args)
+    res = eng.bootstrap(args.snapshot, args.as_of_seq)
+    out = {"epoch": res.epoch, "applied": res.n_applied, "rejected": res.n_rejected}
+    if args.then_replay:
+        tail = eng.replay(max_epochs=args.max_epochs)
+        out["tail_epochs"] = len(tail)
+        out["tail_applied"] = sum(r.n_applied for r in tail)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_expire(args) -> int:
+    eng = _engine(args)
+    print(json.dumps({"expired": eng.expire_snapshots(args.keep_last)}))
+    return 0
+
+
+def cmd_changes(args) -> int:
+    """Emit one epoch's net-change feed as JSON lines (the CDC-consumer
+    surface: downstreams follow the lake without rereading state)."""
+    _ensure_ray()
+    eng = _engine(args)
+    feed = eng.epoch_changes(args.epoch)
+    for row in feed.iter_rows():
+        row["ts"] = str(row["ts"])
+        print(json.dumps(row))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="nifi_processors_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -140,6 +175,9 @@ def main(argv: list[str] | None = None) -> int:
         ("status", cmd_status),
         ("metrics", cmd_metrics),
         ("vacuum", cmd_vacuum),
+        ("bootstrap", cmd_bootstrap),
+        ("expire", cmd_expire),
+        ("changes", cmd_changes),
     ):
         p = sub.add_parser(name)
         p.add_argument("--lake", required=True)
@@ -161,6 +199,13 @@ def main(argv: list[str] | None = None) -> int:
             choices=["none", "summary", "detailed"],
             help="metrics granularity (the reference's NONE/SUMMARY/DETAILED knob)",
         )
+        p.add_argument("--snapshot", default=None, help="bootstrap: snapshot parquet path")
+        p.add_argument("--as-of-seq", type=int, default=None, help="bootstrap: snapshot seq")
+        p.add_argument(
+            "--then-replay", action="store_true", help="bootstrap: tail the log afterwards"
+        )
+        p.add_argument("--keep-last", type=int, default=10, help="expire: snapshots to keep")
+        p.add_argument("--epoch", type=int, default=None, help="changes: epoch (default latest)")
         p.set_defaults(fn=fn)
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -120,3 +120,56 @@ def test_cli_metrics_levels(tmp_path):
     detailed = metrics("detailed")
     assert len(detailed) >= 1 and {"partition", "applied"} <= set(detailed[0])
     assert sum(row["applied"] for row in detailed) == summary[0]["applied"]
+
+
+def test_cli_bootstrap_expire_changes(tmp_path):
+    """The round-3 lifecycle subcommands: bootstrap (snapshot + tail),
+    expire (manifest history bound) and changes (epoch feed as JSONL)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from nifi_processors_ray.oracle import apply_changelog
+    from nifi_processors_ray.schema import CHANGELOG_SCHEMA, align_to_schema
+
+    log = str(tmp_path / "log")
+    paths = write_generated_changelog(log, 1500, files=2, n_convs=20)
+    full = pa.concat_tables(
+        align_to_schema(pq.read_table(p), CHANGELOG_SCHEMA) for p in paths
+    )
+    snap = apply_changelog(full.filter(pc.less_equal(full.column("seq"), 699)))
+    snap_path = str(tmp_path / "snap.parquet")
+    pq.write_table(snap, snap_path)
+    lake = str(tmp_path / "lake")
+
+    def run(cmd, *extra):
+        argv = [
+            sys.executable, "-m", "nifi_processors_ray", cmd,
+            "--lake", lake, "--log", log, "--partitions", "4",
+            "--epoch-events", "300", *extra,
+        ]
+        r = subprocess.run(argv, capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-1500:]
+        return r.stdout.strip().splitlines()
+
+    out = json.loads(run(
+        "bootstrap", "--snapshot", snap_path, "--as-of-seq", "699", "--then-replay"
+    )[-1])
+    assert out["epoch"] == 1 and out["applied"] > 0 and out["tail_epochs"] >= 1
+
+    # the converged CLI lake equals the full-replay oracle
+    from nifi_processors_ray.config import EngineConfig
+    from nifi_processors_ray.pipelines.replay import CdcEngine
+
+    eng = CdcEngine(EngineConfig(
+        lake_dir=lake, changelog_paths=(log,), num_partitions=4, epoch_events=300
+    ))
+    got = eng.final_state(sort=True).to_pandas().reset_index(drop=True)
+    want = apply_changelog(full).to_pandas().reset_index(drop=True)
+    assert got.equals(want)
+
+    feed_lines = [json.loads(l) for l in run("changes") if l.startswith("{")]
+    assert feed_lines and all("conv_id" in r and "op" in r for r in feed_lines)
+
+    before = len(eng.store.epochs())
+    out = json.loads(run("expire", "--keep-last", "2")[-1])
+    assert out["expired"] == max(0, before - 2)

@@ -1,0 +1,77 @@
+"""Incremental view maintenance == full recompute, epoch by epoch."""
+
+import pandas as pd
+import pytest
+
+from nifi_processors_ray.pipelines.conversations import token_stats
+from nifi_processors_ray.pipelines.views import ConvStatsView
+from nifi_processors_ray.synth import write_changelog_from_events
+
+from test_replay_e2e import SF_DIR, make_engine
+
+
+def _full(engine, epoch) -> pd.DataFrame:
+    return (
+        token_stats(engine.state_at(epoch))
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_incremental_view_tracks_every_epoch(tmp_path):
+    log = str(tmp_path / "log")
+    write_changelog_from_events(SF_DIR, log, files=3)
+    eng = make_engine(str(tmp_path / "lake"), log, epoch_events=300)
+    view = ConvStatsView(str(tmp_path / "view"))
+    n_epochs = len(eng.replay())
+    assert n_epochs == 4
+    for epoch in range(1, n_epochs + 1):
+        got = (
+            view.refresh(eng, epoch)
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        want = _full(eng, epoch)
+        assert got.equals(want), f"incremental view diverged at epoch {epoch}"
+    assert view.last_refreshed_epoch() == n_epochs
+
+
+def test_refresh_to_head_and_idempotent_noop(tmp_path):
+    log = str(tmp_path / "log")
+    write_changelog_from_events(SF_DIR, log, files=3)
+    eng = make_engine(str(tmp_path / "lake"), log, epoch_events=400)
+    eng.replay()
+    view = ConvStatsView(str(tmp_path / "view"))
+    got = view.refresh_to_head(eng).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    want = (
+        token_stats(eng.final_state())
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # caught up: another refresh is a no-op returning the same view
+    again = view.refresh_to_head(eng).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert again.equals(want)
+
+
+def test_crash_between_commits_keeps_previous_view(tmp_path):
+    """A refresh that dies before the CURRENT swap leaves the prior
+    consistent view (the manifest pattern at view scale)."""
+    log = str(tmp_path / "log")
+    write_changelog_from_events(SF_DIR, log, files=3)
+    eng = make_engine(str(tmp_path / "lake"), log, epoch_events=500)
+    eng.replay()
+    view = ConvStatsView(str(tmp_path / "view"))
+    t1 = view.refresh(eng, 1)
+    # simulate a crash mid-refresh(2): snapshot written, CURRENT not swapped
+    import pyarrow.parquet as pq
+    import os
+
+    pq.write_table(t1, os.path.join(view.dir, "view-2.parquet"))  # orphan
+    assert view.last_refreshed_epoch() == 1  # CURRENT still names epoch 1
+    # the retried refresh overwrites the orphan and commits
+    view.refresh(eng, 2)
+    assert view.last_refreshed_epoch() == 2
