@@ -162,7 +162,9 @@ def cmd_changes(args) -> int:
     eng = _engine(args)
     feed = eng.epoch_changes(args.epoch)
     for row in feed.iter_rows():
-        row["ts"] = str(row["ts"])
+        # JSON null for a delete row's null ts — str(None) would emit
+        # the bogus timestamp string "None"
+        row["ts"] = None if row["ts"] is None else str(row["ts"])
         print(json.dumps(row))
     return 0
 

@@ -1594,11 +1594,41 @@ ORDER BY a.user_id
 """
 
 
+_I64_MAX = np.int64(2**63 - 1)
+_I64_MIN = np.int64(-(2**63))
+
+
+def _first_last_orders(batch: pa.Table):
+    """The two total orders the endpoints are defined by, matching the
+    twin's DuckDB default NULLS LAST in BOTH directions:
+
+    - FIRST = min under (ts with nulls→+inf, event_id): a null ts is
+      picked only when the user has no non-null ts (then min event_id);
+    - LAST  = max under (ts with nulls→−inf, event_id): a null ts can
+      never be the latest unless every ts is null (then max event_id).
+
+    A naive (ts asc nulls-at-end) sort picks a null-ts row as 'last',
+    diverging from the SQL twin — the round-3 review finding."""
+    uid = np.asarray(batch.column("user_id"))
+    eid = np.asarray(batch.column("event_id"))
+    ts = batch.column("ts").cast(pa.int64()).combine_chunks()
+    t_for_first = np.asarray(pc.fill_null(ts, pa.scalar(int(_I64_MAX), pa.int64())))
+    t_for_last = np.asarray(pc.fill_null(ts, pa.scalar(int(_I64_MIN), pa.int64())))
+    order_first = np.lexsort((eid, t_for_first, uid))
+    order_last = np.lexsort((eid, t_for_last, uid))
+    return uid, order_first, order_last
+
+
+def _run_starts(uid_sorted: np.ndarray) -> np.ndarray:
+    return np.nonzero(np.concatenate([[True], uid_sorted[1:] != uid_sorted[:-1]]))[0]
+
+
 def _first_last_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: each user's LOCAL first and last event rows
-    (two candidate rows per user per batch cross the exchange, plus the
-    local count riding on the first row).  Null users are excluded —
-    the twin's JOIN USING(user_id) can never match a null key."""
+    """Per-batch combiner: each user's LOCAL first and last candidate
+    rows under the two orders (≤2 rows per user per batch cross the
+    exchange, plus the local count riding on the first candidate).
+    Null users are excluded — the twin's JOIN USING(user_id) can never
+    match a null key."""
     batch = batch.filter(pc.is_valid(batch.column("user_id")))
     if batch.num_rows == 0:
         return pa.table(
@@ -1610,23 +1640,26 @@ def _first_last_partial(batch: pa.Table) -> pa.Table:
                 "n_contrib": pa.array([], pa.int64()),
             }
         )
-    b = batch.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
-    uid = np.asarray(b.column("user_id"))
+    uid, order_first, order_last = _first_last_orders(batch)
     m = len(uid)
-    first = np.concatenate([[True], uid[1:] != uid[:-1]])
-    last = np.concatenate([first[1:], [True]])
-    starts = np.nonzero(first)[0]
-    counts = np.diff(np.concatenate([starts, [m]]))
+    sf = _run_starts(uid[order_first])
+    first_idx = order_first[sf]
+    ends = np.concatenate([sf[1:], [m]]) - 1
+    last_idx = order_last[ends]
+    counts = np.diff(np.concatenate([sf, [m]]))
     n_contrib = np.zeros(m, dtype=np.int64)
-    n_contrib[starts] = counts  # count rides the first candidate only
-    keep = first | last
-    out = b.select(["user_id", "event_type", "ts", "event_id"]).filter(pa.array(keep))
+    n_contrib[first_idx] = counts  # count rides the first candidate only
+    keep = np.zeros(m, dtype=bool)
+    keep[first_idx] = True
+    keep[last_idx] = True
+    out = batch.select(["user_id", "event_type", "ts", "event_id"]).filter(pa.array(keep))
     return out.append_column("n_contrib", pa.array(n_contrib[keep]))
 
 
 def _first_last_block(block: pa.Table) -> pa.Table:
-    """Per co-located user run: global first = min (ts, event_id)
-    candidate, global last = max, n = summed contributions."""
+    """Per co-located user run: the global endpoints under the same two
+    orders (totality makes min/max over per-batch candidates exact),
+    n = summed contributions."""
     empty = pa.table(
         {
             "user_id": pa.array([], pa.int64()),
@@ -1640,23 +1673,22 @@ def _first_last_block(block: pa.Table) -> pa.Table:
     n = block.num_rows
     if n == 0:
         return empty
-    b = block.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
-    uid = np.asarray(b.column("user_id"))
-    first = np.concatenate([[True], uid[1:] != uid[:-1]])
-    last = np.concatenate([first[1:], [True]])
-    starts = np.nonzero(first)[0]
-    ends = np.nonzero(last)[0]
-    contrib = np.asarray(b.column("n_contrib"))
-    n_events = np.add.reduceat(contrib, starts)
-    fi = pa.array(starts.astype(np.int64))
-    li = pa.array(ends.astype(np.int64))
+    uid, order_first, order_last = _first_last_orders(block)
+    sf = _run_starts(uid[order_first])
+    first_idx = order_first[sf]
+    ends = np.concatenate([sf[1:], [n]]) - 1
+    last_idx = order_last[ends]
+    contrib = np.asarray(block.column("n_contrib"))
+    n_events = np.add.reduceat(contrib[order_first], sf)
+    fi = pa.array(first_idx.astype(np.int64))
+    li = pa.array(last_idx.astype(np.int64))
     return pa.table(
         {
-            "user_id": pa.array(uid[starts].astype(np.int64)),
-            "first_type": b.column("event_type").take(fi),
-            "first_ts": b.column("ts").take(fi),
-            "last_type": b.column("event_type").take(li),
-            "last_ts": b.column("ts").take(li),
+            "user_id": pa.array(uid[first_idx].astype(np.int64)),
+            "first_type": block.column("event_type").take(fi),
+            "first_ts": block.column("ts").take(fi),
+            "last_type": block.column("event_type").take(li),
+            "last_ts": block.column("ts").take(li),
             "n_events": pa.array(n_events.astype(np.int64)),
         }
     )

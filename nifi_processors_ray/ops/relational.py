@@ -837,13 +837,22 @@ def _dense_rank_block(block: pa.Table) -> pa.Table:
     n = block.num_rows
     if n == 0:
         return empty
-    block = block.sort_by(
-        [("p_brand", "ascending"), ("price_cents", "descending"), ("p_partkey", "ascending")]
+    # NULL prices: one shared rank, ordered last (DuckDB DESC default
+    # NULLS LAST).  The filled int column drives BOTH the sort and the
+    # change detection — a raw numpy view would surface null as NaN,
+    # where NaN != NaN gives every null its own rank (the engine-wide
+    # null contract forbids exactly that float view).
+    filled = pc.fill_null(
+        block.column("price_cents"), pa.scalar(-(2**63), pa.int64())
+    )
+    block = block.append_column("__pc_filled", filled).sort_by(
+        [("p_brand", "ascending"), ("__pc_filled", "descending"), ("p_partkey", "ascending")]
     )
     brand = np.asarray(
         pc.fill_null(block.column("p_brand").combine_chunks().dictionary_encode().indices, -1)
     )
-    price = np.asarray(block.column("price_cents"))
+    price = np.asarray(block.column("__pc_filled"))
+    block = block.drop_columns(["__pc_filled"])
     new_run = np.concatenate([[True], brand[1:] != brand[:-1]])
     new_val = np.concatenate([[True], (price[1:] != price[:-1]) | new_run[1:]])
     cum = np.cumsum(new_val)

@@ -539,14 +539,14 @@ class CdcEngine:
 
     def lookup_partitions(self, conv_id: str) -> list[int]:
         """The ≤``salt_factor`` partitions ``conv_id``'s keys can hash
-        to — partition placement is a pure function of the key
-        (``stages/partition.py``), so a reader can prune everything
-        else without consulting any secondary index."""
-        from ..functions.hashing import hash_strings_u64
+        to — partition placement is a pure function of the key, and the
+        read side shares the writer's exact (uint64-wrapping) formula
+        via ``stages.partition.partitions_for_conv``."""
+        from ..stages.partition import partitions_for_conv
 
-        h = int(hash_strings_u64(pa.array([conv_id], pa.string()))[0])
-        P, S = self.cfg.num_partitions, max(1, self.cfg.salt_factor)
-        return sorted({(h + s) % P for s in range(min(S, P))})
+        return sorted(
+            partitions_for_conv(conv_id, self.cfg.num_partitions, self.cfg.salt_factor)
+        )
 
     def read_conversation(self, conv_id: str) -> ray.data.Dataset:
         """Point lookup: ONE conversation in turn order, reading only
@@ -606,12 +606,51 @@ class CdcEngine:
         """The changefeed of one committed epoch's seq window (default:
         the latest).  Window bounds come from the immutable manifest
         snapshots — (previous epoch's watermark, this epoch's]."""
+        lo, hi = self._epoch_window(epoch)
+        return self.changes_between(lo, hi)
+
+    def _epoch_window(self, epoch: int | None) -> tuple[int, int]:
+        """The seq window (lo, hi] one committed epoch covered, from the
+        immutable manifest snapshots.  Fails LOUD when the previous
+        epoch's manifest was expired — silently falling back to lo=-1
+        would present the cumulative change since genesis as one
+        epoch's diff (the same failure class state_at guards against)."""
         man_hi = self.store.latest() if epoch is None else self.store.at_epoch(epoch)
         if man_hi is None:
-            raise ValueError(f"no manifest committed at epoch {epoch}")
-        man_lo = self.store.at_epoch(man_hi.epoch - 1) if man_hi.epoch > 0 else None
-        lo = man_lo.min_watermark if man_lo is not None else -1
-        return self.changes_between(lo, man_hi.min_watermark)
+            raise ValueError(
+                f"no manifest committed at epoch {epoch} "
+                f"(committed epochs: {self.store.epochs()!r})"
+            )
+        if man_hi.epoch == 0:
+            return (-1, man_hi.min_watermark)
+        man_lo = self.store.at_epoch(man_hi.epoch - 1)
+        if man_lo is None:
+            raise ValueError(
+                f"epoch {man_hi.epoch}'s window is unrecoverable: the previous "
+                f"epoch's manifest was expired (expire_snapshots keeps too little "
+                "history for changefeed consumers of this epoch)"
+            )
+        return (man_lo.min_watermark, man_hi.min_watermark)
+
+    def touched_conversations(self, lo: int, hi: int) -> set[str]:
+        """Distinct conv_ids with ≥1 VALID change event in ``(lo, hi]``
+        — the dirty-key set for incremental view refresh.  No sort
+        exchange, no winner resolution: a validated window scan with
+        per-batch ``pc.unique`` partials; only the deduped key set
+        reaches the driver (bounded by conversations touched per epoch,
+        the quantity any dirty-group scheme must materialize)."""
+        import pyarrow.compute as pc
+
+        ds = tailer.read_window(self.log_infos(), lo, hi, num_blocks=self._read_num_blocks())
+        if ds is None:
+            return set()
+
+        def keys(b: pa.Table) -> pa.Table:
+            b = validate_batch(b)
+            b = b.filter(pc.is_null(b.column("reject_reason")))
+            return pa.table({"conv_id": pc.unique(b.column("conv_id").combine_chunks())})
+
+        return {r["conv_id"] for r in ds.map_batches(keys, batch_format="pyarrow").take_all()}
 
     def lineage(self) -> ray.data.Dataset:
         man = self.store.latest()

@@ -26,14 +26,13 @@ from __future__ import annotations
 import os
 import uuid
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..functions.hashing import hash_strings_u64
+from ..stages.partition import partitions_for_conv
 from .conversations import token_stats
 from .replay import CdcEngine, _resolve_partition
 
@@ -93,6 +92,15 @@ class ConvStatsView:
         target = epoch if epoch is not None else self.last_refreshed_epoch() + 1
         if target > latest.epoch:
             return self.read()  # nothing new committed
+        done = self.last_refreshed_epoch()
+        if target != done + 1:
+            # skipping an epoch would silently lose its changes forever
+            # (only the TARGET epoch's dirty keys get recomputed);
+            # regressing would overwrite a newer view with an older one
+            raise ValueError(
+                f"view is at epoch {done}; refresh must fold epoch {done + 1} "
+                f"next, not {target} (epochs fold strictly in order)"
+            )
         # the re-read must use the snapshot AS OF the target epoch, not
         # the live head: folding feed k against a newer lake state would
         # leak future epochs into the view (and break consistency under
@@ -104,30 +112,21 @@ class ConvStatsView:
                 f"epoch {target} snapshot expired; refresh views before expire/vacuum"
             )
 
-        # 1. dirty conversations from the changefeed (distinct per batch
-        #    on the workers; the driver sees only the deduped key set)
-        feed = engine.epoch_changes(target)
-
-        def conv_keys(b: pa.Table) -> pa.Table:
-            return pa.table({"conv_id": pc.unique(b.column("conv_id").combine_chunks())})
-
-        dirty = set(
-            r["conv_id"]
-            for r in feed.map_batches(conv_keys, batch_format="pyarrow").take_all()
-        )
+        # 1. dirty conversations: validated window scan with per-batch
+        #    unique partials — no changefeed sort exchange, no winner
+        #    resolution (the keys are all a dirty-group refresh needs)
+        dirty = engine.touched_conversations(*engine._epoch_window(target))
         if not dirty:
             view = self.read()
             self._commit(view, target)
             return view
 
         # 2. pruned re-read: only partitions a dirty conversation can
-        #    hash to (the point-lookup rule, vectorized over the set)
-        h = hash_strings_u64(pa.array(sorted(dirty), pa.string()))
-        P = engine.cfg.num_partitions
-        S = max(1, engine.cfg.salt_factor)
-        parts = set()
-        for s in range(min(S, P)):
-            parts.update(((h + np.uint64(s)) % np.uint64(P)).tolist())
+        #    hash to — the point-lookup rule, via the ONE shared
+        #    placement helper (uint64-wrapping, same as the writer)
+        parts = partitions_for_conv(
+            sorted(dirty), engine.cfg.num_partitions, engine.cfg.salt_factor
+        )
         items = [
             {"paths": [os.path.join(engine.cfg.lake_dir, f) for f in fs]}
             for p, fs in sorted(man.files.items())

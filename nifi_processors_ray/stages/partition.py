@@ -49,6 +49,25 @@ def add_partition_column(batch: pa.Table, num_partitions: int, salt_factor: int)
     return batch.append_column(PARTITION_COL, pa.array(part, type=pa.int32()))
 
 
+def partitions_for_conv(conv_ids, num_partitions: int, salt_factor: int) -> set[int]:
+    """Every partition rows of these conv_ids can land in — the read-side
+    pruning rule (point lookups, view refresh).  MUST use the same
+    uint64 WRAPPING arithmetic as :func:`add_partition_column`: a Python
+    ``(int(h) + s) % P`` diverges for hashes within ``salt_factor`` of
+    2^64 when P is not a power of two (the sum wraps mod 2^64 in the
+    writer, not in unbounded ints), silently pruning away the partition
+    that actually holds the rows.  This helper is the single home of
+    the formula's read side."""
+    if isinstance(conv_ids, str):
+        conv_ids = [conv_ids]
+    h = hash_strings_u64(pa.array(list(conv_ids), pa.string()))
+    P = np.uint64(num_partitions)
+    parts: set[int] = set()
+    for s in range(min(max(1, salt_factor), num_partitions)):
+        parts.update(((h + np.uint64(s)) % P).tolist())
+    return parts
+
+
 def partition_of(conv_id: str, turn_idx: int, num_partitions: int, salt_factor: int) -> int:
     """Scalar twin of ``add_partition_column`` (tests / point lookups)."""
     t = add_partition_column(

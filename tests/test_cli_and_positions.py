@@ -169,6 +169,10 @@ def test_cli_bootstrap_expire_changes(tmp_path):
 
     feed_lines = [json.loads(l) for l in run("changes") if l.startswith("{")]
     assert feed_lines and all("conv_id" in r and "op" in r for r in feed_lines)
+    # a null ts must serialize as JSON null, never the string "None"
+    # (the generated stream's deletes carry real timestamps, so this
+    # guards the encoding rule rather than exercising a null row here)
+    assert all(r["ts"] is None or r["ts"] != "None" for r in feed_lines)
 
     before = len(eng.store.epochs())
     out = json.loads(run("expire", "--keep-last", "2")[-1])

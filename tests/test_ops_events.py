@@ -396,3 +396,38 @@ def test_modal_block_tie_breaks_lexicographically():
     assert got[7] == ("click", 2)  # click partials fold to 2, tying view → 'click' < 'view'
     assert got[8] == ("zzz", 3)    # null type loses the tie to a real type
     assert got[None] == ("purchase", 5)  # null users form ONE group
+
+
+def test_first_last_null_ts_matches_duckdb():
+    """A null-ts row must never win 'last' while non-null rows exist
+    (DuckDB default NULLS LAST in both directions); all-null users fall
+    back to event_id order — exact kernel-vs-DuckDB parity."""
+    import duckdb
+    import pyarrow as pa
+    from nifi_processors_ray.ops.events import (
+        FIRST_LAST_SQL,
+        _first_last_block,
+        _first_last_partial,
+    )
+
+    events = pa.table(
+        {
+            "user_id": pa.array([5, 5, 5, 6, 6, 7], pa.int64()),
+            "event_type": pa.array(["a", "b", "c", "x", "y", "z"]),
+            "ts": pa.array(
+                [1_000, None, 500, None, None, None], pa.timestamp("us")
+            ),
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    got = (
+        _first_last_block(_first_last_partial(events))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", events)
+    want = con.sql(FIRST_LAST_SQL).df().reset_index(drop=True)
+    got = got[want.columns.tolist()]
+    assert got.equals(want), f"\ngot:\n{got}\nwant:\n{want}"

@@ -153,3 +153,34 @@ def test_ntile_formula_matches_duckdb():
         ]
         got = R._ntile_of(np.arange(n, dtype=np.int64), n).tolist()
         assert got == want, n
+
+
+def test_dense_rank_null_prices_share_one_rank():
+    """All NULL prices within a brand share ONE dense rank, ordered
+    last (DuckDB DESC default NULLS LAST) — a raw NaN view would give
+    every null its own rank."""
+    import duckdb
+    import pyarrow as pa
+    from nifi_processors_ray.ops.relational import _dense_rank_block
+
+    block = pa.table(
+        {
+            "p_brand": pa.array(["B1", "B1", "B1", "B1", "B2"]),
+            "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "price_cents": pa.array([900, None, None, 700, None], pa.int64()),
+        }
+    )
+    got = _dense_rank_block(block).to_pandas()
+    con = duckdb.connect()
+    con.register("t", block)
+    want = con.sql(
+        """
+        SELECT p_brand, p_partkey, price_cents,
+               CAST(DENSE_RANK() OVER (
+                   PARTITION BY p_brand ORDER BY price_cents DESC) AS BIGINT)
+                 AS price_rank
+        FROM t ORDER BY p_brand, price_rank, p_partkey
+        """
+    ).df()
+    got = got.sort_values(["p_brand", "price_rank", "p_partkey"]).reset_index(drop=True)
+    assert got.equals(want.reset_index(drop=True)), f"\ngot:\n{got}\nwant:\n{want}"

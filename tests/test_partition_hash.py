@@ -92,3 +92,35 @@ def test_salting_bounds_macro_partition_skew():
     salted = max_share(8)     # fanned over 8 partitions
     assert unsalted > 0.2
     assert salted < 0.1, f"salted max share {salted}"
+
+
+def test_read_side_pruning_matches_writer_placement():
+    """partitions_for_conv (the read-side pruning rule) must contain the
+    writer's placement for EVERY (conv, turn): one shared uint64 formula
+    — Python-int arithmetic diverges on hash wraparound near 2^64."""
+    import numpy as np
+    import pyarrow as pa
+
+    from nifi_processors_ray.stages.partition import (
+        add_partition_column,
+        partitions_for_conv,
+    )
+
+    rng = np.random.default_rng(7)
+    convs = [f"conv-{i}-{rng.integers(1e9)}" for i in range(200)]
+    for P, S in ((13, 5), (16, 4), (7, 1), (257, 9)):
+        batch = pa.table(
+            {
+                "conv_id": pa.array([c for c in convs for _ in range(3)]),
+                "turn_idx": pa.array(
+                    [int(t) for _ in convs for t in rng.integers(0, 1000, 3)],
+                    pa.int32(),
+                ),
+            }
+        )
+        placed = add_partition_column(batch, P, S)
+        for conv, part in zip(
+            placed.column("conv_id").to_pylist(), placed.column("__part").to_pylist()
+        ):
+            allowed = partitions_for_conv(conv, P, S)
+            assert part in allowed, (conv, part, allowed, P, S)

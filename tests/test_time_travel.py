@@ -209,3 +209,18 @@ def test_expire_keep_last_validates():
     with pytest.raises(ValueError):
         store.expire(0)
     assert store.expire(3) == 0  # empty store: nothing to delete
+
+
+def test_epoch_changes_after_expiry_fails_loud(engine):
+    """An epoch whose PREDECESSOR manifest was expired cannot name its
+    window start; falling back to -1 would present the cumulative
+    change since genesis as one epoch's diff.  (Runs after the expire
+    test: only the newest two manifests remain.)"""
+    eng, _ = engine
+    remaining = eng.store.epochs()
+    assert len(remaining) == 2
+    # newest epoch still has its predecessor → works
+    assert eng.epoch_changes(remaining[-1]) is not None
+    # older remaining epoch lost its predecessor → loud failure
+    with pytest.raises(ValueError, match="unrecoverable"):
+        eng.epoch_changes(remaining[0])

@@ -75,3 +75,19 @@ def test_crash_between_commits_keeps_previous_view(tmp_path):
     # the retried refresh overwrites the orphan and commits
     view.refresh(eng, 2)
     assert view.last_refreshed_epoch() == 2
+
+
+def test_refresh_rejects_out_of_order_epochs(tmp_path):
+    """Skipping an epoch would silently lose its changes forever;
+    regressing would overwrite a newer view with an older one."""
+    log = str(tmp_path / "log")
+    write_changelog_from_events(SF_DIR, log, files=3)
+    eng = make_engine(str(tmp_path / "lake"), log, epoch_events=300)
+    eng.replay()
+    view = ConvStatsView(str(tmp_path / "view"))
+    with pytest.raises(ValueError, match="strictly in order"):
+        view.refresh(eng, 2)  # view is at epoch 0; must fold 1 first
+    view.refresh(eng, 1)
+    view.refresh(eng, 2)
+    with pytest.raises(ValueError, match="strictly in order"):
+        view.refresh(eng, 2)  # regression attempt
