@@ -65,6 +65,8 @@ SKEW_TARGETS = [
     "events_sessionize", "events_moving_sum", "events_user_gaps",
     "events_type_transitions", "latest_event_per_user", "events_topk_users",
     "events_window_agg", "events_funnel", "events_value_quantiles",
+    # round-3 continuation blockwise group kernels
+    "events_modal_type", "events_first_last",
 ]
 
 
@@ -167,7 +169,11 @@ def hot_null_sf(tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "name", ["events_sessionize", "events_user_gaps", "events_moving_sum", "latest_event_per_user"]
+    "name",
+    [
+        "events_sessionize", "events_user_gaps", "events_moving_sum",
+        "latest_event_per_user", "events_modal_type",
+    ],
 )
 def test_hot_null_key_parity(ray_session, hot_null_sf, name):
     import ray.data
