@@ -48,13 +48,19 @@ from ..stages.validate import validate_batch
 from ..state.manifest import Manifest, ManifestStore
 
 
-def _resolve_partition(batch: pa.Table, policy=None) -> pa.Table:
+def _resolve_partition(batch: pa.Table, policy=None, filters=None) -> pa.Table:
     """Read + policy-resolve (default LWW) one or a few partitions' file
     sets.  All columns except the internal ``seq`` survive — including
-    enrichment columns injected by the ``enrich`` hook."""
+    enrichment columns injected by the ``enrich`` hook.
+
+    ``filters`` (pyarrow read filters) may restrict the read to a KEY
+    subset — safe for LWW resolution because every version of a key
+    lives in this partition's files, so a key-level filter never hides
+    a newer version from the resolve (used by point lookups to prune
+    row groups instead of filtering after the merge)."""
     outs = []
     for row in batch.column("paths").to_pylist():
-        tables = [pq.read_table(p) for p in row]
+        tables = [pq.read_table(p, filters=filters) for p in row]
         outs.append(merge_deltas(tables, policy=policy).drop_columns(["seq"]))
     if not outs:
         return LAKE_SCHEMA.empty_table().select(TRANSCRIPT_COLS)
@@ -569,9 +575,13 @@ class CdcEngine:
             _resolve_partition,
             batch_format="pyarrow",
             batch_size=None,
-            fn_kwargs={"policy": self.cfg.merge_policy},
+            # key filter pushed into the parquet read: row groups that
+            # can't contain the conversation never leave storage
+            fn_kwargs={
+                "policy": self.cfg.merge_policy,
+                "filters": [("conv_id", "==", conv_id)],
+            },
         )
-        ds = ds.filter(expr=f"conv_id == {conv_id!r}")
         return ds.sort("turn_idx")
 
     def changes_between(self, lo: int, hi: int) -> ray.data.Dataset:
