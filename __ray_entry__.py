@@ -362,6 +362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_redact": _text.text_redact,
         # per-doc repetition quality signals (dup words, top bigram)
         "doc_repetition": _text.doc_repetition,
+        # corpus governance accounting per (source, lang)
+        "corpus_source_rollup": _text.corpus_source_rollup,
         # deduplication
         "exact_dedup": _dedup.exact_dedup,
         "minhash_dup_pairs": lambda sf: _dedup.minhash_dup_pairs(
@@ -623,6 +625,7 @@ FROM _ch
         "top_ngrams": _text.TOP_NGRAMS_SQL,
         "text_redact": _text.TEXT_REDACT_SQL,
         "doc_repetition": _text.DOC_REPETITION_SQL,
+        "corpus_source_rollup": _text.SOURCE_ROLLUP_SQL,
         "part_price_rank": _rel.PART_PRICE_RANK_SQL,
         "text_stats": _text.TEXT_STATS_SQL,
         "token_counts": _text.TOKEN_COUNTS_SQL,

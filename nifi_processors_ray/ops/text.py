@@ -656,3 +656,71 @@ def doc_repetition(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     )
     out = ds.map_batches(_repetition_batch, batch_format="pyarrow")
     return out.sort("doc_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# corpus governance rollup: volume/token accounting per (source, lang)
+# ---------------------------------------------------------------------------
+
+SOURCE_ROLLUP_SQL = f"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(SUM(len(regexp_extract_all(coalesce(text, ''), '{BPE_ISH_PATTERN}'))) AS BIGINT)
+         AS bpe_tokens
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def _source_rollup_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (source, lang) partials: doc counts, char mass, BPE-ish
+    token mass — tokenization runs once per batch in Arrow's RE2 kernel,
+    and only ≤(sources × langs) rows per batch reach the exchange."""
+    text = pc.fill_null(batch.column("text"), "")
+    t = pa.table(
+        {
+            "source": batch.column("source"),
+            "lang": batch.column("lang"),
+            "chars": batch.column("n_chars").cast(pa.int64()),
+            "toks": pc.count_substring_regex(text, BPE_ISH_PATTERN).cast(pa.int64()),
+        }
+    )
+    g = t.group_by(["source", "lang"]).aggregate(
+        [([], "count_all"), ("chars", "sum"), ("toks", "sum")]
+    )
+    return pa.table(
+        {
+            "source": g.column("source"),
+            "lang": g.column("lang"),
+            "n_docs": g.column("count_all").cast(pa.int64()),
+            "chars": g.column("chars_sum"),
+            "bpe_tokens": g.column("toks_sum"),
+        }
+    )
+
+
+def corpus_source_rollup(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Corpus governance accounting: document, character and token
+    volumes per (source, lang) — the table a 100 TB curation pipeline
+    reports before/after every filter stage.  Stateless partials bound
+    the exchange by the (source × lang) cardinality; null keys form
+    their own groups (SQL GROUP BY parity via the null-safe exchange)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.debug import null_safe_groupby_agg, null_safe_sort
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/documents.parquet",
+        columns=["source", "lang", "text", "n_chars"],
+    )
+    out = null_safe_groupby_agg(
+        ds.map_batches(_source_rollup_partial, batch_format="pyarrow"),
+        ["source", "lang"],
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("chars", alias_name="chars"),
+        Sum("bpe_tokens", alias_name="bpe_tokens"),
+        out_types={"n_docs": pa.int64(), "chars": pa.int64(), "bpe_tokens": pa.int64()},
+    )
+    return null_safe_sort(out, ["source", "lang"]) if sort else out

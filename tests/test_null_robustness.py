@@ -90,6 +90,7 @@ DOC_TARGETS = [
     "text_stats", "lang_id", "token_counts", "exact_dedup", "corpus_clean",
     "token_pack", "decontaminate", "text_redact", "top_ngrams",
     "training_mix", "jaccard_dup_pairs", "dedup_clusters", "doc_repetition",
+    "corpus_source_rollup",
 ]
 
 
