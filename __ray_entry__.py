@@ -301,6 +301,24 @@ def _q_conversation_search(sf_dir: str):
     return search(eng.final_state())
 
 
+SEARCH_TERMS = ("click", "purchase")
+
+
+def _q_conversation_search_indexed(sf_dir: str):
+    """The standing-query scale path: per-conversation hit counts served
+    from the persistent inverted index (build paid once per lake,
+    resumable; the query reads only the terms' hash buckets)."""
+    from nifi_processors_ray.pipelines.text_index import (
+        build_text_index,
+        search_text_index,
+    )
+
+    eng = _replayed_engine(sf_dir)
+    idx = os.path.join(eng.cfg.lake_dir, "_text_index")
+    build_text_index(eng.final_state(), idx)
+    return search_text_index(idx, list(SEARCH_TERMS))
+
+
 def _q_role_transitions(sf_dir: str):
     """Dialogue-structure profile of the converged lake: (prev role →
     next role) step counts in turn order across all conversations."""
@@ -347,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_token_stats": _q_conversation_token_stats,
         "conversation_role_transitions": _q_role_transitions,
         "conversation_search": _q_conversation_search,
+        "conversation_search_indexed": _q_conversation_search_indexed,
         # text analysis (documents table)
         "text_stats": _text.text_stats,
         "lang_id": _text.lang_id,
@@ -604,6 +623,24 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """,
         "conversation_search": _conversation_search_sql(),
+        # token-exact inverted-index search: hits = occurrences of the
+        # query TERMS under the repo tokenizer (lower + space split)
+        "conversation_search_indexed": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+),
+state AS (SELECT conv_id, text FROM latest WHERE rn = 1 AND op <> 'D'),
+toks AS (
+  SELECT conv_id, unnest(str_split(lower(coalesce(text, '')), ' ')) AS w FROM state
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM toks WHERE w IN {SEARCH_TERMS!r}
+GROUP BY conv_id
+ORDER BY conv_id
+""",
         # Conservation law: applied + rejected partitions the stream —
         # the SQL twin counts valid/invalid rows straight off the CTE.
         "cdc_lineage_totals": f"""
