@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_transitions": _ev.type_transitions,
         "events_hourly_dense": _ev.hourly_dense,
         "events_profile": _prof.table_profile,
+        # CORR/COVAR_POP aggregate family (sufficient-statistic partials)
+        "docs_corr": _prof.docs_corr,
         "events_quantile_sketch": _q_quantile_sketch,
         "events_median_cont": _ev.median_cont,
         "events_heavy_users": _q_heavy_users,
@@ -707,6 +709,7 @@ FROM _ch
         "events_type_transitions": _ev.TYPE_TRANSITIONS_SQL,
         "events_hourly_dense": _ev.HOURLY_DENSE_SQL,
         "events_profile": _prof.TABLE_PROFILE_SQL,
+        "docs_corr": _prof.DOCS_CORR_SQL,
         "pricing_unpivot": _rel.PRICING_UNPIVOT_SQL,
         "latest_event_per_user": _ev.LATEST_EVENT_SQL,
         "events_modal_type": _ev.MODAL_TYPE_SQL,

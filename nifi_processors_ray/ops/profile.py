@@ -108,6 +108,142 @@ def _distinct_partial(b: pa.Table) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def _corr_sql() -> str:
+    from .text import BPE_ISH_PATTERN
+
+    # Every component sum is integer-exact (n_chars and token counts are
+    # ints), so both sides derive corr/covar from IDENTICAL int64 sums
+    # with the SAME double-op sequence — the value hash cannot drift on
+    # float summation order.  CASE guards the zero-variance group with
+    # NULL on both sides (DuckDB's float division-by-zero answer is
+    # version-dependent; the engine mirrors the guard with a mask).
+    n, sx, sy, sxy, sxx, syy = (
+        f"CAST({c} AS DOUBLE)" for c in ("n_docs", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    vx = f"({n} * {sxx} - {sx} * {sx})"
+    vy = f"({n} * {syy} - {sy} * {sy})"
+    num = f"({n} * {sxy} - {sx} * {sy})"
+    return f"""
+WITH xy AS (
+  SELECT lang,
+         CAST(n_chars AS BIGINT) AS x,
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+              '{BPE_ISH_PATTERN}')) AS BIGINT) AS y
+  FROM documents
+),
+s AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM xy GROUP BY lang
+)
+SELECT lang, n_docs,
+       CASE WHEN {vx} * {vy} <= 0 THEN NULL
+            ELSE {num} / (sqrt({vx}) * sqrt({vy}))
+       END AS corr_chars_tokens,
+       {num} / ({n} * {n}) AS covar_pop
+FROM s
+ORDER BY lang
+"""
+
+
+DOCS_CORR_SQL = _corr_sql()
+
+
+def _corr_partials(b: pa.Table) -> pa.Table:
+    """Per-batch (lang → component sums) partials for Pearson r between
+    doc length (chars) and token count: the classic one-pass sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) — each batch collapses to
+    ≤ distinct-langs rows of int64 sums before anything shuffles."""
+    from .text import BPE_ISH_PATTERN
+
+    text = pc.fill_null(b.column("text"), "")
+    y = pc.count_substring_regex(text, BPE_ISH_PATTERN).cast(pa.int64())
+    x = b.column("n_chars").combine_chunks().cast(pa.int64())
+    t = pa.table(
+        {
+            "lang": b.column("lang"),
+            "x": x,
+            "y": y,
+            "xy": pc.multiply_checked(x, y),
+            "xx": pc.multiply_checked(x, x),
+            "yy": pc.multiply_checked(y, y),
+        }
+    )
+    g = t.group_by(["lang"]).aggregate(
+        [("x", "sum"), ("y", "sum"), ("xy", "sum"), ("xx", "sum"), ("yy", "sum"), ([], "count_all")]
+    )
+    return pa.table(
+        {
+            "lang": g.column("lang"),
+            "n_docs": g.column("count_all"),
+            "sx": g.column("x_sum"),
+            "sy": g.column("y_sum"),
+            "sxy": g.column("xy_sum"),
+            "sxx": g.column("xx_sum"),
+            "syy": g.column("yy_sum"),
+        }
+    )
+
+
+def _corr_finish(b: pa.Table) -> pa.Table:
+    """Closed-form Pearson r / population covariance from the merged
+    int64 sums — the exact double-op sequence of the SQL twin."""
+    n = np.asarray(b.column("n_docs"), dtype=np.float64)
+    sx = np.asarray(b.column("sx"), dtype=np.float64)
+    sy = np.asarray(b.column("sy"), dtype=np.float64)
+    sxy = np.asarray(b.column("sxy"), dtype=np.float64)
+    sxx = np.asarray(b.column("sxx"), dtype=np.float64)
+    syy = np.asarray(b.column("syy"), dtype=np.float64)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    degenerate = vx * vy <= 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = num / (np.sqrt(vx) * np.sqrt(vy))
+    return pa.table(
+        {
+            "lang": b.column("lang"),
+            "n_docs": b.column("n_docs"),
+            "corr_chars_tokens": pa.array(corr, pa.float64(), mask=degenerate),
+            "covar_pop": pa.array(num / (n * n), pa.float64()),
+        }
+    )
+
+
+def docs_corr(sf_dir: str) -> ray.data.Dataset:
+    """Grouped Pearson correlation + population covariance between
+    document length (chars) and BPE-ish token count, per language — the
+    CORR/COVAR_POP aggregate family done combiner-style: per-batch
+    sufficient-statistic partials (int64-exact), ONE tiny groupby of
+    ≤ distinct-langs rows, closed-form finish.  Rows never shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.debug import null_safe_groupby_agg, null_safe_sort
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["lang", "text", "n_chars"]
+    )
+    partials = ds.map_batches(_corr_partials, batch_format="pyarrow")
+    merged = null_safe_groupby_agg(
+        partials,
+        ["lang"],
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"),
+        Sum("sxy", alias_name="sxy"),
+        Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"),
+        out_types={c: pa.int64() for c in ("n_docs", "sx", "sy", "sxy", "sxx", "syy")},
+    )
+    out = merged.map_batches(_corr_finish, batch_format="pyarrow")
+    return null_safe_sort(out, ["lang"])
+
+
 def table_profile(sf_dir: str) -> pa.Table:
     """Per-column profile of the events table — null count, exact
     distinct count, min and max, one row per profiled column (output is
