@@ -319,6 +319,24 @@ def _q_conversation_search_indexed(sf_dir: str):
     return search_text_index(idx, list(SEARCH_TERMS))
 
 
+def _q_conversation_dedup(sf_dir: str):
+    """Transcript-level exact dedup over the converged lake (planted
+    whole-conversation clones; min-id keeper per distinct transcript)."""
+    from nifi_processors_ray.pipelines.conversations import dedup_conversations
+
+    eng = _replayed_engine(sf_dir)
+    return dedup_conversations(eng.final_state())
+
+
+def _q_chat_training_mix(sf_dir: str):
+    """Token-budgeted chat-training-mix curation over the converged lake
+    (quality gate → global greedy budget fill via distributed prefix sum)."""
+    from nifi_processors_ray.pipelines.conversations import chat_training_mix
+
+    eng = _replayed_engine(sf_dir)
+    return chat_training_mix(eng.final_state())
+
+
 def _q_role_transitions(sf_dir: str):
     """Dialogue-structure profile of the converged lake: (prev role →
     next role) step counts in turn order across all conversations."""
@@ -366,6 +384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_role_transitions": _q_role_transitions,
         "conversation_search": _q_conversation_search,
         "conversation_search_indexed": _q_conversation_search_indexed,
+        "conversation_dedup": _q_conversation_dedup,
+        "chat_training_mix": _q_chat_training_mix,
         # text analysis (documents table)
         "text_stats": _text.text_stats,
         "lang_id": _text.lang_id,
@@ -625,6 +645,66 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """,
         "conversation_search": _conversation_search_sql(),
+        # transcript-level exact dedup: the aug CTE reproduces the planted
+        # clones, the group key is the \x1f-folded (roles, transcript)
+        "conversation_dedup": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+),
+state AS (SELECT conv_id, turn_idx, role, text FROM latest WHERE rn = 1 AND op <> 'D'),
+aug AS (
+  SELECT * FROM state
+  UNION ALL
+  SELECT conv_id || '~dup' AS conv_id, turn_idx, role, text FROM state
+  WHERE CAST(substr(conv_id, 2) AS BIGINT) % 7 = 0
+),
+folded AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         string_agg(coalesce(role, ''), chr(31) ORDER BY turn_idx) AS roles,
+         string_agg(coalesce(text, ''), chr(31) ORDER BY turn_idx) AS transcript
+  FROM aug GROUP BY conv_id
+)
+SELECT min(conv_id) AS conv_id,
+       CAST(MIN(n_turns) AS BIGINT) AS n_turns,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM folded
+GROUP BY roles, transcript
+ORDER BY conv_id
+""",
+        # chat training mix: token-stats gate → inclusive running window
+        # sum in (tokens DESC, conv_id) order, kept while the conversation
+        # STARTS under half the gated corpus' tokens
+        "chat_training_mix": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+),
+stats AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(SUM(CAST(len(regexp_extract_all(coalesce(text, ''),
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)) AS BIGINT) AS bpe_tokens,
+         CAST(COUNT(tool) AS BIGINT) AS tool_turns
+  FROM latest WHERE rn = 1 AND op <> 'D'
+  GROUP BY conv_id
+),
+gated AS (SELECT * FROM stats WHERE bpe_tokens >= 60 AND tool_turns >= 1),
+cum AS (
+  SELECT conv_id, n_turns, bpe_tokens,
+         CAST(SUM(bpe_tokens) OVER (ORDER BY bpe_tokens DESC, conv_id) AS BIGINT)
+           AS cum_tokens
+  FROM gated
+)
+SELECT conv_id, n_turns, bpe_tokens, cum_tokens
+FROM cum
+WHERE cum_tokens - bpe_tokens < (SELECT CAST(SUM(bpe_tokens) AS BIGINT) // 2 FROM gated)
+ORDER BY conv_id
+""",
         # token-exact inverted-index search: hits = occurrences of the
         # query TERMS under the repo tokenizer (lower + space split)
         "conversation_search_indexed": f"""

@@ -165,6 +165,187 @@ def role_transitions(transcripts: ray.data.Dataset) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# lake analytics: transcript-level exact dedup (whole-conversation copies)
+# ---------------------------------------------------------------------------
+
+# The synthetic stream never produces two identical conversations, so the
+# query plants deterministic clones (conv numeric suffix % CLONE_MOD == 0
+# → a '~dup' twin); detection itself is blind to the planting, exactly
+# like ops.dedup.augmented_documents.
+CLONE_MOD = 7
+CLONE_SUFFIX = "~dup"
+
+# roles and transcript are \x1f-joined; \x1e (record separator) can never
+# appear in either, so the composite key is collision-free by construction
+_KEY_SEP = "\x1e"
+
+
+def _clone_block(b: pa.Table) -> pa.Table:
+    """Deterministic whole-conversation clones of every CLONE_MOD-th
+    conversation (by numeric id suffix), under a '~dup' id."""
+    conv = b.column("conv_id").combine_chunks()
+    num = np.asarray(pc.cast(pc.utf8_slice_codeunits(conv, 1), pa.int64()))
+    sub = b.filter(pa.array(num % CLONE_MOD == 0))
+    new_id = pc.binary_join_element_wise(
+        sub.column("conv_id").combine_chunks(), CLONE_SUFFIX.lstrip("~"), "~"
+    )
+    return sub.set_column(sub.schema.get_field_index("conv_id"), "conv_id", new_id)
+
+
+def _add_conv_key_hash(b: pa.Table) -> pa.Table:
+    from ..functions.hashing import hash_strings_u64
+
+    key = pc.binary_join_element_wise(
+        b.column("roles").combine_chunks(), b.column("transcript").combine_chunks(), _KEY_SEP
+    )
+    return b.append_column("__key", key).append_column(
+        "__h", pa.array(hash_strings_u64(key).astype(np.int64))
+    )
+
+
+def _conv_dedup_block(block: pa.Table) -> pa.Table:
+    """Per co-located hash block: group runs of EQUAL (roles, transcript)
+    keys (real string equality — a hash collision can never merge two
+    distinct conversations), keep the min-conv_id copy with a count."""
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_turns": pa.array([], pa.int64()),
+            "n_copies": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    b = block.sort_by([("__key", "ascending"), ("conv_id", "ascending")])
+    codes = np.asarray(b.column("__key").combine_chunks().dictionary_encode().indices)
+    new_run = np.concatenate([[True], codes[1:] != codes[:-1]])
+    starts = np.nonzero(new_run)[0]
+    take = pa.array(starts)
+    return pa.table(
+        {
+            "conv_id": b.column("conv_id").combine_chunks().take(take),
+            "n_turns": b.column("n_turns").combine_chunks().take(take).cast(pa.int64()),
+            "n_copies": pa.array(
+                np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+            ),
+        }
+    )
+
+
+def dedup_conversations(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact whole-conversation dedup over the converged lake: fold each
+    conversation to its ordered (roles, transcript) identity, shuffle the
+    64-bit key hash (the transcript text never sorts), keep the
+    min-conv_id copy per distinct conversation with a copy count.
+
+    The transcript-corpus hygiene primitive: retraining on a lake where
+    whole sessions were re-ingested under new ids must not double-count
+    them.  Scale shape: ONE hash exchange whose payload is the folded
+    conversations (same order as the corpus), plus the reconstruct fold's
+    conv_id sort."""
+    aug = transcripts.union(
+        transcripts.map_batches(_clone_block, batch_format="pyarrow")
+    )
+    folded = reconstruct(aug)
+    keyed = folded.map_batches(_add_conv_key_hash, batch_format="pyarrow")
+    out = checked_sort(keyed, "__h").map_batches(
+        _conv_dedup_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# chat training mix: quality gate → global token-budget fill
+# ---------------------------------------------------------------------------
+
+MIX_MIN_TOKENS = 60  # conversations below this are too thin to train on
+MIX_MIN_TOOL_TURNS = 1  # agentic-data gate: must contain a tool call
+
+
+def chat_training_mix(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Curate a token-budgeted chat-training mix from the converged lake:
+    per-conversation token stats → quality gate (min tokens, ≥1 tool
+    turn) → conversations in (tokens DESC, conv_id) order greedily fill
+    HALF the gated corpus' token budget (a conversation is kept iff it
+    STARTS under the budget).
+
+    The transcripts twin of ``pipelines.corpus.training_mix``: the same
+    distributed prefix-sum shape (sort → materialize → metadata-only
+    block-offset pass → vectorized assign), fed by the CDC-replayed lake
+    instead of a static corpus.  The budget is derived from the gated
+    corpus itself (Σtokens // 2) so the query is scale-free."""
+    from ..functions.blocks import block_offset_index
+
+    stats = token_stats(transcripts)
+
+    def gate(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b.column("bpe_tokens"), pa.scalar(MIX_MIN_TOKENS, pa.int64())),
+            pc.greater_equal(
+                b.column("tool_turns"), pa.scalar(MIX_MIN_TOOL_TURNS, pa.int64())
+            ),
+        )
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "n_turns": t.column("n_turns"),
+                "bpe_tokens": t.column("bpe_tokens"),
+                "neg_tokens": pc.negate_checked(t.column("bpe_tokens").combine_chunks()),
+            }
+        )
+
+    empty = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_turns", pa.int64()),
+            ("bpe_tokens", pa.int64()),
+            ("cum_tokens", pa.int64()),
+        ]
+    )
+    # materialized once: the budget aggregate and the ordered fill both
+    # consume it (per-conversation stats, orders of magnitude smaller
+    # than the corpus)
+    gated = stats.map_batches(gate, batch_format="pyarrow").materialize()
+    total = gated.sum("bpe_tokens")
+    if total is None:
+        # pa.Table, not a Dataset: Ray's to_pandas() on a 0-row dataset
+        # drops the column schema entirely
+        return empty.empty_table()
+    budget = int(total) // 2
+
+    ordered = gated.sort(["neg_tokens", "conv_id"]).materialize()
+    offset_by_key, _ = block_offset_index(
+        ordered,
+        ["neg_tokens", "conv_id"],
+        lambda b: pc.sum(b.column("bpe_tokens")).as_py(),
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty.empty_table()
+        key = (b.column("neg_tokens")[0].as_py(), b.column("conv_id")[0].as_py())
+        off = offset_by_key[key]  # KeyError = split drift: fail loud
+        tok = np.asarray(b.column("bpe_tokens"))
+        excl = off + np.cumsum(tok, dtype=np.int64) - tok
+        out = pa.table(
+            {
+                "conv_id": b.column("conv_id"),
+                "n_turns": b.column("n_turns"),
+                "bpe_tokens": b.column("bpe_tokens"),
+                "cum_tokens": pa.array(excl + tok),
+            }
+        )
+        return out.filter(pa.array(excl < budget))
+
+    out = ordered.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    from ..functions.blocks import compact_small_result
+
+    return compact_small_result(out, empty).sort("conv_id")
+
+
+# ---------------------------------------------------------------------------
 # lake analytics: keyword search over the converged state
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,87 @@
+"""Unit oracles for the transcript-curation ops (dedup_conversations,
+chat_training_mix) on crafted corpora — independent of the CDC replay
+path and of the planted-clone augmentation (ids here avoid the
+CLONE_MOD rule, so what the kernels see is exactly what's crafted).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from nifi_processors_ray.pipelines.conversations import (
+    MIX_MIN_TOKENS,
+    chat_training_mix,
+    dedup_conversations,
+)
+
+
+def _transcripts(rows) -> ray.data.Dataset:
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+            "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def test_dedup_conversations_merges_identical_transcripts(ray_session):
+    # c1 and c2 are byte-identical conversations; c3 differs only in role.
+    rows = [
+        ("c1", 0, "user", "hello there", None),
+        ("c1", 1, "assistant", "hi", None),
+        ("c2", 0, "user", "hello there", None),
+        ("c2", 1, "assistant", "hi", None),
+        ("c3", 0, "system", "hello there", None),
+        ("c3", 1, "assistant", "hi", None),
+    ]
+    out = dedup_conversations(_transcripts(rows)).to_pandas()
+    got = {r.conv_id: (r.n_turns, r.n_copies) for r in out.itertuples()}
+    assert got == {"c1": (2, 2), "c3": (2, 1)}
+
+
+def test_dedup_conversations_turn_order_is_identity(ray_session):
+    # Same turn texts in a different turn order = a DIFFERENT conversation.
+    rows = [
+        ("c1", 0, "user", "a", None),
+        ("c1", 1, "assistant", "b", None),
+        ("c2", 0, "user", "b", None),
+        ("c2", 1, "assistant", "a", None),
+    ]
+    out = dedup_conversations(_transcripts(rows)).to_pandas()
+    assert sorted(out.conv_id) == ["c1", "c2"]
+    assert (out.n_copies == 1).all()
+
+
+def test_chat_training_mix_budget_and_gates(ray_session):
+    # Tokens per turn under the BPE-ish tokenizer: "w" * k → k word tokens.
+    def turns(conv, n_tok, tool):
+        return [(conv, 0, "user", " ".join(["w"] * n_tok), tool)]
+
+    rows = (
+        turns("c1", MIX_MIN_TOKENS + 40, "search")  # 100 tokens, has tool
+        + turns("c2", MIX_MIN_TOKENS + 20, "search")  # 80 tokens, has tool
+        + turns("c3", MIX_MIN_TOKENS, "search")  # 60 tokens, has tool
+        + turns("c4", MIX_MIN_TOKENS - 1, "search")  # gated: too thin
+        + turns("c5", MIX_MIN_TOKENS + 100, None)  # gated: no tool turn
+    )
+    out = chat_training_mix(_transcripts(rows)).to_pandas()
+    # gated corpus = {c1:100, c2:80, c3:60} → budget = 240 // 2 = 120.
+    # Fill order (tokens DESC): c1 starts at 0 (< 120, kept), c2 starts
+    # at 100 (< 120, kept), c3 starts at 180 (dropped).
+    assert out.conv_id.tolist() == ["c1", "c2"]
+    assert out.cum_tokens.tolist() == [100, 180]
+    assert out.bpe_tokens.tolist() == [100, 80]
+
+
+def test_chat_training_mix_empty_gate_is_schema_stable(ray_session):
+    rows = [("c1", 0, "user", "too thin", None)]
+    out = chat_training_mix(_transcripts(rows)).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["conv_id", "n_turns", "bpe_tokens", "cum_tokens"]
