@@ -447,9 +447,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": _rel.lineitem_pricing_summary,
         "events_asof_order": _rel.events_asof_order,
         "supplier_nation_rollup": _rel.supplier_nation_rollup,
-        # window functions: cumulative sum, DENSE_RANK
+        # window functions: cumulative sum, DENSE_RANK, PERCENT_RANK/CUME_DIST
         "orders_running_total": _rel.orders_running_total,
         "part_price_rank": _rel.part_price_rank,
+        "customer_balance_pctile": _rel.customer_balance_pctile,
         # ROLLUP grouping sets + calendar bucketing
         "pricing_rollup": _rel.pricing_rollup,
         "orders_monthly_volume": _rel.orders_monthly_volume,
@@ -746,6 +747,7 @@ FROM _ch
         "doc_repetition": _text.DOC_REPETITION_SQL,
         "corpus_source_rollup": _text.SOURCE_ROLLUP_SQL,
         "part_price_rank": _rel.PART_PRICE_RANK_SQL,
+        "customer_balance_pctile": _rel.BALANCE_PCTILE_SQL,
         "text_stats": _text.TEXT_STATS_SQL,
         "token_counts": _text.TOKEN_COUNTS_SQL,
         "text_stats_jsonl": _text.TEXT_STATS_SQL,

@@ -892,3 +892,104 @@ def part_price_rank(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         _dense_rank_block, batch_format="pyarrow", batch_size=None
     )
     return null_safe_sort(out, ["p_brand", "price_rank", "p_partkey"]) if sort else out
+
+
+# ---------------------------------------------------------------------------
+# PERCENT_RANK / CUME_DIST: relative standing within a partition
+# ---------------------------------------------------------------------------
+
+BALANCE_PCTILE_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+ORDER BY c_nationkey, bal_cents, c_custkey
+"""
+
+
+def _pctile_block(block: pa.Table) -> pa.Table:
+    """PERCENT_RANK ((rank−1)/(n−1), 0 for a 1-row partition) and
+    CUME_DIST (peer-group end / n) per co-located nation run — one pass
+    of change masks and cumsums, both outputs exact IEEE divisions of
+    small ints so they match DuckDB bit-for-bit.  NULL balances share
+    one peer group ordered last (DuckDB ASC default NULLS LAST)."""
+    empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_nationkey": pa.array([], pa.int64()),
+            "bal_cents": pa.array([], pa.int64()),
+            "pct_rank": pa.array([], pa.float64()),
+            "cume_dist": pa.array([], pa.float64()),
+        }
+    )
+    n_rows = block.num_rows
+    if n_rows == 0:
+        return empty
+    filled = pc.fill_null(block.column("bal_cents"), pa.scalar(2**63 - 1, pa.int64()))
+    b = block.append_column("__bal_filled", filled).sort_by(
+        [
+            ("c_nationkey", "ascending"),
+            ("__bal_filled", "ascending"),
+            ("c_custkey", "ascending"),
+        ]
+    )
+    nat = np.asarray(
+        pc.fill_null(b.column("c_nationkey").combine_chunks().dictionary_encode().indices, -1)
+    )
+    bal = np.asarray(b.column("__bal_filled"))
+    new_run = np.concatenate([[True], nat[1:] != nat[:-1]])
+    run_starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([run_starts, [n_rows]]))
+    run_id = np.cumsum(new_run) - 1
+    run_start = run_starts[run_id]
+    n = run_len[run_id].astype(np.float64)
+
+    new_tie = new_run | np.concatenate([[True], bal[1:] != bal[:-1]])
+    tie_starts = np.nonzero(new_tie)[0]
+    tie_ends = np.concatenate([tie_starts[1:], [n_rows]])
+    tie_id = np.cumsum(new_tie) - 1
+    rank_min = (tie_starts[tie_id] - run_start + 1).astype(np.float64)
+    peer_end = (tie_ends[tie_id] - run_start).astype(np.float64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pct = np.where(n > 1, (rank_min - 1) / (n - 1), 0.0)
+    return pa.table(
+        {
+            "c_custkey": b.column("c_custkey"),
+            "c_nationkey": b.column("c_nationkey"),
+            "bal_cents": b.column("bal_cents"),
+            "pct_rank": pa.array(pct, pa.float64()),
+            "cume_dist": pa.array(peer_end / n, pa.float64()),
+        }
+    )
+
+
+def customer_balance_pctile(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """PERCENT_RANK + CUME_DIST of account balance within nation — the
+    relative-standing window family.  ONE sort exchange on the partition
+    key alone (the engine-wide blockwise-group contract); ranks, peer
+    groups and both divisions are vectorized block-local passes."""
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey").cast(pa.int64()),
+                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+                "bal_cents": floored_cents(b.column("c_acctbal")),
+            }
+        )
+
+    out = checked_sort(
+        ds.map_batches(project, batch_format="pyarrow"), "c_nationkey"
+    ).map_batches(_pctile_block, batch_format="pyarrow", batch_size=None)
+    return (
+        null_safe_sort(out, ["c_nationkey", "bal_cents", "c_custkey"]) if sort else out
+    )

@@ -184,3 +184,37 @@ def test_dense_rank_null_prices_share_one_rank():
     ).df()
     got = got.sort_values(["p_brand", "price_rank", "p_partkey"]).reset_index(drop=True)
     assert got.equals(want.reset_index(drop=True)), f"\ngot:\n{got}\nwant:\n{want}"
+
+
+def test_balance_pctile_null_and_tie_semantics_match_duckdb(ray_session):
+    """Null balances: ONE peer group ordered last (DuckDB ASC NULLS LAST);
+    ties share the min rank; a 1-row partition gets pct_rank 0."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from nifi_processors_ray.ops.relational import _pctile_block
+
+    t = pa.table(
+        {
+            "c_custkey": pa.array(list(range(1, 9)), pa.int64()),
+            "c_nationkey": pa.array([0, 0, 0, 0, 0, 1, 2, 2], pa.int64()),
+            "bal_cents": pa.array([500, 500, None, 100, None, 7, 3, 3], pa.int64()),
+        }
+    )
+    eng = _pctile_block(t).to_pandas()
+    con = duckdb.connect()
+    con.register("c", t.to_pandas())
+    ora = con.sql(
+        """
+        SELECT c_custkey, c_nationkey, bal_cents,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume_dist
+        FROM c WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal_cents)
+        ORDER BY c_nationkey, c_custkey
+        """
+    ).df()
+    eng = eng.sort_values(["c_nationkey", "c_custkey"]).reset_index(drop=True)
+    ora = ora.sort_values(["c_nationkey", "c_custkey"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
