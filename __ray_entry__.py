@@ -477,6 +477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_median_cont": _ev.median_cont,
         "events_heavy_users": _q_heavy_users,
         "events_user_gaps": _ev.user_gaps,
+        # ExtractText/RouteOnAttribute: typed regex extraction + routing
+        "events_props_extract": _ev.props_extract,
         "pricing_unpivot": _rel.pricing_unpivot,
         # keep-latest-per-key upsert compaction + fact-to-dim shuffle join
         "latest_event_per_user": _ev.latest_event_per_user,
@@ -807,6 +809,7 @@ FROM _ch
         "pricing_cube": _rel.PRICING_CUBE_SQL,
         "events_median_cont": _ev.MEDIAN_CONT_SQL,
         "events_user_gaps": _ev.USER_GAPS_SQL,
+        "events_props_extract": _ev.PROPS_EXTRACT_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
         "training_mix": _corpus.TRAINING_MIX_SQL,

@@ -1719,3 +1719,58 @@ def first_last_event(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         _first_last_block, batch_format="pyarrow", batch_size=None
     )
     return out.sort("user_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# semi-structured extraction + attribute routing (ExtractText / RouteOnAttribute)
+# ---------------------------------------------------------------------------
+
+# The reference's ExtractText → RouteOnAttribute chain as one vectorized
+# stage: pull a typed attribute out of the JSON-ish ``props`` payload
+# with ONE compiled RE2 pattern, route rows on the extracted value.
+PROPS_K_PATTERN = r'"k":\s*(?P<k>-?\d+)'
+PROPS_K_MIN = 90
+
+PROPS_EXTRACT_SQL = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+       CAST(k_str AS BIGINT) AS k
+FROM (
+  SELECT event_id, event_type,
+         -- TRY_CAST: DuckDB regexp_extract yields '' on no match
+         TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k_str
+  FROM events
+)
+WHERE k_str >= {PROPS_K_MIN}
+ORDER BY event_id
+"""
+
+
+def _props_extract_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized attribute extraction: one RE2 pass pulls the named
+    group, an Arrow cast types it, the route predicate filters — no
+    JSON parser, no Python rows.  No-match / null payloads yield null
+    and are dropped by the route (Table.filter drops null mask rows,
+    matching SQL's WHERE on NULL)."""
+    ex = pc.extract_regex(pc.fill_null(batch.column("props"), ""), PROPS_K_PATTERN)
+    k = pc.struct_field(ex, "k").cast(pa.int64())
+    t = pa.table(
+        {
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "event_type": batch.column("event_type"),
+            "k": k,
+        }
+    )
+    return t.filter(pc.greater_equal(k, pa.scalar(PROPS_K_MIN, pa.int64())))
+
+
+def props_extract(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Extract a typed attribute from the JSON-ish ``props`` payload and
+    route on it — the reference's per-record attribute pipeline
+    (ExtractText + RouteOnAttribute) as a stateless fused map; the only
+    full-width stage is the column-pruned read."""
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/events.parquet",
+        columns=["event_id", "event_type", "props"],
+    )
+    out = ds.map_batches(_props_extract_batch, batch_format="pyarrow")
+    return out.sort("event_id") if sort else out

@@ -431,3 +431,33 @@ def test_first_last_null_ts_matches_duckdb():
     want = con.sql(FIRST_LAST_SQL).df().reset_index(drop=True)
     got = got[want.columns.tolist()]
     assert got.equals(want), f"\ngot:\n{got}\nwant:\n{want}"
+
+
+def test_props_extract_malformed_payloads_match_duckdb(ray_session):
+    """Null, non-JSON, no-k and negative-k payloads: extraction yields
+    NULL (dropped by the route) or the typed value, exactly like the
+    twin's TRY_CAST(regexp_extract(...))."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from nifi_processors_ray.ops.events import PROPS_EXTRACT_SQL, _props_extract_batch
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "event_type": pa.array(["a"] * 6, pa.string()),
+            "props": pa.array(
+                ['{"k": 95}', None, "not json", '{"other": 1}', '{"k": -99}', '{"k": 90}'],
+                pa.string(),
+            ),
+        }
+    )
+    eng = _props_extract_batch(t).to_pandas()
+    con = duckdb.connect()
+    con.register("events", t.to_pandas())
+    ora = con.sql(PROPS_EXTRACT_SQL).df()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=False
+    )
+    assert eng.event_id.tolist() == [1, 6]
