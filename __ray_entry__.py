@@ -501,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_users": _q_approx_users,
         # vector aggregation (embeddings table)
         "label_vector_sums": _vec.label_vector_sums,
+        "label_centroids": _vec.label_centroid_rows,
         # composed corpus-hygiene flagship (dedup → quality gate)
         "corpus_clean": _corpus.corpus_clean,
         "training_mix": _corpus.training_mix,
@@ -811,6 +812,7 @@ FROM _ch
         "events_user_gaps": _ev.USER_GAPS_SQL,
         "events_props_extract": _ev.PROPS_EXTRACT_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
+        "label_centroids": _vec.LABEL_CENTROIDS_SQL,
         "corpus_clean": _corpus.CORPUS_CLEAN_SQL,
         "training_mix": _corpus.TRAINING_MIX_SQL,
         "token_pack": _corpus.TOKEN_PACK_SQL,

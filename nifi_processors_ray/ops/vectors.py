@@ -85,6 +85,46 @@ def label_vector_sums(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+LABEL_CENTROIDS_SQL = f"""
+WITH s AS (
+  SELECT CAST(label AS BIGINT) AS label, ord AS dim,
+         CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS BIGINT) AS comp_sum,
+         COUNT(*) AS n_vecs
+  FROM (
+    SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS ord
+    FROM embeddings
+  )
+  GROUP BY label, ord
+)
+SELECT label, dim, n_vecs,
+       CAST(comp_sum AS DOUBLE) / ({QUANT} * CAST(n_vecs AS DOUBLE)) AS centroid
+FROM s
+ORDER BY label, dim
+"""
+
+
+def label_centroid_rows(sf_dir: str) -> ray.data.Dataset:
+    """Per-label mean embedding as flat (label, dim, centroid) rows —
+    the float finish over the exact quantized sums, so the division is
+    the only float op and is bit-identical to the SQL twin's.  The
+    grouped-vector-mean primitive (class centroids for IVF seeding,
+    per-source embedding drift)."""
+
+    def finish(b: pa.Table) -> pa.Table:
+        comp = np.asarray(b.column("comp_sum"), dtype=np.float64)
+        n = np.asarray(b.column("n_vecs"), dtype=np.float64)
+        return pa.table(
+            {
+                "label": b.column("label"),
+                "dim": b.column("dim"),
+                "n_vecs": b.column("n_vecs"),
+                "centroid": pa.array(comp / (QUANT * n), pa.float64()),
+            }
+        )
+
+    return label_vector_sums(sf_dir).map_batches(finish, batch_format="pyarrow")
+
+
 def label_centroids(sf_dir: str) -> pa.Table:
     """Float centroids per label (driver-side finish over the tiny sums)."""
     sums = pa.Table.from_pylist(label_vector_sums(sf_dir).take_all())
