@@ -149,6 +149,19 @@ def cmd_bootstrap(args) -> int:
     return 0
 
 
+def cmd_reprocess(args) -> int:
+    """Re-drive the dead-letter quarantine through the merge after an
+    operator fixed the fault (the failure-relationship re-queue)."""
+    _ensure_ray()
+    eng = _engine(args)
+    res = eng.reprocess_deadletters()
+    if res is None:
+        print(json.dumps({"reprocessed": 0, "epoch": None}))
+    else:
+        print(json.dumps({"reprocessed": res.n_applied, "epoch": res.epoch}))
+    return 0
+
+
 def cmd_expire(args) -> int:
     eng = _engine(args)
     print(json.dumps({"expired": eng.expire_snapshots(args.keep_last)}))
@@ -178,6 +191,7 @@ def main(argv: list[str] | None = None) -> int:
         ("metrics", cmd_metrics),
         ("vacuum", cmd_vacuum),
         ("bootstrap", cmd_bootstrap),
+        ("reprocess", cmd_reprocess),
         ("expire", cmd_expire),
         ("changes", cmd_changes),
     ):

@@ -376,6 +376,93 @@ class CdcEngine:
                 partitions_touched=sum(1 for r in rows if r["n_applied"] > 0),
             )
 
+    def reprocess_deadletters(self) -> EpochResult | None:
+        """Re-drive quarantined rows through the merge — the reference's
+        failure-relationship re-queue (a NiFi operator routes the failure
+        queue back into the processor after fixing the fault; here the
+        quarantine directory IS that queue).
+
+        Correctness contract:
+        - quarantined rows keep their ORIGINAL seq, and the merge resolves
+          by seq (LWW), so re-applying an old change can never clobber a
+          newer applied update for the same (conv_id, turn_idx);
+        - the watermark filter is bypassed (an empty watermark map rides
+          the broadcast manifest) — quarantined seqs sit at/below the
+          global watermark by construction, the normal path would drop
+          them silently;
+        - the commit atomically removes the reprocessed quarantine files
+          from the manifest; rows that fail AGAIN re-quarantine under
+          this epoch's paths (nothing is ever lost, only moved);
+        - runs as a normal 2PC epoch under the writer lock: a crash
+          before commit leaves the old manifest (rerun is idempotent);
+          watermarks are preserved, so the tail resumes exactly where it
+          was.
+
+        Returns None when the quarantine is empty.
+        """
+        with self.store.writer_lock():
+            man = self.current_manifest()
+            old_rels = list(man.deadletter_files)
+            if not old_rels:
+                return None
+            epoch = man.epoch + 1
+            paths = [os.path.join(self.cfg.lake_dir, r) for r in old_rels]
+            P, S = self.cfg.num_partitions, self.cfg.salt_factor
+
+            def requeue(b: pa.Table) -> pa.Table:
+                # quarantined rows are the post-validate VALID rows; the
+                # merge's split_rejects expects the (all-null here)
+                # reject_reason marker back
+                return b.append_column(
+                    "reject_reason", pa.nulls(b.num_rows, pa.string())
+                )
+
+            # columns pinned from the footers (keeps enrichment columns,
+            # excludes the hive-inferred epoch=N path segment)
+            names: list[str] = []
+            for p in paths:
+                for n in pq.read_schema(p).names:
+                    if n not in names:
+                        names.append(n)
+            ds = (
+                ray.data.read_parquet(paths, columns=names)
+                .map_batches(requeue, batch_format="pyarrow")
+                .map_batches(
+                    add_partition_column,
+                    batch_format="pyarrow",
+                    fn_kwargs={"num_partitions": P, "salt_factor": S},
+                )
+            )
+            # empty watermark map = no seq floor (see contract above)
+            manifest_ref = ray.put({"watermarks": {}, "files": man.files, "rows": man.rows})
+            fn_kwargs = {
+                "lake_dir": self.cfg.lake_dir,
+                "epoch": epoch,
+                "manifest_ref": manifest_ref,
+                "mode": self.cfg.merge_mode,
+                "compact_threshold": self.cfg.compact_threshold,
+                "policy": self.cfg.merge_policy,
+                "max_attempts": self.cfg.max_attempts,
+                "target_rows_per_file": self.cfg.target_rows_per_file,
+                "staging_dir": self.cfg.staging_dir,
+            }
+            rows = (
+                ds.groupby(PARTITION_COL)
+                .map_groups(apply_merge_group, batch_format="pyarrow", fn_kwargs=fn_kwargs)
+                .take_all()
+            )
+            self._commit(
+                man, epoch, man.min_watermark, rows, clear_deadletters=old_rels
+            )
+            return EpochResult(
+                epoch=epoch,
+                seq_lo=man.min_watermark,
+                seq_hi=man.min_watermark,
+                n_applied=sum(r["n_applied"] for r in rows),
+                n_rejected=sum(r["n_rejected"] for r in rows),
+                partitions_touched=sum(1 for r in rows if r["n_applied"] > 0),
+            )
+
     def replay(self, max_epochs: int | None = None) -> list[EpochResult]:
         """Replay until caught up with the log head (or max_epochs)."""
         results = []
@@ -433,12 +520,26 @@ class CdcEngine:
             cpus = 8
         return max(2 * cpus, self.cfg.num_partitions)
 
-    def _commit(self, man: Manifest, epoch: int, hi: int, lineage_rows: list[dict]) -> None:
+    def _commit(
+        self,
+        man: Manifest,
+        epoch: int,
+        hi: int,
+        lineage_rows: list[dict],
+        *,
+        clear_deadletters: list[str] | None = None,
+    ) -> None:
         files = dict(man.files)
         rows_count = dict(man.rows)
         rejected_files = list(man.rejected_files)
         lineage_files = list(man.lineage_files)
         deadletter_files = list(man.deadletter_files)
+        if clear_deadletters:
+            # reprocessed quarantine files leave the live set atomically
+            # with this commit (a crash before it changes nothing); rows
+            # that failed AGAIN re-enter below under this epoch's paths
+            drop = set(clear_deadletters)
+            deadletter_files = [f for f in deadletter_files if f not in drop]
 
         for r in lineage_rows:
             p = r["partition"]

@@ -70,3 +70,54 @@ def test_deadletter_rows_are_replayable(engine):
     # the quarantined rows are full change events (seq/op/keys intact)
     assert {"seq", "op", "conv_id", "turn_idx"} <= set(dl.columns)
     assert (dl["seq"] > man.min_watermark).all()
+
+
+def test_reprocess_deadletters_converges_after_fix(engine, ray_session, tmp_path):
+    """The failure-relationship re-queue: quarantine under a fault, FIX
+    the fault, reprocess — the lake converges to the full-log oracle,
+    the quarantine empties, and the reprocess epoch is in lineage."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    from nifi_processors_ray.oracle import apply_changelog
+
+    res1 = engine.run_epoch()
+    man = engine.store.latest()
+    victim = min(p for p, fs in man.files.items() if fs)
+    path = os.path.join(engine.cfg.lake_dir, man.files[victim][0])
+    backup = str(tmp_path / "backup.parquet")
+    shutil.copy(path, backup)
+    with open(path, "wb") as f:
+        f.write(b"junk")
+
+    res2 = engine.run_epoch()
+    assert engine.store.latest().deadletter_files, "victim must quarantine"
+    quarantined = engine.deadletter().count()
+    assert quarantined > 0
+
+    # the fix: restore the corrupted prior file
+    shutil.copy(backup, path)
+
+    res3 = engine.reprocess_deadletters()
+    assert res3 is not None
+    assert res3.n_applied == quarantined
+
+    man3 = engine.store.latest()
+    assert man3.deadletter_files == [], "quarantine must empty on success"
+    # watermark unchanged: the tail resumes exactly where it was
+    assert man3.min_watermark == engine.store.at_epoch(res2.epoch).min_watermark
+
+    # converged state equals the naive full-log oracle
+    from nifi_processors_ray.schema import CHANGELOG_SCHEMA, align_to_schema
+
+    logs = sorted(glob.glob(os.path.join(engine.cfg.changelog_paths[0], "*.parquet")))
+    log = pa.concat_tables(
+        align_to_schema(pq.read_table(p), CHANGELOG_SCHEMA) for p in logs
+    )
+    oracle = apply_changelog(log).to_pandas().reset_index(drop=True)
+    final = engine.final_state(sort=True).to_pandas().reset_index(drop=True)
+    assert final.equals(oracle), "reprocessed lake != oracle"
+
+    # idempotent: nothing left to reprocess
+    assert engine.reprocess_deadletters() is None
