@@ -454,6 +454,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ROLLUP grouping sets + calendar bucketing
         "pricing_rollup": _rel.pricing_rollup,
         "orders_monthly_volume": _rel.orders_monthly_volume,
+        # window-over-aggregate (YoY LAG) + grouped-stddev anomaly routing
+        "orders_yoy_growth": _rel.orders_yoy_growth,
+        "events_user_outliers": _rel.events_user_outliers,
         # joins beyond broadcast: co-partitioned shuffle join, top-N per
         # group, range (interval) join
         "order_priority_revenue": _joins.order_priority_revenue,
@@ -782,6 +785,8 @@ FROM _ch
         "orders_running_total": _rel.ORDERS_RUNNING_TOTAL_SQL,
         "pricing_rollup": _rel.PRICING_ROLLUP_SQL,
         "orders_monthly_volume": _rel.ORDERS_MONTHLY_VOLUME_SQL,
+        "orders_yoy_growth": _rel.ORDERS_YOY_SQL,
+        "events_user_outliers": _rel.USER_OUTLIERS_SQL,
         "order_priority_revenue": _joins.ORDER_PRIORITY_REVENUE_SQL,
         "top_orders_per_cust": _joins.TOP_ORDERS_PER_CUST_SQL,
         "quantity_band_counts": _joins.QUANTITY_BAND_COUNTS_SQL,

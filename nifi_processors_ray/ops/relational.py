@@ -993,3 +993,179 @@ def customer_balance_pctile(sf_dir: str, *, sort: bool = True) -> ray.data.Datas
     return (
         null_safe_sort(out, ["c_nationkey", "bal_cents", "c_custkey"]) if sort else out
     )
+
+
+# ---------------------------------------------------------------------------
+# year-over-year growth: LAG over a distributed aggregate
+# ---------------------------------------------------------------------------
+
+ORDERS_YOY_SQL = """
+WITH y AS (
+  SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY yr
+)
+SELECT yr, rev_cents,
+       rev_cents - LAG(rev_cents) OVER (ORDER BY yr) AS yoy_cents,
+       CAST(rev_cents AS DOUBLE) / CAST(LAG(rev_cents) OVER (ORDER BY yr) AS DOUBLE)
+         AS yoy_ratio
+FROM y
+ORDER BY yr
+"""
+
+
+def orders_yoy_growth(sf_dir: str) -> pa.Table:
+    """Year-over-year revenue growth — the window-over-aggregate
+    composition.  The distributed part is the revenue rollup (per-batch
+    int64-cents partials, one tiny groupby of ≤years rows); the LAG runs
+    on the driver over the handful of year rows, where a shuffle would
+    be pure overhead.  Ratio is one double division of exact ints, so
+    it matches the twin bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "yr": pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
+                    "rev_cents": floored_cents(b.column("o_totalprice")),
+                }
+            )
+            .group_by(["yr"])
+            .aggregate([("rev_cents", "sum")])
+        )
+        return pa.table({"yr": g.column("yr"), "rev_cents": g.column("rev_cents_sum")})
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("yr")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["yr"])
+    yr = np.array([r["yr"] for r in rows], dtype=np.int64)
+    rev = np.array([r["rev_cents"] for r in rows], dtype=np.int64)
+    prev_valid = np.ones(len(rows), dtype=bool)
+    prev_valid[0:1] = False
+    prev = np.concatenate([[0], rev[:-1]])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = rev.astype(np.float64) / prev.astype(np.float64)
+    return pa.table(
+        {
+            "yr": pa.array(yr),
+            "rev_cents": pa.array(rev),
+            "yoy_cents": pa.array(rev - prev, pa.int64(), mask=~prev_valid),
+            "yoy_ratio": pa.array(ratio, pa.float64(), mask=~prev_valid),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-user z-score outlier routing (grouped stddev + join-back)
+# ---------------------------------------------------------------------------
+
+OUTLIER_MIN_EVENTS = 5
+OUTLIER_SIGMA = 2.0
+
+USER_OUTLIERS_SQL = f"""
+WITH c AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         CAST(SUM(cents * cents) AS BIGINT) AS s2
+  FROM c GROUP BY user_id
+)
+SELECT c.event_id, c.user_id, c.cents
+FROM c JOIN s USING (user_id)
+WHERE s.n >= {OUTLIER_MIN_EVENTS}
+  AND CAST(c.cents AS DOUBLE) >
+      CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)
+      + {OUTLIER_SIGMA} * sqrt(
+          (CAST(s.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)
+           - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
+          / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)))
+ORDER BY event_id
+"""
+
+
+def _outlier_block(block: pa.Table) -> pa.Table:
+    """Per co-located user run: population mean/stddev from exact int64
+    sums, route rows above mean + OUTLIER_SIGMA·σ.  The grouped-stats
+    join-back without a join: stats and routing happen in ONE pass over
+    the run (``np.add.reduceat`` per-run sums, broadcast by repeat)."""
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+        }
+    )
+    n_rows = block.num_rows
+    if n_rows == 0:
+        return empty
+    b = block.sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+    uid = np.asarray(b.column("user_id"))
+    cents = np.asarray(b.column("cents"))
+    new_run = np.concatenate([[True], uid[1:] != uid[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n_rows]]))
+    s1 = np.add.reduceat(cents, starts)
+    s2 = np.add.reduceat(cents * cents, starts)
+    n = run_len.astype(np.float64)
+    mean = s1.astype(np.float64) / n
+    var = (n * s2.astype(np.float64) - s1.astype(np.float64) * s1.astype(np.float64)) / (
+        n * n
+    )
+    thr = mean + OUTLIER_SIGMA * np.sqrt(var)
+    run_id = np.cumsum(new_run) - 1
+    keep = (run_len[run_id] >= OUTLIER_MIN_EVENTS) & (
+        cents.astype(np.float64) > thr[run_id]
+    )
+    out = b.filter(pa.array(keep))
+    return pa.table(
+        {
+            "event_id": out.column("event_id"),
+            "user_id": out.column("user_id"),
+            "cents": out.column("cents"),
+        }
+    )
+
+
+def events_user_outliers(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Per-user value-anomaly routing: events more than OUTLIER_SIGMA
+    population standard deviations above the user's mean (users with
+    < OUTLIER_MIN_EVENTS events are never flagged).  ONE sort exchange
+    on user_id co-locates each user's history; stats and routing are a
+    single vectorized block pass — no second scan, no stats join.  All
+    sums are exact int64, so the threshold comparison is bit-identical
+    to the SQL twin's."""
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": b.column("event_id").cast(pa.int64()),
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "cents": floored_cents(b.column("value")),
+            }
+        )
+        mask = pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("cents")))
+        return t.filter(mask)
+
+    out = checked_sort(ds.map_batches(project, batch_format="pyarrow"), "user_id").map_batches(
+        _outlier_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("event_id") if sort else out

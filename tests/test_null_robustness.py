@@ -41,6 +41,7 @@ TARGETS = [
     "active_customer_ids",
     "inactive_customer_ids", "all_actor_ids", "customer_activity_full",
     "events_user_enrich", "events_asof_order", "customer_spend_deciles",
+    "events_user_outliers", "events_props_extract",
 ]
 
 
