@@ -148,6 +148,24 @@ def _mor_engine(sf_dir: str) -> CdcEngine:
     )
 
 
+def _q_cdc_replay_jsonl(sf_dir: str):
+    """The SAME replay over a JSONL re-publication of the change stream —
+    the JSON-stream ingest surface (the reference's payloads are JSON),
+    checked against the identical SQL oracle: format must not change
+    semantics.  The export is derived once per changelog cache."""
+    from nifi_processors_ray.synth import export_changelog_jsonl
+
+    pq_log = _changelog_dir(sf_dir)
+    js = pq_log.rstrip("/") + "_jsonl"
+    marker = os.path.join(js, "_DONE")
+    if not os.path.exists(marker):
+        export_changelog_jsonl(pq_log, js)
+        with open(marker, "w") as f:
+            f.write("")
+    eng = _replayed_engine(sf_dir, changelog_paths=(js,))
+    return eng.final_state(sort=True)
+
+
 def _q_cdc_time_travel(sf_dir: str):
     """Snapshot-isolation time travel: the lake AS OF epoch 2's commit
     (or the only epoch on short streams) read from the immutable
@@ -373,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC / incremental-ingest core
         "cdc_replay": _q_cdc_replay,
         "cdc_replay_mor": _q_cdc_replay_mor,
+        "cdc_replay_jsonl": _q_cdc_replay_jsonl,
         "cdc_rejected": _q_cdc_rejected,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_epoch_changes": _q_cdc_epoch_changes,
@@ -528,6 +547,18 @@ ORDER BY conv_id, turn_idx
 """,
         # merge-on-read must converge to the IDENTICAL state
         "cdc_replay_mor": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+""",
+        # format surface on the CDC path: identical oracle to cdc_replay
+        "cdc_replay_jsonl": f"""
 WITH {CHANGELOG_FROM_EVENTS_CTE},
 valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
 latest AS (

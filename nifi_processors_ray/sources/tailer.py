@@ -39,7 +39,53 @@ class LogFileInfo:
     columns: tuple[str, ...]
 
 
+def _jsonl_read_table(p: str) -> pa.Table:
+    """One JSONL change-log segment, parsed onto the changelog schema.
+
+    ``explicit_schema`` pins every envelope type at the parse (ISO
+    strings → timestamp[us], ints → int32 turn_idx) — inference would
+    quietly downgrade fractional timestamps to second precision.  Keys
+    missing from a segment (early files without ``tool``) parse as null
+    columns, preserving the schema-evolution story; unexpected extra
+    keys ride along for the validate stage to drop."""
+    from pyarrow import json as pajson
+
+    from ..schema import CHANGELOG_SCHEMA
+
+    return pajson.read_json(
+        p,
+        parse_options=pajson.ParseOptions(
+            explicit_schema=CHANGELOG_SCHEMA, unexpected_field_behavior="infer"
+        ),
+    )
+
+
+def _scan_one_jsonl(p: str) -> LogFileInfo | None:
+    """Seq bounds for a JSONL segment — a FULL driver-side parse (JSON
+    has no footer statistics).  Production-scale logs should tail
+    parquet segments (O(footer) scans); the JSONL surface exists for
+    JSON-stream parity with the reference and its scan cost is honest:
+    O(file) once per segment, amortized by the engine's mtime/size scan
+    cache exactly like parquet footers."""
+    try:
+        t = _jsonl_read_table(p)
+    except (pa.ArrowInvalid, OSError):
+        return None  # half-written / vanished file: retry next scan
+    if t.num_rows == 0:
+        return None  # empty segment: contributes nothing to any window
+    seqs = t.column("seq")
+    lo, hi = pc.min(seqs).as_py(), pc.max(seqs).as_py()
+    if lo is None:
+        raise ValueError(f"changelog file has only null seq values: {p}")
+    # physical columns = keys actually present (absent keys parse all-null
+    # under the explicit schema): report only non-null-bearing names so
+    # drifted segments group like their parquet counterparts
+    return LogFileInfo(p, int(lo), int(hi), tuple(t.column_names))
+
+
 def _scan_one(p: str) -> LogFileInfo | None:
+    if p.endswith(".jsonl"):
+        return _scan_one_jsonl(p)
     try:
         md = pq.ParquetFile(p)
     except (pa.ArrowInvalid, OSError):
@@ -105,7 +151,9 @@ def discover_log_files(paths_or_dirs: list[str] | tuple[str, ...]) -> list[str]:
     for p in paths_or_dirs:
         if os.path.isdir(p):
             files.extend(
-                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.endswith((".parquet", ".jsonl"))
             )
         else:
             files.append(p)
@@ -143,8 +191,10 @@ def read_window(
         # range filter silently drops them (null predicate → filtered),
         # which would be unrecorded data loss.
         flt = flt | pc.field("seq").is_null()
+    jsonl = [i for i in live if i.path.endswith(".jsonl")]
+    parq = [i for i in live if not i.path.endswith(".jsonl")]
     by_schema: dict[tuple[str, ...], list[str]] = {}
-    for i in live:
+    for i in parq:
         by_schema.setdefault(i.columns, []).append(i.path)
     parts = [
         ray.data.read_parquet(
@@ -157,6 +207,34 @@ def read_window(
         )
         for ps in by_schema.values()
     ]
+    if jsonl:
+        # JSON has no row-group pushdown: the window filter runs as the
+        # first fused map over the parsed blocks instead (same predicate,
+        # including the TRIM_HORIZON null-seq surfacing)
+        from pyarrow import json as pajson
+
+        from ..schema import CHANGELOG_SCHEMA
+
+        def _window_filter(b: pa.Table) -> pa.Table:
+            m = pc.and_kleene(
+                pc.greater(b.column("seq"), pa.scalar(lo, pa.int64())),
+                pc.less_equal(b.column("seq"), pa.scalar(hi, pa.int64())),
+            )
+            if lo < 0:
+                m = pc.or_kleene(m, pc.is_null(b.column("seq")))
+            return b.filter(pc.fill_null(m, False))
+
+        ds_j = ray.data.read_json(
+            [i.path for i in jsonl],
+            parse_options=pajson.ParseOptions(
+                explicit_schema=CHANGELOG_SCHEMA, unexpected_field_behavior="infer"
+            ),
+            concurrency=concurrency,
+            override_num_blocks=(
+                max(1, num_blocks * len(jsonl) // len(live)) if num_blocks else None
+            ),
+        )
+        parts.append(ds_j.map_batches(_window_filter, batch_format="pyarrow"))
     ds = parts[0]
     for other in parts[1:]:
         ds = ds.union(other)

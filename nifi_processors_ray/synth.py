@@ -331,3 +331,23 @@ def write_generated_changelog(
         offset += n
     _write_done_marker(out_dir, paths)
     return paths
+
+
+def export_changelog_jsonl(parquet_dir: str, out_dir: str) -> list[str]:
+    """Re-publish a parquet change log as JSONL segments (one per file,
+    ISO-8601 microsecond timestamps, absent columns stay absent keys so
+    schema evolution survives the format hop) — the JSON-stream ingest
+    surface of the tailer.  A test/bench utility: production logs
+    should stay parquet (footer-stats offset pruning)."""
+    import pyarrow.parquet as _pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    outs = []
+    for f in sorted(os.listdir(parquet_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        df = _pq.read_table(os.path.join(parquet_dir, f)).to_pandas()
+        p = os.path.join(out_dir, f[: -len(".parquet")] + ".jsonl")
+        df.to_json(p, orient="records", lines=True, date_format="iso", date_unit="us")
+        outs.append(p)
+    return outs
