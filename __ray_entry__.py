@@ -420,6 +420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_redact": _text.text_redact,
         # per-doc repetition quality signals (dup words, top bigram)
         "doc_repetition": _text.doc_repetition,
+        # integer TF-IDF salient terms (2 sort exchanges, df = run length)
+        "doc_top_terms": _text.doc_top_terms,
         # corpus governance accounting per (source, lang)
         "corpus_source_rollup": _text.corpus_source_rollup,
         # deduplication
@@ -499,6 +501,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_median_cont": _ev.median_cont,
         "events_heavy_users": _q_heavy_users,
         "events_user_gaps": _ev.user_gaps,
+        # broadcast-aggregate self-join: ±1-minute neighborhood counts
+        "events_local_density": _ev.local_density,
+        # grouped linear regression from exact integer moment sums
+        "events_user_trend": _ev.user_trend,
         # ExtractText/RouteOnAttribute: typed regex extraction + routing
         "events_props_extract": _ev.props_extract,
         "pricing_unpivot": _rel.pricing_unpivot,
@@ -782,6 +788,7 @@ FROM _ch
         "top_ngrams": _text.TOP_NGRAMS_SQL,
         "text_redact": _text.TEXT_REDACT_SQL,
         "doc_repetition": _text.DOC_REPETITION_SQL,
+        "doc_top_terms": _text.DOC_TOP_TERMS_SQL,
         "corpus_source_rollup": _text.SOURCE_ROLLUP_SQL,
         "part_price_rank": _rel.PART_PRICE_RANK_SQL,
         "customer_balance_pctile": _rel.BALANCE_PCTILE_SQL,
@@ -846,6 +853,8 @@ FROM _ch
         "pricing_cube": _rel.PRICING_CUBE_SQL,
         "events_median_cont": _ev.MEDIAN_CONT_SQL,
         "events_user_gaps": _ev.USER_GAPS_SQL,
+        "events_local_density": _ev.LOCAL_DENSITY_SQL,
+        "events_user_trend": _ev.USER_TREND_SQL,
         "events_props_extract": _ev.PROPS_EXTRACT_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "label_centroids": _vec.LABEL_CENTROIDS_SQL,

@@ -1774,3 +1774,212 @@ def props_extract(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     )
     out = ds.map_batches(_props_extract_batch, batch_format="pyarrow")
     return out.sort("event_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# local temporal density (broadcast-aggregate join)
+# ---------------------------------------------------------------------------
+
+_US_PER_MINUTE = 60_000_000
+
+LOCAL_DENSITY_SQL = f"""
+WITH mc AS (
+  SELECT CAST(epoch_us(ts) // {_US_PER_MINUTE} AS BIGINT) AS m, COUNT(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY m
+)
+SELECT e.event_id,
+       CAST(COALESCE(SUM(mc.c), 0) AS BIGINT) AS n_nearby
+FROM events e
+LEFT JOIN mc ON e.ts IS NOT NULL
+            AND mc.m BETWEEN CAST(epoch_us(e.ts) // {_US_PER_MINUTE} AS BIGINT) - 1
+                         AND CAST(epoch_us(e.ts) // {_US_PER_MINUTE} AS BIGINT) + 1
+GROUP BY e.event_id
+ORDER BY e.event_id
+"""
+
+
+def _minute_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch minute-bucket count partials (null-ts rows excluded —
+    they can't join in the twin either)."""
+    ts = batch.column("ts").cast(pa.int64()).drop_null()
+    if len(ts) == 0:
+        return pa.table({"m": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+    m = _truncdiv(np.asarray(ts.combine_chunks()), _US_PER_MINUTE)
+    g = pa.table({"m": pa.array(m)}).group_by(["m"]).aggregate([([], "count_all")])
+    return pa.table({"m": g.column("m"), "c": g.column("count_all").cast(pa.int64())})
+
+
+def _density_lookup(batch: pa.Table, hist_ref) -> pa.Table:
+    """Resolve each event's ±1-minute neighborhood count against the
+    broadcast histogram — three vectorized searchsorted probes, rows
+    never shuffle."""
+    import ray as _ray
+
+    keys, counts = _ray.get(hist_ref) if isinstance(hist_ref, _ray.ObjectRef) else hist_ref
+    ts = batch.column("ts").cast(pa.int64())
+    valid = np.asarray(pc.is_valid(ts).combine_chunks())
+    m = _truncdiv(np.asarray(pc.fill_null(ts, 0).combine_chunks()), _US_PER_MINUTE)
+    total = np.zeros(batch.num_rows, dtype=np.int64)
+    for d in (-1, 0, 1):
+        idx = np.searchsorted(keys, m + d)
+        hit = (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == m + d)
+        total += np.where(hit, counts[np.minimum(idx, len(keys) - 1)], 0)
+    return pa.table(
+        {
+            "event_id": batch.column("event_id"),
+            "n_nearby": pa.array(np.where(valid, total, 0)),
+        }
+    )
+
+
+def local_density(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Per-event count of events in its ±1-minute neighborhood — the
+    broadcast-AGGREGATE join: instead of a self-interval-join that
+    shuffles every event twice, the engine reduces the stream to a
+    minute histogram (cardinality bounded by the TIME RANGE — ~526k
+    rows/year regardless of data volume, so it broadcasts at any scale),
+    ships it once via ``ray.put``, and each batch resolves its window
+    with three ``searchsorted`` probes.  The fact table never moves.
+    """
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    hist = (
+        null_safe_groupby_agg(
+            read_parquet_clean(path, columns=["ts"]).map_batches(
+                _minute_partials, batch_format="pyarrow"
+            ),
+            "m",
+            Sum("c", alias_name="c"),
+            out_types={"c": pa.int64()},
+        )
+        .sort("m")
+        .take_all()
+    )
+    keys = np.array([r["m"] for r in hist], dtype=np.int64)
+    counts = np.array([r["c"] for r in hist], dtype=np.int64)
+    import ray as _ray
+
+    hist_ref = _ray.put((keys, counts))
+    out = read_parquet_clean(path, columns=["event_id", "ts"]).map_batches(
+        _density_lookup, batch_format="pyarrow", fn_kwargs={"hist_ref": hist_ref}
+    )
+    return out.sort("event_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# grouped linear regression (per-user value trend) from exact integer sums
+# ---------------------------------------------------------------------------
+
+# x origin: 2024-01-01T00:00:00Z in epoch minutes — keeps x small enough
+# that every moment product stays far inside int64 (x ≤ ~526k/year,
+# y ≤ ~50k cents → x*y ≤ 2.6e10/row; a user needs >350M rows in one
+# group before n*Σxy can overflow, and the twin's BIGINT math would
+# raise loudly there rather than wrap).
+TREND_X0 = 1_704_067_200_000_000 // _US_PER_MINUTE
+
+USER_TREND_SQL = f"""
+WITH b AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // {_US_PER_MINUTE} AS BIGINT) - {TREND_X0} AS x,
+         CAST(FLOOR(value * 100) AS BIGINT) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+s AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM b GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM s
+WHERE n * sxx - sx * sx > 0
+ORDER BY user_id
+"""
+
+
+def _trend_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch per-user moment partials (n, Σx, Σy, Σxy, Σx²) — the
+    combiner: only 5 ints per (user, batch) reach the exchange."""
+    mask = pc.and_(
+        pc.and_(pc.is_valid(batch.column("user_id")), pc.is_valid(batch.column("ts"))),
+        pc.is_valid(batch.column("value")),
+    )
+    batch = batch.filter(mask)
+    x = _truncdiv(np.asarray(batch.column("ts").cast(pa.int64()).combine_chunks()),
+                  _US_PER_MINUTE) - TREND_X0
+    y = np.asarray(_cents(batch.column("value")))
+    t = pa.table(
+        {
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "x": pa.array(x),
+            "y": pa.array(y),
+            "xy": pa.array(x * y),
+            "xx": pa.array(x * x),
+        }
+    )
+    g = t.group_by(["user_id"]).aggregate(
+        [("x", "sum"), ("y", "sum"), ("xy", "sum"), ("xx", "sum"), ([], "count_all")]
+    )
+    return pa.table(
+        {
+            "user_id": g.column("user_id"),
+            "n": g.column("count_all").cast(pa.int64()),
+            "sx": g.column("x_sum"),
+            "sy": g.column("y_sum"),
+            "sxy": g.column("xy_sum"),
+            "sxx": g.column("xx_sum"),
+        }
+    )
+
+
+def _trend_finalize(batch: pa.Table) -> pa.Table:
+    """Closed-form least-squares numerator/denominator from the exact
+    integer moments.  Integer outputs only — the slope is num/den, left
+    to the consumer, so the oracle hash can never drift on float math."""
+    n = np.asarray(batch.column("n"))
+    sx = np.asarray(batch.column("sx"))
+    sy = np.asarray(batch.column("sy"))
+    sxy = np.asarray(batch.column("sxy"))
+    sxx = np.asarray(batch.column("sxx"))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    keep = den > 0
+    return pa.table(
+        {
+            "user_id": batch.column("user_id").filter(pa.array(keep)),
+            "n": pa.array(n[keep]),
+            "slope_num": pa.array(num[keep]),
+            "slope_den": pa.array(den[keep]),
+        }
+    )
+
+
+def user_trend(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Per-user least-squares trend of spend (cents) over time (minutes)
+    — grouped linear regression computed entirely from five integer
+    moment sums: per-batch combiner partials, ONE small groupby
+    exchange, then a vectorized closed-form finalize.  No row ever
+    shuffles; the result is integer-exact (slope = slope_num/slope_den).
+    Degenerate groups (all events in one minute → den = 0) are dropped,
+    matching the twin's HAVING filter."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    partials = ds.map_batches(_trend_partials, batch_format="pyarrow")
+    agg = null_safe_groupby_agg(
+        partials,
+        "user_id",
+        Sum("n", alias_name="n"),
+        Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"),
+        Sum("sxy", alias_name="sxy"),
+        Sum("sxx", alias_name="sxx"),
+        out_types={c: pa.int64() for c in ("n", "sx", "sy", "sxy", "sxx")},
+    )
+    out = agg.map_batches(_trend_finalize, batch_format="pyarrow")
+    return out.sort("user_id") if sort else out

@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..functions.debug import checked_sort
 from ..sources.reader import read_parquet as read_parquet_clean
 
 STOPWORDS = ("the", "a")
@@ -724,3 +725,158 @@ def corpus_source_rollup(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         out_types={"n_docs": pa.int64(), "chars": pa.int64(), "bpe_tokens": pa.int64()},
     )
     return null_safe_sort(out, ["source", "lang"]) if sort else out
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style salient terms per document (integer-exact scoring)
+# ---------------------------------------------------------------------------
+
+TOP_TERMS_K = 3
+
+# Integer rarity weighting: score = tf * (N_docs - df).  The classic
+# tf*log(N/df) ranks identically for a fixed tf when df is smaller, and
+# an all-integer score keeps the oracle value-hash IEEE-proof (no libm
+# log whose low bits could differ between DuckDB and numpy).
+DOC_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(lower(coalesce(text, '')), ' ')) AS term
+  FROM documents WHERE doc_id IS NOT NULL
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+-- N is the raw corpus row count (the engine reads it from the parquet
+-- footer), NOT the null-filtered count — keep the two in lockstep
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf * ((SELECT n_docs FROM n) - d.df) AS BIGINT) AS score
+  FROM tf t JOIN df d USING (term)
+)
+SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+WHERE rn <= {TOP_TERMS_K}
+ORDER BY doc_id, rn
+"""
+
+
+def _doc_term_tf(batch: pa.Table) -> pa.Table:
+    """Per-batch (doc_id, term, tf) rows.  Tokenization is the shared
+    lowercase-whitespace contract (same as :data:`TOP_NGRAMS_SQL`), and
+    Arrow's ``split_pattern`` matches DuckDB's ``str_split`` exactly on
+    the edges (empty text → [''], runs of spaces → empty terms) —
+    verified empirically.  Each document lives wholly in one batch, so
+    the per-batch (doc_id, term) group count is the doc's EXACT tf and
+    the pair is globally unique."""
+    batch = batch.filter(pc.is_valid(batch.column("doc_id")))
+    toks = pc.split_pattern(
+        pc.utf8_lower(pc.fill_null(batch.column("text"), "")), pattern=" "
+    ).combine_chunks()
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    doc = np.repeat(np.asarray(batch.column("doc_id"), dtype=np.int64), lens)
+    flat = pc.list_flatten(toks)
+    t = pa.table({"doc_id": pa.array(doc), "term": flat})
+    g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "doc_id": g.column("doc_id"),
+            "term": g.column("term"),
+            "tf": g.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+def _attach_df_block(block: pa.Table) -> pa.Table:
+    """One co-located term run = the term's FULL posting list ((doc_id,
+    term) is globally unique, so run length IS the document frequency).
+    Hot terms (stop words) make runs that must fit one block —
+    ``checked_sort``'s run-integrity repair coalesces up to worker
+    memory and fails loud beyond; the broadcast-df variant is the
+    escape hatch if a corpus ever exceeds that."""
+    n = block.num_rows
+    if n == 0:
+        return block.append_column("df", pa.array([], pa.int64()))
+    block = block.sort_by([("term", "ascending")])
+    term = block.column("term").combine_chunks().dictionary_encode()
+    codes = np.asarray(pc.fill_null(term.indices, -1), dtype=np.int64)
+    new_run = np.concatenate([[True], codes[1:] != codes[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    df = np.repeat(run_len, run_len).astype(np.int64)
+    return block.append_column("df", pa.array(df))
+
+
+def _top_terms_block(block: pa.Table, n_docs: int, k: int) -> pa.Table:
+    """Rank terms within each co-located doc run by (score desc, term
+    asc) and keep the top ``k`` — the same block-local window pattern as
+    the join family's top-N-per-group."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+            "rn": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    score = pc.multiply_checked(
+        block.column("tf"), pc.subtract_checked(pa.scalar(n_docs, pa.int64()), block.column("df"))
+    )
+    block = block.append_column("score", score)
+    block = block.sort_by(
+        [("doc_id", "ascending"), ("score", "descending"), ("term", "ascending")]
+    )
+    doc = np.asarray(block.column("doc_id"))
+    new_run = np.concatenate([[True], doc[1:] != doc[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    rn = np.arange(n, dtype=np.int64) - np.repeat(starts, run_len) + 1
+    keep = rn <= k
+    kept = block.filter(pa.array(keep))
+    return pa.table(
+        {
+            "doc_id": kept.column("doc_id"),
+            "term": kept.column("term"),
+            "tf": kept.column("tf"),
+            "df": kept.column("df"),
+            "score": kept.column("score"),
+            "rn": pa.array(rn[keep]),
+        }
+    )
+
+
+def doc_top_terms(sf_dir: str, *, k: int = TOP_TERMS_K, sort: bool = True) -> ray.data.Dataset:
+    """Top-``k`` salient terms per document by integer TF-IDF
+    (``tf * (N - df)``) — the keyword-extraction primitive for corpus
+    curation, distributed as TWO sort exchanges and zero broadcasts:
+
+    1. tokenize → per-batch exact (doc_id, term, tf) rows (each doc is
+       wholly in one batch);
+    2. exchange on ``term``: a co-located run is the term's full posting
+       list, so ``df`` = run length — the document-frequency join costs
+       no separate aggregate or broadcast;
+    3. exchange on ``doc_id``: block-local (score desc, term asc)
+       ranking keeps the top ``k`` per doc.
+
+    ``N`` (corpus size) comes from the parquet footer — no extra scan.
+    """
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    ds = read_parquet_clean(path, columns=["doc_id", "text"])
+    tf = ds.map_batches(_doc_term_tf, batch_format="pyarrow")
+    with_df = checked_sort(tf, "term").map_batches(
+        _attach_df_block, batch_format="pyarrow", batch_size=None
+    )
+    out = checked_sort(with_df, "doc_id").map_batches(
+        _top_terms_block, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"n_docs": n_docs, "k": k},
+    )
+    return out.sort(["doc_id", "rn"]) if sort else out

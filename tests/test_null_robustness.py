@@ -42,6 +42,7 @@ TARGETS = [
     "inactive_customer_ids", "all_actor_ids", "customer_activity_full",
     "events_user_enrich", "events_asof_order", "customer_spend_deciles",
     "events_user_outliers", "events_props_extract",
+    "events_local_density", "events_user_trend",
 ]
 
 
@@ -91,7 +92,7 @@ DOC_TARGETS = [
     "text_stats", "lang_id", "token_counts", "exact_dedup", "corpus_clean",
     "token_pack", "decontaminate", "text_redact", "top_ngrams",
     "training_mix", "jaccard_dup_pairs", "dedup_clusters", "doc_repetition",
-    "corpus_source_rollup",
+    "corpus_source_rollup", "doc_top_terms",
 ]
 
 
