@@ -24,6 +24,7 @@ from typing import Any
 from nifi_processors_ray.config import EngineConfig
 from nifi_processors_ray.ops import dedup as _dedup
 from nifi_processors_ray.ops import events as _ev
+from nifi_processors_ray.ops import chains as _chains
 from nifi_processors_ray.ops import joins as _joins
 from nifi_processors_ray.ops import profile as _prof
 from nifi_processors_ray.ops import relational as _rel
@@ -514,6 +515,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": _joins.brand_revenue,
         # 3-table join chain (the TPC-H Q3 shape): two co-partition exchanges
         "shipping_priority": _joins.shipping_priority,
+        # deep multi-hop chains (Q5/Q10 shapes, 3 resp. 2 sort exchanges)
+        "local_supplier_volume": _chains.local_supplier_volume,
+        "returned_item_revenue": _chains.returned_item_revenue,
         # benchmark decontamination (broadcast eval n-gram set, pure map)
         "decontaminate": _text.decontaminate,
         # ordered conversion funnel (the self-join-free chain evaluation)
@@ -843,6 +847,8 @@ FROM _ch
         "events_modal_type": _ev.MODAL_TYPE_SQL,
         "brand_revenue": _joins.BRAND_REVENUE_SQL,
         "shipping_priority": _joins.SHIPPING_PRIORITY_SQL,
+        "local_supplier_volume": _chains.LOCAL_SUPPLIER_VOLUME_SQL,
+        "returned_item_revenue": _chains.RETURNED_ITEM_REVENUE_SQL,
         "decontaminate": _text.DECONTAMINATE_SQL,
         "events_funnel": _ev.FUNNEL_SQL,
         "customer_spend_deciles": _rel.SPEND_DECILES_SQL,

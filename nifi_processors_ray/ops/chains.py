@@ -1,0 +1,600 @@
+"""Deep multi-hop join chains — the TPC-H Q5 / Q10 shapes.
+
+These compose the engine's one-sort-exchange join primitive
+(``ops/joins.py``) into 3-hop chains over five/six tables, the deepest
+relational pipelines in the library.  The scale rules they demonstrate:
+
+- FACT legs (orders, lineitem, and — at SF100k — supplier and customer)
+  never broadcast: each hop is ONE co-partitioned sort exchange whose
+  probe side ships per-batch partials (the combiner), so exchange volume
+  shrinks at every hop instead of growing.
+- The cross-chain equality ``c_nationkey = s_nationkey`` (Q5's defining
+  constraint) rides along as a small payload column through the chain
+  and is applied block-locally at the LAST hop — no extra exchange.
+- Genuinely tiny dims (nation: 25 rows, region: 5) are driver-read and
+  broadcast via ``ray.put``; their predicates collapse to key-set
+  filters pushed into the parquet scans.
+
+Reference semantics: the NiFi reference has no joins (SURVEY §2.4);
+these are the lakehouse-side analytics a CDC-fed warehouse runs.
+Numeric determinism vs the twins: revenue is floored cents (identical
+IEEE double op order both sides), every SUM is CAST back to BIGINT.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.debug import checked_sort
+from ..functions.money import discounted_floored_cents
+from ..sources.reader import read_parquet as read_parquet_clean
+
+# ---------------------------------------------------------------------------
+# Q5 shape: local-supplier volume per nation
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_LO = "1996-01-01"
+Q5_HI = "1997-01-01"
+
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n.n_name,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q5_HI}'
+GROUP BY n.n_name
+ORDER BY revenue_cents DESC, n.n_name
+"""
+
+
+def _region_nation_keys(sf_dir: str, region: str) -> tuple[list[int], pa.Table]:
+    """Driver-side read of the two genuinely tiny dims: the region's
+    nation keys (pushed into the customer/supplier scans) and the
+    (n_nationkey, n_name) lookup for the final label."""
+    import pyarrow.parquet as pq
+
+    sf = sf_dir.rstrip("/")
+    nation = pq.read_table(f"{sf}/nation.parquet")
+    region_t = pq.read_table(f"{sf}/region.parquet")
+    rkey = region_t.filter(pc.equal(region_t.column("r_name"), region)).column(
+        "r_regionkey"
+    )
+    in_region = nation.filter(pc.is_in(nation.column("n_regionkey"), value_set=rkey))
+    keys = in_region.column("n_nationkey").cast(pa.int64())
+    names = pa.table(
+        {"n_nationkey": keys, "n_name": in_region.column("n_name")}
+    )
+    return keys.to_pylist(), names
+
+
+def _q5_cust_side(batch: pa.Table) -> pa.Table:
+    """Hop-1 build: in-region customers → (custkey, their nationkey)."""
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("c_custkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "c_nat": batch.column("c_nationkey").cast(pa.int64()),
+            "o_orderkey": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q5_orders_side(batch: pa.Table) -> pa.Table:
+    """Hop-1 probe: date-filtered orders keyed by custkey."""
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("o_custkey").cast(pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "c_nat": pa.nulls(n, pa.int64()),
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+        }
+    )
+
+
+def _q5_hop1_block(block: pa.Table) -> pa.Table:
+    """Per custkey run (unique build key): emit each probe order tagged
+    with the customer's nationkey."""
+    empty = pa.table(
+        {"o_orderkey": pa.array([], pa.int64()), "c_nat": pa.array([], pa.int64())}
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
+    key = np.asarray(block.column("key"))
+    side = np.asarray(block.column("side"))
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    has_build = side[starts] == 0
+    build_idx = np.repeat(np.where(has_build, starts, -1), run_len)
+    keep = (side == 1) & (build_idx >= 0)
+    if not keep.any():
+        return empty
+    c_nat = np.asarray(pc.fill_null(block.column("c_nat"), -1).combine_chunks())
+    return pa.table(
+        {
+            "o_orderkey": block.column("o_orderkey").filter(pa.array(keep)),
+            "c_nat": pa.array(c_nat[build_idx[keep]]),
+        }
+    )
+
+
+def _q5_order_build_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("o_orderkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "c_nat": batch.column("c_nat"),
+            "suppkey": pa.nulls(n, pa.int64()),
+            "cents": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q5_lineitem_side(batch: pa.Table) -> pa.Table:
+    """Hop-2 probe pre-aggregated per (orderkey, suppkey) in the batch."""
+    t = pa.table(
+        {
+            "key": batch.column("l_orderkey").cast(pa.int64()),
+            "suppkey": batch.column("l_suppkey").cast(pa.int64()),
+            "cents": discounted_floored_cents(
+                batch.column("l_extendedprice"), batch.column("l_discount")
+            ),
+        }
+    )
+    g = t.group_by(["key", "suppkey"]).aggregate([("cents", "sum")])
+    m = g.num_rows
+    return pa.table(
+        {
+            "key": g.column("key"),
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "c_nat": pa.nulls(m, pa.int64()),
+            "suppkey": g.column("suppkey"),
+            "cents": g.column("cents_sum"),
+        }
+    )
+
+
+def _q5_hop2_block(block: pa.Table) -> pa.Table:
+    """Per orderkey run: tag lineitem partials with the order's customer
+    nation, then re-combine block-locally per (suppkey, c_nat) — the
+    exchange for hop 3 ships supplier-level partials, not lineitems."""
+    empty = pa.table(
+        {
+            "suppkey": pa.array([], pa.int64()),
+            "c_nat": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
+    key = np.asarray(block.column("key"))
+    side = np.asarray(block.column("side"))
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    has_build = side[starts] == 0
+    build_idx = np.repeat(np.where(has_build, starts, -1), run_len)
+    keep = (side == 1) & (build_idx >= 0)
+    if not keep.any():
+        return empty
+    c_nat = np.asarray(pc.fill_null(block.column("c_nat"), -1).combine_chunks())
+    t = pa.table(
+        {
+            "suppkey": block.column("suppkey").filter(pa.array(keep)),
+            "c_nat": pa.array(c_nat[build_idx[keep]]),
+            "cents": block.column("cents").filter(pa.array(keep)),
+        }
+    )
+    g = t.group_by(["suppkey", "c_nat"]).aggregate([("cents", "sum")])
+    return pa.table(
+        {
+            "suppkey": g.column("suppkey"),
+            "c_nat": g.column("c_nat"),
+            "cents": g.column("cents_sum"),
+        }
+    )
+
+
+def _q5_supp_side(batch: pa.Table) -> pa.Table:
+    """Hop-3 build: in-region suppliers → (suppkey, their nationkey)."""
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("s_suppkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "s_nat": batch.column("s_nationkey").cast(pa.int64()),
+            "c_nat": pa.nulls(n, pa.int64()),
+            "cents": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q5_partials_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("suppkey"),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "s_nat": pa.nulls(n, pa.int64()),
+            "c_nat": batch.column("c_nat"),
+            "cents": batch.column("cents"),
+        }
+    )
+
+
+def _q5_hop3_block(block: pa.Table) -> pa.Table:
+    """Per suppkey run: apply the chain-spanning LOCAL constraint
+    (customer nation == supplier nation) block-locally, then reduce to
+    per-nation revenue partials — ≤|nations-in-region| rows leave."""
+    empty = pa.table(
+        {
+            "n_nationkey": pa.array([], pa.int64()),
+            "revenue_cents": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
+    key = np.asarray(block.column("key"))
+    side = np.asarray(block.column("side"))
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    has_build = side[starts] == 0
+    build_idx = np.repeat(np.where(has_build, starts, -1), run_len)
+    s_nat = np.asarray(pc.fill_null(block.column("s_nat"), -1).combine_chunks())
+    c_nat = np.asarray(pc.fill_null(block.column("c_nat"), -2).combine_chunks())
+    keep = (side == 1) & (build_idx >= 0)
+    keep &= np.where(build_idx >= 0, s_nat[np.maximum(build_idx, 0)], -1) == c_nat
+    if not keep.any():
+        return empty
+    nat = s_nat[build_idx[keep]]
+    cents = np.asarray(pc.fill_null(block.column("cents"), 0).combine_chunks())[keep]
+    order = np.argsort(nat, kind="stable")
+    nat_sorted = nat[order]
+    cents_sorted = cents[order]
+    run_start = np.concatenate([[True], nat_sorted[1:] != nat_sorted[:-1]])
+    idx = np.nonzero(run_start)[0]
+    sums = np.add.reduceat(cents_sorted, idx)
+    return pa.table(
+        {
+            "n_nationkey": pa.array(nat_sorted[idx].astype(np.int64)),
+            "revenue_cents": pa.array(sums.astype(np.int64)),
+        }
+    )
+
+
+def local_supplier_volume(sf_dir: str) -> ray.data.Dataset:
+    """Local-supplier volume per nation (the TPC-H Q5 shape): revenue
+    from in-region customers buying from suppliers of their OWN nation,
+    over one order year — six tables, THREE chained sort exchanges:
+
+    1. custkey: region-filtered customers semi-tag date-filtered orders
+       with the customer's nationkey;
+    2. orderkey: surviving orders meet per-(orderkey, suppkey) lineitem
+       cents partials; re-combined per (suppkey, customer-nation);
+    3. suppkey: supplier nationkeys join, and the chain-spanning
+       ``c_nationkey = s_nationkey`` equality is applied block-locally —
+       only per-nation revenue partials leave the last hop.
+
+    nation/region (25 + 5 rows) are driver-read; their region predicate
+    is pushed into the customer and supplier scans as a key-set filter.
+    """
+    from ray.data.aggregate import Sum
+
+    sf = sf_dir.rstrip("/")
+    nat_keys, names = _region_nation_keys(sf, Q5_REGION)
+    lo = pa.scalar(np.datetime64(Q5_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Q5_HI, "us"), pa.timestamp("us"))
+
+    cust = read_parquet_clean(
+        f"{sf}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(nat_keys),
+    ).map_batches(_q5_cust_side, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    ).map_batches(_q5_orders_side, batch_format="pyarrow")
+    tagged_orders = checked_sort(cust.union(orders), "key").map_batches(
+        _q5_hop1_block, batch_format="pyarrow", batch_size=None
+    )
+
+    build2 = tagged_orders.map_batches(_q5_order_build_side, batch_format="pyarrow")
+    items = read_parquet_clean(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_q5_lineitem_side, batch_format="pyarrow")
+    supp_partials = checked_sort(build2.union(items), "key").map_batches(
+        _q5_hop2_block, batch_format="pyarrow", batch_size=None
+    )
+
+    supp = read_parquet_clean(
+        f"{sf}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(nat_keys),
+    ).map_batches(_q5_supp_side, batch_format="pyarrow")
+    probe3 = supp_partials.map_batches(_q5_partials_side, batch_format="pyarrow")
+    nation_partials = checked_sort(supp.union(probe3), "key").map_batches(
+        _q5_hop3_block, batch_format="pyarrow", batch_size=None
+    )
+
+    agg = nation_partials.groupby("n_nationkey").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents")
+    )
+    names_ref = ray.put(names)
+
+    def label(b: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref) if isinstance(names_ref, ray.ObjectRef) else names_ref
+        idx = pc.index_in(b.column("n_nationkey"), value_set=nm.column("n_nationkey"))
+        return pa.table(
+            {
+                "n_name": nm.column("n_name").take(idx),
+                "revenue_cents": b.column("revenue_cents"),
+            }
+        )
+
+    out = agg.map_batches(label, batch_format="pyarrow").sort(
+        ["revenue_cents", "n_name"], descending=[True, False]
+    )
+    # ≤ |nations-in-region| rows by construction: compact so an empty
+    # predicate window still presents the full output schema
+    from ..functions.blocks import compact_small_result
+
+    return compact_small_result(
+        out, pa.schema([("n_name", pa.string()), ("revenue_cents", pa.int64())])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-item revenue per customer (top 20)
+# ---------------------------------------------------------------------------
+
+Q10_LO = "1996-01-01"
+Q10_HI = "1996-04-01"
+Q10_TOP = 20
+
+RETURNED_ITEM_REVENUE_SQL = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '{Q10_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q10_HI}'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c.c_custkey
+LIMIT {Q10_TOP}
+"""
+
+
+def _q10_order_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("o_orderkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "custkey": batch.column("o_custkey").cast(pa.int64()),
+            "cents": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q10_lineitem_side(batch: pa.Table) -> pa.Table:
+    """Returned lineitems pre-aggregated per orderkey in the batch (the
+    returnflag predicate is pushed into the scan)."""
+    t = pa.table(
+        {
+            "key": batch.column("l_orderkey").cast(pa.int64()),
+            "cents": discounted_floored_cents(
+                batch.column("l_extendedprice"), batch.column("l_discount")
+            ),
+        }
+    )
+    g = t.group_by(["key"]).aggregate([("cents", "sum")])
+    m = g.num_rows
+    return pa.table(
+        {
+            "key": g.column("key"),
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "custkey": pa.nulls(m, pa.int64()),
+            "cents": g.column("cents_sum"),
+        }
+    )
+
+
+def _q10_hop1_block(block: pa.Table) -> pa.Table:
+    """Per orderkey run: fold returned-item cents onto the order's
+    custkey, pre-aggregated per custkey before the next exchange."""
+    empty = pa.table(
+        {"custkey": pa.array([], pa.int64()), "cents": pa.array([], pa.int64())}
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
+    key = np.asarray(block.column("key"))
+    side = np.asarray(block.column("side"))
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    has_build = side[starts] == 0
+    build_idx = np.repeat(np.where(has_build, starts, -1), run_len)
+    keep = (side == 1) & (build_idx >= 0)
+    if not keep.any():
+        return empty
+    cust = np.asarray(pc.fill_null(block.column("custkey"), -1).combine_chunks())
+    t = pa.table(
+        {
+            "custkey": pa.array(cust[build_idx[keep]]),
+            "cents": block.column("cents").filter(pa.array(keep)),
+        }
+    )
+    g = t.group_by(["custkey"]).aggregate([("cents", "sum")])
+    return pa.table({"custkey": g.column("custkey"), "cents": g.column("cents_sum")})
+
+
+def _q10_cust_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("c_custkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "c_name": batch.column("c_name"),
+            "c_nat": batch.column("c_nationkey").cast(pa.int64()),
+            "cents": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q10_rev_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("custkey"),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "c_name": pa.nulls(n, pa.string()),
+            "c_nat": pa.nulls(n, pa.int64()),
+            "cents": batch.column("cents"),
+        }
+    )
+
+
+def _q10_hop2_block(block: pa.Table) -> pa.Table:
+    """Per custkey run (unique build key): one output row per customer
+    with ≥1 revenue partial — the run holds ALL of the customer's
+    partials, so the sum is final (no further aggregate exchange)."""
+    empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "c_nat": pa.array([], pa.int64()),
+            "revenue_cents": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
+    key = np.asarray(block.column("key"))
+    side = np.asarray(block.column("side"))
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    has_build = side[starts] == 0
+    has_probe = run_len > has_build.astype(np.int64)
+    cents = np.asarray(pc.fill_null(block.column("cents"), 0).combine_chunks())
+    run_cents = np.add.reduceat(cents, starts)
+    keep = has_build & has_probe
+    if not keep.any():
+        return empty
+    idx = pa.array(starts[keep].astype(np.int64))
+    return pa.table(
+        {
+            "c_custkey": pa.array(key[starts[keep]].astype(np.int64)),
+            "c_name": block.column("c_name").take(idx),
+            "c_nat": block.column("c_nat").take(idx),
+            "revenue_cents": pa.array(run_cents[keep].astype(np.int64)),
+        }
+    )
+
+
+def returned_item_revenue(sf_dir: str, n_top: int = Q10_TOP) -> ray.data.Dataset:
+    """Top-``n_top`` customers by returned-item revenue in one quarter
+    (the TPC-H Q10 shape): orders ⋈ lineitem('R') ⋈ customer ⋈ nation
+    through two chained sort exchanges (orderkey, then custkey), with
+    the 25-row nation dim broadcast for the final label.  Each hop's
+    probe side ships per-batch cents partials; the final top-k sort sees
+    one row per customer with returns, never a lineitem."""
+    import pyarrow.parquet as pq
+
+    sf = sf_dir.rstrip("/")
+    lo = pa.scalar(np.datetime64(Q10_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Q10_HI, "us"), pa.timestamp("us"))
+
+    orders = read_parquet_clean(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    ).map_batches(_q10_order_side, batch_format="pyarrow")
+    items = read_parquet_clean(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == "R",
+    ).map_batches(_q10_lineitem_side, batch_format="pyarrow")
+    rev = checked_sort(orders.union(items), "key").map_batches(
+        _q10_hop1_block, batch_format="pyarrow", batch_size=None
+    )
+
+    cust = read_parquet_clean(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).map_batches(_q10_cust_side, batch_format="pyarrow")
+    probe = rev.map_batches(_q10_rev_side, batch_format="pyarrow")
+    per_cust = checked_sort(cust.union(probe), "key").map_batches(
+        _q10_hop2_block, batch_format="pyarrow", batch_size=None
+    )
+
+    nation = pq.read_table(
+        f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nation = nation.set_column(
+        0, "n_nationkey", nation.column("n_nationkey").cast(pa.int64())
+    )
+    nation_ref = ray.put(nation)
+
+    def label(b: pa.Table) -> pa.Table:
+        nm = ray.get(nation_ref) if isinstance(nation_ref, ray.ObjectRef) else nation_ref
+        idx = pc.index_in(b.column("c_nat"), value_set=nm.column("n_nationkey"))
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_name": b.column("c_name"),
+                "n_name": nm.column("n_name").take(idx),
+                "revenue_cents": b.column("revenue_cents"),
+            }
+        )
+
+    out = (
+        per_cust.map_batches(label, batch_format="pyarrow")
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(n_top)
+    )
+    # ≤ n_top rows after the limit: compact so an empty predicate
+    # window still presents the full output schema
+    from ..functions.blocks import compact_small_result
+
+    return compact_small_result(
+        out,
+        pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_name", pa.string()),
+                ("n_name", pa.string()),
+                ("revenue_cents", pa.int64()),
+            ]
+        ),
+    )

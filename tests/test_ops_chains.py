@@ -1,0 +1,55 @@
+"""Multi-hop join chains (ops/chains.py): Q5/Q10 shapes.
+
+DuckDB value parity is pinned for every twin by
+tests/test_oracle_dtype_parity.py; this file covers the edges that
+parity on well-formed testdata can't reach: empty predicate windows
+(schema-stable zero-row results) and result-shape contracts.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from nifi_processors_ray.ops import chains
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q5_result_shape(ray_session):
+    df = chains.local_supplier_volume(SF).to_pandas()
+    assert list(df.columns) == ["n_name", "revenue_cents"]
+    assert (df["revenue_cents"] > 0).all()
+    # ordered by revenue desc (name tiebreak)
+    assert (df["revenue_cents"].diff().dropna() <= 0).all()
+
+
+def test_q5_empty_window_is_schema_stable(ray_session, monkeypatch):
+    """A predicate window with no orders must yield ZERO rows with the
+    full output schema — not a schema-less empty block (the
+    RefBundle-schema-drift class VERDICT r2 flagged on training_mix)."""
+    monkeypatch.setattr(chains, "Q5_LO", "1990-01-01")
+    monkeypatch.setattr(chains, "Q5_HI", "1990-02-01")
+    ds = chains.local_supplier_volume(SF)
+    # NOTE: Ray 2.49's to_pandas() drops columns on an all-empty dataset
+    # even when the block schema is pinned — assert the dataset schema,
+    # which is what downstream Ray stages see.
+    assert ds.schema().names == ["n_name", "revenue_cents"]
+    assert ds.count() == 0
+
+
+def test_q10_top_k_and_order(ray_session):
+    df = chains.returned_item_revenue(SF, n_top=5).to_pandas()
+    assert list(df.columns) == ["c_custkey", "c_name", "n_name", "revenue_cents"]
+    assert len(df) == 5
+    assert (df["revenue_cents"].diff().dropna() <= 0).all()
+    # every labeled nation resolved (customer.nationkey is a valid FK here)
+    assert df["n_name"].notna().all()
+
+
+def test_q10_empty_window_is_schema_stable(ray_session, monkeypatch):
+    monkeypatch.setattr(chains, "Q10_LO", "1990-01-01")
+    monkeypatch.setattr(chains, "Q10_HI", "1990-02-01")
+    ds = chains.returned_item_revenue(SF)
+    assert ds.schema().names == ["c_custkey", "c_name", "n_name", "revenue_cents"]
+    assert ds.count() == 0
