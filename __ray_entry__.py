@@ -191,6 +191,31 @@ def _q_cdc_point_lookup(sf_dir: str):
     return _replayed_engine(sf_dir).read_conversation("c0")
 
 
+FORGET_IDS = ("c0", "c1")
+
+
+def _q_cdc_forget(sf_dir: str):
+    """Targeted erasure: replay the stream, then drive right-to-be-
+    forgotten tombstones for two conversations (the hot key included)
+    through the ordinary merge as one more epoch.  A FRESH lake each
+    call — erasure mutates state, so the shared engine cache must not
+    serve it."""
+    lake = tempfile.mkdtemp(prefix="npr_lake_")
+    _cleanup_lakes_at_exit.append(lake)
+    eng = CdcEngine(
+        EngineConfig(
+            lake_dir=lake,
+            changelog_paths=(_changelog_dir(sf_dir),),
+            num_partitions=16,
+            salt_factor=4,
+            epoch_events=5_000_000,
+        )
+    )
+    eng.replay()
+    eng.forget_conversations(FORGET_IDS)
+    return eng.final_state(sort=True)
+
+
 def _q_cdc_rejected(sf_dir: str):
     return _replayed_engine(sf_dir).rejected().sort("seq")
 
@@ -397,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_epoch_changes": _q_cdc_epoch_changes,
         "cdc_point_lookup": _q_cdc_point_lookup,
+        "cdc_forget": _q_cdc_forget,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         "cdc_lineage_totals": _q_cdc_lineage_totals,
         "cdc_conversations": _q_cdc_conversations,
@@ -609,6 +635,20 @@ latest AS (
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM latest WHERE rn = 1 AND op <> 'D' AND conv_id = 'c0'
 ORDER BY turn_idx
+""",
+        # Targeted erasure: converged state minus the forgotten
+        # conversations (engine: tombstones through the ordinary merge)
+        "cdc_forget": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest
+WHERE rn = 1 AND op <> 'D' AND conv_id NOT IN ('c0', 'c1')
+ORDER BY conv_id, turn_idx
 """,
         # Changefeed of the LAST epoch: its window starts at the previous
         # epoch's watermark E·(head // E) − 1 (engine window arithmetic).

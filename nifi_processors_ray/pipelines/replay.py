@@ -463,6 +463,99 @@ class CdcEngine:
                 partitions_touched=sum(1 for r in rows if r["n_applied"] > 0),
             )
 
+    def forget_conversations(self, conv_ids) -> EpochResult | None:
+        """Targeted erasure (the right-to-be-forgotten lifecycle op):
+        synthesize an ``op='D'`` tombstone for EVERY live (conv_id,
+        turn_idx) key of the given conversations and drive them through
+        the ORDINARY validate → salted partition → merge → 2PC pipeline
+        as a new epoch — erasure is just another commit, with all the
+        exactly-once / crash-safety invariants (a crash before the
+        manifest rename means the erasure never happened; rerun is
+        idempotent because the keys are re-enumerated from live state).
+
+        Key enumeration is partition-pruned per conversation (the
+        salted-hash layout is the index), so the cost scales with the
+        conversations being erased, not the lake.  The tombstones carry
+        ``seq = max(watermark) + 1`` so they LWW-win over every applied
+        event; a later stream event for the same key (seq above that)
+        would legitimately re-create it — standard CDC semantics.  Under
+        merge-on-read the tombstones persist in deltas until compaction;
+        ``vacuum()`` after :meth:`expire_snapshots` makes the text
+        physically unrecoverable.
+
+        Returns the erasure epoch's result, or ``None`` when none of the
+        conversations have live rows (nothing to erase, no commit).
+        """
+        import numpy as np
+
+        with self.store.writer_lock():
+            man = self.current_manifest()
+            if man is None or not any(man.files.values()):
+                return None
+            convs, turns = [], []
+            for cid in sorted(set(conv_ids)):
+                rows = (
+                    self.read_conversation(cid)
+                    .select_columns(["conv_id", "turn_idx"])
+                    .take_all()
+                )
+                convs.extend(r["conv_id"] for r in rows)
+                turns.extend(r["turn_idx"] for r in rows)
+            if not convs:
+                return None
+            erase_seq = max(man.watermarks.values()) + 1
+            n = len(convs)
+            batch = pa.table(
+                {
+                    "op": pa.repeat(pa.scalar("D", pa.string()), n),
+                    "conv_id": pa.array(convs, pa.string()),
+                    "turn_idx": pa.array(turns, pa.int32()),
+                    "seq": pa.array(np.full(n, erase_seq), pa.int64()),
+                    "batch_id": pa.repeat(pa.scalar("forget", pa.string()), n),
+                }
+            )
+            epoch = man.epoch + 1
+            ds = ray.data.from_arrow(batch)
+            ds = ds.map_batches(
+                validate_batch, batch_format="pyarrow", batch_size=self.cfg.batch_size
+            )
+            ds = ds.map_batches(
+                add_partition_column,
+                batch_format="pyarrow",
+                fn_kwargs={
+                    "num_partitions": self.cfg.num_partitions,
+                    "salt_factor": self.cfg.salt_factor,
+                },
+            )
+            manifest_ref = ray.put(
+                {"watermarks": man.watermarks, "files": man.files, "rows": man.rows}
+            )
+            fn_kwargs = {
+                "lake_dir": self.cfg.lake_dir,
+                "epoch": epoch,
+                "manifest_ref": manifest_ref,
+                "mode": self.cfg.merge_mode,
+                "compact_threshold": self.cfg.compact_threshold,
+                "policy": self.cfg.merge_policy,
+                "max_attempts": self.cfg.max_attempts,
+                "target_rows_per_file": self.cfg.target_rows_per_file,
+                "staging_dir": self.cfg.staging_dir,
+            }
+            rows = (
+                ds.groupby(PARTITION_COL)
+                .map_groups(apply_merge_group, batch_format="pyarrow", fn_kwargs=fn_kwargs)
+                .take_all()
+            )
+            self._commit(man, epoch, erase_seq, rows)
+            return EpochResult(
+                epoch=epoch,
+                seq_lo=erase_seq,
+                seq_hi=erase_seq,
+                n_applied=sum(r["n_applied"] for r in rows),
+                n_rejected=sum(r["n_rejected"] for r in rows),
+                partitions_touched=sum(1 for r in rows if r["n_applied"] > 0),
+            )
+
     def replay(self, max_epochs: int | None = None) -> list[EpochResult]:
         """Replay until caught up with the log head (or max_epochs)."""
         results = []

@@ -1,0 +1,79 @@
+"""Targeted erasure (``CdcEngine.forget_conversations``): the
+right-to-be-forgotten lifecycle op.
+
+Invariants pinned here:
+- erased conversations vanish from ``final_state`` and the point
+  lookup, everything else is untouched (oracle = naive applier minus
+  the erased ids);
+- a second forget of the same ids is a no-op (keys re-enumerated from
+  live state → nothing to erase → no commit);
+- erasure works identically under merge-on-read (tombstones in deltas);
+- time travel to the pre-erasure epoch still shows the conversation
+  (snapshot isolation) until snapshots expire.
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from nifi_processors_ray.oracle import apply_changelog
+from nifi_processors_ray.synth import write_changelog_from_events
+
+from test_replay_e2e import SF_DIR, make_engine, read_log
+
+FORGET = ("c0", "c3")
+
+
+def _erased_oracle(paths):
+    state = apply_changelog(read_log(paths))
+    keep = pc.invert(
+        pc.is_in(state.column("conv_id"), value_set=pa.array(FORGET, pa.string()))
+    )
+    return state.filter(keep)
+
+
+@pytest.fixture(scope="module", params=["cow", "mor"])
+def erased(request, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp(f"lake_{request.param}"))
+    log = str(tmp_path_factory.mktemp("log"))
+    paths = write_changelog_from_events(SF_DIR, log, files=3)
+    kwargs = {"merge_mode": request.param}
+    if request.param == "mor":
+        kwargs.update(epoch_events=300, compact_threshold=3)
+    eng = make_engine(lake, log, **kwargs)
+    eng.replay()
+    pre_epoch = eng.store.latest().epoch
+    res = eng.forget_conversations(FORGET)
+    return eng, paths, pre_epoch, res
+
+
+def test_forget_removes_only_the_targets(ray_session, erased):
+    eng, paths, _, res = erased
+    assert res is not None and res.n_applied > 0
+    got = eng.final_state(sort=True).to_pandas().reset_index(drop=True)
+    want = _erased_oracle(paths).to_pandas().reset_index(drop=True)
+    assert got.equals(want)
+    assert not set(FORGET) & set(got["conv_id"])
+
+
+def test_forget_point_lookup_empty(ray_session, erased):
+    eng, *_ = erased
+    assert eng.read_conversation("c0").count() == 0
+
+
+def test_forget_twice_is_noop(ray_session, erased):
+    eng, _, _, _ = erased
+    before = eng.store.latest().epoch
+    assert eng.forget_conversations(FORGET) is None
+    assert eng.store.latest().epoch == before
+
+
+def test_forget_unknown_conversation_is_noop(ray_session, erased):
+    eng, *_ = erased
+    assert eng.forget_conversations(("zz_never_existed",)) is None
+
+
+def test_pre_erasure_snapshot_still_has_the_rows(ray_session, erased):
+    eng, _, pre_epoch, _ = erased
+    old = eng.state_at(pre_epoch, sort=True).to_pandas()
+    assert "c0" in set(old["conv_id"])
