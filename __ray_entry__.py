@@ -495,6 +495,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": _rel.lineitem_pricing_summary,
         "events_asof_order": _rel.events_asof_order,
         "supplier_nation_rollup": _rel.supplier_nation_rollup,
+        # aggregate-of-aggregate: distribution of per-order item counts
+        "order_size_distribution": _rel.order_size_distribution,
+        # calendar-dimension profile (integer date kernel, no dim table)
+        "orders_dow_profile": _rel.orders_dow_profile,
         # window functions: cumulative sum, DENSE_RANK, PERCENT_RANK/CUME_DIST
         "orders_running_total": _rel.orders_running_total,
         "part_price_rank": _rel.part_price_rank,
@@ -864,6 +868,8 @@ FROM _ch
         "lineitem_pricing_summary": _rel.LINEITEM_PRICING_SQL,
         "events_asof_order": _rel.EVENTS_ASOF_ORDER_SQL,
         "supplier_nation_rollup": _rel.SUPPLIER_NATION_ROLLUP_SQL,
+        "order_size_distribution": _rel.ORDER_SIZE_DISTRIBUTION_SQL,
+        "orders_dow_profile": _rel.ORDERS_DOW_PROFILE_SQL,
         "orders_running_total": _rel.ORDERS_RUNNING_TOTAL_SQL,
         "pricing_rollup": _rel.PRICING_ROLLUP_SQL,
         "orders_monthly_volume": _rel.ORDERS_MONTHLY_VOLUME_SQL,

@@ -1169,3 +1169,134 @@ def events_user_outliers(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         _outlier_block, batch_format="pyarrow", batch_size=None
     )
     return out.sort("event_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# aggregate-of-aggregate: distribution of order sizes
+# ---------------------------------------------------------------------------
+
+ORDER_SIZE_DISTRIBUTION_SQL = """
+WITH c AS (
+  SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+  WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey
+)
+SELECT CAST(n AS BIGINT) AS items_per_order,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM c GROUP BY n ORDER BY items_per_order
+"""
+
+
+def _order_count_partials(batch: pa.Table) -> pa.Table:
+    g = (
+        pa.table(
+            {"key": pc.drop_null(batch.column("l_orderkey").cast(pa.int64()).combine_chunks())}
+        )
+        .group_by(["key"])
+        .aggregate([([], "count_all")])
+    )
+    return pa.table({"key": g.column("key"), "n": g.column("count_all").cast(pa.int64())})
+
+
+def _size_histogram_partials(batch: pa.Table) -> pa.Table:
+    g = pa.table({"items_per_order": batch.column("n")}).group_by(
+        ["items_per_order"]
+    ).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "items_per_order": g.column("items_per_order"),
+            "n_orders": g.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+def order_size_distribution(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """How many orders have k lineitems — the AGGREGATE-OF-AGGREGATE
+    shape (per-key count, then the distribution of those counts).  Two
+    chained combiner+groupby exchanges, each moving only partials: the
+    first is keyed by orderkey (pre-counted per batch), the second by
+    the count value itself (bounded domain — TPC-H orders have ≤7
+    items, so the final exchange is a handful of rows)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.debug import null_safe_groupby_agg
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    per_order = null_safe_groupby_agg(
+        ds.map_batches(_order_count_partials, batch_format="pyarrow"),
+        "key",
+        Sum("n", alias_name="n"),
+        out_types={"n": pa.int64()},
+    )
+    hist = null_safe_groupby_agg(
+        per_order.map_batches(_size_histogram_partials, batch_format="pyarrow"),
+        "items_per_order",
+        Sum("n_orders", alias_name="n_orders"),
+        out_types={"n_orders": pa.int64()},
+    )
+    return hist.sort("items_per_order") if sort else hist
+
+
+# ---------------------------------------------------------------------------
+# calendar profile: order volume / spend by day of week
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+ORDERS_DOW_PROFILE_SQL = """
+SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+FROM orders WHERE o_orderdate IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _dow_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch (dow, count, cents) partials.  Day-of-week matches
+    DuckDB's ``dayofweek`` (0 = Sunday): epoch day 0 (1970-01-01) was a
+    Thursday, so dow = (days + 4) mod 7 — calibrated against DuckDB."""
+    batch = batch.filter(pc.is_valid(batch.column("o_orderdate")))
+    ts_us = np.asarray(batch.column("o_orderdate").cast(pa.int64()).combine_chunks())
+    from .events import _truncdiv
+
+    days = _truncdiv(ts_us, _US_PER_DAY)
+    dow = ((days % 7) + 7 + 4) % 7
+    # null prices: SUM skips them in SQL; fill 0 is sum-identical (and
+    # keeps NaN out of the bincount weights)
+    cents = np.asarray(pc.fill_null(floored_cents(batch.column("o_totalprice")), 0))
+    cnt = np.bincount(dow, minlength=7)
+    csum = np.bincount(dow, weights=cents.astype(np.float64), minlength=7)
+    nz = cnt > 0
+    # float64 bincount weights exact below 2^53 per (batch, dow) partial
+    return pa.table(
+        {
+            "dow": pa.array(np.nonzero(nz)[0].astype(np.int64)),
+            "n_orders": pa.array(cnt[nz].astype(np.int64)),
+            "spend_cents": pa.array(csum[nz].astype(np.int64)),
+        }
+    )
+
+
+def orders_dow_profile(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Order count + spend per day of week — the calendar-dimension
+    profile, computed without any calendar table: the date kernel is
+    pure integer arithmetic per batch and only ≤7-row partials reach
+    the exchange."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.debug import null_safe_groupby_agg
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    partials = ds.map_batches(_dow_partials, batch_format="pyarrow")
+    out = null_safe_groupby_agg(
+        partials,
+        "dow",
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("spend_cents", alias_name="spend_cents"),
+        out_types={"n_orders": pa.int64(), "spend_cents": pa.int64()},
+    )
+    return out.sort("dow") if sort else out
