@@ -97,20 +97,27 @@ def _replayed_engine(sf_dir: str, **over) -> CdcEngine:
     eng = _ENGINE_CACHE.get(key)
     if eng is not None:
         return eng
-    lake = tempfile.mkdtemp(prefix="npr_lake_")
-    _cleanup_lakes_at_exit.append(lake)
-    kwargs = dict(
-        lake_dir=lake,
-        changelog_paths=(_changelog_dir(sf_dir),),
-        num_partitions=16,
-        salt_factor=4,
-        epoch_events=5_000_000,
-    )
-    kwargs.update(over)
-    eng = CdcEngine(EngineConfig(**kwargs))
+    eng = _fresh_engine(sf_dir, **over)
     eng.replay()
     _ENGINE_CACHE[key] = eng
     return eng
+
+
+# the one home for the standard query-engine config — placement is a
+# pure function of these values, so a second copy that drifted would
+# silently build an incompatible lake
+_STD_ENGINE_KW = dict(num_partitions=16, salt_factor=4, epoch_events=5_000_000)
+
+
+def _fresh_engine(sf_dir: str, **over) -> CdcEngine:
+    """A NEW lake (never the shared cache) with the standard config —
+    shared by the cached replay path and state-mutating queries."""
+    lake = tempfile.mkdtemp(prefix="npr_lake_")
+    _cleanup_lakes_at_exit.append(lake)
+    kwargs = dict(lake_dir=lake, changelog_paths=(_changelog_dir(sf_dir),))
+    kwargs.update(_STD_ENGINE_KW)
+    kwargs.update(over)
+    return CdcEngine(EngineConfig(**kwargs))
 
 
 # ---------------------------------------------------------------------------
@@ -207,17 +214,7 @@ def _q_cdc_forget(sf_dir: str):
     key = (os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size)
     eng = _FORGET_CACHE.get(key)
     if eng is None:
-        lake = tempfile.mkdtemp(prefix="npr_lake_")
-        _cleanup_lakes_at_exit.append(lake)
-        eng = CdcEngine(
-            EngineConfig(
-                lake_dir=lake,
-                changelog_paths=(_changelog_dir(sf_dir),),
-                num_partitions=16,
-                salt_factor=4,
-                epoch_events=5_000_000,
-            )
-        )
+        eng = _fresh_engine(sf_dir)
         eng.replay()
         eng.forget_conversations(FORGET_IDS)
         _FORGET_CACHE[key] = eng
@@ -659,7 +656,8 @@ latest AS (
 )
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM latest
-WHERE rn = 1 AND op <> 'D' AND conv_id NOT IN ('c0', 'c1')
+WHERE rn = 1 AND op <> 'D'
+  AND conv_id NOT IN ({", ".join(f"'{c}'" for c in FORGET_IDS)})
 ORDER BY conv_id, turn_idx
 """,
         # Changefeed of the LAST epoch: its window starts at the previous

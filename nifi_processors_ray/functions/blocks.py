@@ -149,3 +149,32 @@ def transition_pairs_block(block, group_col, order_cols, value_col):
     return pa.table(
         {"prev": agg.column("prev"), "next": agg.column("next"), "n": agg.column("count_all")}
     )
+
+
+def sorted_build_probe_runs(block, key_col="key", side_col="side"):
+    """The shared preamble of every build/probe block-join kernel: sort
+    by (key, side), detect runs of equal key, and map each row to its
+    run's single side-0 build row.
+
+    Returns ``(block, key, side, starts, run_len, build_idx)`` where
+    ``build_idx[i]`` is the row index of row ``i``'s run's build row, or
+    −1 when the run has none.  Requires a NON-NULL key column (every
+    chain hop keys on a cast FK) — a NaN-bearing float view would make
+    each null its own run.
+
+    One home for the calibrated subtleties (side ordering inside a run,
+    run detection off the raw numpy view) that were previously inlined
+    per kernel — a drifted copy diverges one join hop silently.
+    """
+    import numpy as np
+
+    block = block.sort_by([(key_col, "ascending"), (side_col, "ascending")])
+    key = np.asarray(block.column(key_col))
+    side = np.asarray(block.column(side_col))
+    n = len(key)
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    has_build = side[starts] == 0
+    build_idx = np.repeat(np.where(has_build, starts, -1), run_len)
+    return block, key, side, starts, run_len, build_idx

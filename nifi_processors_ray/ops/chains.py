@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions.blocks import sorted_build_probe_runs
 from ..functions.debug import checked_sort
 from ..functions.money import discounted_floored_cents
 from ..sources.reader import read_parquet as read_parquet_clean
@@ -114,14 +115,7 @@ def _q5_hop1_block(block: pa.Table) -> pa.Table:
     n = block.num_rows
     if n == 0:
         return empty
-    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
-    key = np.asarray(block.column("key"))
-    side = np.asarray(block.column("side"))
-    new_run = np.concatenate([[True], key[1:] != key[:-1]])
-    starts = np.nonzero(new_run)[0]
-    run_len = np.diff(np.concatenate([starts, [n]]))
-    has_build = side[starts] == 0
-    build_idx = np.repeat(np.where(has_build, starts, -1), run_len)
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
     keep = (side == 1) & (build_idx >= 0)
     if not keep.any():
         return empty
@@ -185,14 +179,7 @@ def _q5_hop2_block(block: pa.Table) -> pa.Table:
     n = block.num_rows
     if n == 0:
         return empty
-    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
-    key = np.asarray(block.column("key"))
-    side = np.asarray(block.column("side"))
-    new_run = np.concatenate([[True], key[1:] != key[:-1]])
-    starts = np.nonzero(new_run)[0]
-    run_len = np.diff(np.concatenate([starts, [n]]))
-    has_build = side[starts] == 0
-    build_idx = np.repeat(np.where(has_build, starts, -1), run_len)
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
     keep = (side == 1) & (build_idx >= 0)
     if not keep.any():
         return empty
@@ -254,14 +241,7 @@ def _q5_hop3_block(block: pa.Table) -> pa.Table:
     n = block.num_rows
     if n == 0:
         return empty
-    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
-    key = np.asarray(block.column("key"))
-    side = np.asarray(block.column("side"))
-    new_run = np.concatenate([[True], key[1:] != key[:-1]])
-    starts = np.nonzero(new_run)[0]
-    run_len = np.diff(np.concatenate([starts, [n]]))
-    has_build = side[starts] == 0
-    build_idx = np.repeat(np.where(has_build, starts, -1), run_len)
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
     s_nat = np.asarray(pc.fill_null(block.column("s_nat"), -1).combine_chunks())
     c_nat = np.asarray(pc.fill_null(block.column("c_nat"), -2).combine_chunks())
     keep = (side == 1) & (build_idx >= 0)
@@ -436,14 +416,7 @@ def _q10_hop1_block(block: pa.Table) -> pa.Table:
     n = block.num_rows
     if n == 0:
         return empty
-    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
-    key = np.asarray(block.column("key"))
-    side = np.asarray(block.column("side"))
-    new_run = np.concatenate([[True], key[1:] != key[:-1]])
-    starts = np.nonzero(new_run)[0]
-    run_len = np.diff(np.concatenate([starts, [n]]))
-    has_build = side[starts] == 0
-    build_idx = np.repeat(np.where(has_build, starts, -1), run_len)
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
     keep = (side == 1) & (build_idx >= 0)
     if not keep.any():
         return empty
@@ -499,12 +472,7 @@ def _q10_hop2_block(block: pa.Table) -> pa.Table:
     n = block.num_rows
     if n == 0:
         return empty
-    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
-    key = np.asarray(block.column("key"))
-    side = np.asarray(block.column("side"))
-    new_run = np.concatenate([[True], key[1:] != key[:-1]])
-    starts = np.nonzero(new_run)[0]
-    run_len = np.diff(np.concatenate([starts, [n]]))
+    block, key, side, starts, run_len, _ = sorted_build_probe_runs(block)
     has_build = side[starts] == 0
     has_probe = run_len > has_build.astype(np.int64)
     cents = np.asarray(pc.fill_null(block.column("cents"), 0).combine_chunks())

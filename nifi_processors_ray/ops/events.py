@@ -1817,6 +1817,13 @@ def _density_lookup(batch: pa.Table, hist_ref) -> pa.Table:
 
     keys, counts = _ray.get(hist_ref) if isinstance(hist_ref, _ray.ObjectRef) else hist_ref
     ts = batch.column("ts").cast(pa.int64())
+    if len(keys) == 0:  # all-null/empty ts stream: every neighborhood is 0
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "n_nearby": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+            }
+        )
     valid = np.asarray(pc.is_valid(ts).combine_chunks())
     m = _truncdiv(np.asarray(pc.fill_null(ts, 0).combine_chunks()), _US_PER_MINUTE)
     total = np.zeros(batch.num_rows, dtype=np.int64)
@@ -1872,10 +1879,13 @@ def local_density(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 # x origin: 2024-01-01T00:00:00Z in epoch minutes — keeps x small enough
-# that every moment product stays far inside int64 (x ≤ ~526k/year,
-# y ≤ ~50k cents → x*y ≤ 2.6e10/row; a user needs >350M rows in one
-# group before n*Σxy can overflow, and the twin's BIGINT math would
-# raise loudly there rather than wrap).
+# that every PER-ROW product stays far inside int64 (x ≤ ~526k/year,
+# y ≤ ~50k cents → x*y ≤ 2.6e10/row).  The group-level moment SUMS can
+# still overflow int64 when combined (n·Σxy grows ~n²·mean, crossing
+# 2^63 around ~19k rows in one user group at the bounds above), so the
+# finalize computes num/den in exact Python ints — the engine-side
+# HUGEINT — and the final int64 cast fails LOUD on both sides when a
+# result genuinely exceeds BIGINT (Arrow raises, DuckDB's CAST raises).
 TREND_X0 = 1_704_067_200_000_000 // _US_PER_MINUTE
 
 USER_TREND_SQL = f"""
@@ -1938,21 +1948,30 @@ def _trend_partials(batch: pa.Table) -> pa.Table:
 def _trend_finalize(batch: pa.Table) -> pa.Table:
     """Closed-form least-squares numerator/denominator from the exact
     integer moments.  Integer outputs only — the slope is num/den, left
-    to the consumer, so the oracle hash can never drift on float math."""
-    n = np.asarray(batch.column("n"))
-    sx = np.asarray(batch.column("sx"))
-    sy = np.asarray(batch.column("sy"))
-    sxy = np.asarray(batch.column("sxy"))
-    sxx = np.asarray(batch.column("sxx"))
-    num = n * sxy - sx * sy
-    den = n * sxx - sx * sx
-    keep = den > 0
+    to the consumer, so the oracle hash can never drift on float math.
+
+    The products run in PYTHON ints (object arrays), not int64: n·Σxy
+    wraps silently in numpy well before the ">350M rows" a per-row bound
+    would suggest (it grows ~n²·mean — ~19k rows/user suffices at the
+    documented x/y bounds), while DuckDB computes the twin in HUGEINT.
+    Python ints are the exact equivalent; cost is per GROUP (one row per
+    user here), never per event."""
+    n = batch.column("n").to_pylist()
+    sx = batch.column("sx").to_pylist()
+    sy = batch.column("sy").to_pylist()
+    sxy = batch.column("sxy").to_pylist()
+    sxx = batch.column("sxx").to_pylist()
+    num = [a * b - c * d for a, b, c, d in zip(n, sxy, sx, sy)]
+    den = [a * b - c * c for a, b, c in zip(n, sxx, sx)]
+    keep = pa.array([d > 0 for d in den])
+    # int64 conversion raises loud on true BIGINT overflow — the same
+    # failure DuckDB's CAST(... AS BIGINT) raises on the twin
     return pa.table(
         {
-            "user_id": batch.column("user_id").filter(pa.array(keep)),
-            "n": pa.array(n[keep]),
-            "slope_num": pa.array(num[keep]),
-            "slope_den": pa.array(den[keep]),
+            "user_id": batch.column("user_id").filter(keep),
+            "n": pa.array(n, pa.int64()).filter(keep),
+            "slope_num": pa.array(num, pa.int64()).filter(keep),
+            "slope_den": pa.array(den, pa.int64()).filter(keep),
         }
     )
 

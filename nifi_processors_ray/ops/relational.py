@@ -1244,10 +1244,13 @@ def order_size_distribution(sf_dir: str, *, sort: bool = True) -> ray.data.Datas
 
 _US_PER_DAY = 86_400_000_000
 
+# COALESCE matches the engine's fill-0: SUM over a group whose every
+# price is NULL returns NULL in SQL but 0 in the engine partials
 ORDERS_DOW_PROFILE_SQL = """
 SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+       CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+         AS spend_cents
 FROM orders WHERE o_orderdate IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """
@@ -1256,13 +1259,15 @@ GROUP BY 1 ORDER BY 1
 def _dow_partials(batch: pa.Table) -> pa.Table:
     """Per-batch (dow, count, cents) partials.  Day-of-week matches
     DuckDB's ``dayofweek`` (0 = Sunday): epoch day 0 (1970-01-01) was a
-    Thursday, so dow = (days + 4) mod 7 — calibrated against DuckDB."""
+    Thursday, so dow = (days + 4) mod 7 — calibrated against DuckDB.
+    Calendar day is FLOOR division (numpy ``//``), NOT the truncating
+    ``_truncdiv`` the window ops use: dayofweek is a calendar function,
+    so 1969-12-31 23:00 belongs to day −1 (Wednesday), where truncation
+    would put it in day 0 (Thursday)."""
     batch = batch.filter(pc.is_valid(batch.column("o_orderdate")))
     ts_us = np.asarray(batch.column("o_orderdate").cast(pa.int64()).combine_chunks())
-    from .events import _truncdiv
-
-    days = _truncdiv(ts_us, _US_PER_DAY)
-    dow = ((days % 7) + 7 + 4) % 7
+    days = ts_us // _US_PER_DAY
+    dow = (days + 4) % 7  # numpy % is non-negative for positive modulus
     # null prices: SUM skips them in SQL; fill 0 is sum-identical (and
     # keeps NaN out of the bincount weights)
     cents = np.asarray(pc.fill_null(floored_cents(batch.column("o_totalprice")), 0))

@@ -475,13 +475,26 @@ class CdcEngine:
 
         Key enumeration is partition-pruned per conversation (the
         salted-hash layout is the index), so the cost scales with the
-        conversations being erased, not the lake.  The tombstones carry
-        ``seq = max(watermark) + 1`` so they LWW-win over every applied
-        event; a later stream event for the same key (seq above that)
-        would legitimately re-create it — standard CDC semantics.  Under
-        merge-on-read the tombstones persist in deltas until compaction;
-        ``vacuum()`` after :meth:`expire_snapshots` makes the text
-        physically unrecoverable.
+        conversations being erased, not the lake.
+
+        Seq semantics (standard CDC, consistent under COW and MOR):
+        tombstones carry ``seq = max(watermark) + 1`` — the first
+        UNCONSUMED seq, because the merge's at-most-once guard drops
+        rows at or below the watermark — while the commit leaves the
+        stream watermarks UNTOUCHED, so no future log event is ever
+        skipped (the tail resumes exactly where it was; round-3 review
+        finding).  Erasure removes everything applied SO FAR; a later
+        stream event for an erased key legitimately re-creates that row,
+        exactly as a Delta/Iceberg DELETE followed by an INSERT would —
+        callers wanting permanence re-run forget or filter the producer.
+        The corner where the producer's next real event lands on the
+        tombstone's exact seq resolves deterministically to the REAL
+        event: it arrives in a later epoch, later inputs concatenate
+        after prior state, and the LWW policy's stable sort keeps the
+        last input row on seq ties.  Under merge-on-read the tombstones
+        persist in deltas until compaction; ``vacuum()`` after
+        :meth:`expire_snapshots` makes the text physically
+        unrecoverable.
 
         Returns the erasure epoch's result, or ``None`` when none of the
         conversations have live rows (nothing to erase, no commit).
@@ -546,7 +559,9 @@ class CdcEngine:
                 .map_groups(apply_merge_group, batch_format="pyarrow", fn_kwargs=fn_kwargs)
                 .take_all()
             )
-            self._commit(man, epoch, erase_seq, rows)
+            # watermark UNCHANGED: erasure must not consume stream seqs
+            # (advancing to erase_seq would skip every pending event)
+            self._commit(man, epoch, man.min_watermark, rows)
             return EpochResult(
                 epoch=epoch,
                 seq_lo=erase_seq,

@@ -77,3 +77,53 @@ def test_pre_erasure_snapshot_still_has_the_rows(ray_session, erased):
     eng, _, pre_epoch, _ = erased
     old = eng.state_at(pre_epoch, sort=True).to_pandas()
     assert "c0" in set(old["conv_id"])
+
+
+def test_forget_does_not_consume_stream_seqs(ray_session, tmp_path):
+    """The round-3 review finding: erasure must NOT advance the stream
+    watermark — the very next contiguous log seq has to be applied after
+    a forget.  Standard-CDC recreate semantics: a later event for an
+    erased key re-creates THAT row only; previously erased turns stay
+    gone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lake = str(tmp_path / "lake")
+    log = str(tmp_path / "log")
+    paths = write_changelog_from_events(SF_DIR, log, files=3)
+    eng = make_engine(lake, log)
+    eng.replay()
+    head = max(eng.store.latest().watermarks.values())
+    assert eng.forget_conversations(("c0",)) is not None
+    # watermark untouched by the erasure commit
+    assert max(eng.store.latest().watermarks.values()) == head
+
+    # the producer appends the NEXT CONTIGUOUS seqs: one update for an
+    # untouched conversation, one for the erased conversation
+    seg = pa.table(
+        {
+            "op": pa.array(["U", "U"]),
+            "conv_id": pa.array(["c2", "c0"]),
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": pa.array(["user", "user"]),
+            "text": pa.array(["post-forget text", "resurrection attempt"]),
+            "tool": pa.array([None, None], pa.string()),
+            "ts": pa.array([0, 0], pa.timestamp("us")),
+            "seq": pa.array([head + 1, head + 2], pa.int64()),
+            "batch_id": pa.array(["late", "late"]),
+        }
+    )
+    pq.write_table(seg, f"{log}/changelog-00099.parquet")
+    eng.log_infos(refresh=True)
+    res = eng.replay()
+    assert res and sum(r.n_applied for r in res) >= 1
+
+    state = eng.final_state(sort=True).to_pandas()
+    # seq head+1 (the event a watermark bump would have skipped) applied:
+    c2 = state[(state.conv_id == "c2") & (state.turn_idx == 0)]
+    assert list(c2.text) == ["post-forget text"]
+    # standard CDC: the late event re-creates ONLY its own row; every
+    # other previously erased turn stays gone
+    c0 = state[state.conv_id == "c0"]
+    assert list(c0.turn_idx) == [0]
+    assert list(c0.text) == ["resurrection attempt"]
