@@ -2002,3 +2002,82 @@ def user_trend(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     )
     out = agg.map_batches(_trend_finalize, batch_format="pyarrow")
     return out.sort("user_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct users (windowed COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+ROLLING_W = 3  # window = this hour and the 2 before it
+
+ROLLING_USERS_SQL = f"""
+WITH hu AS (
+  SELECT DISTINCT CAST(epoch_us(ts) // {_US_PER_HOUR} AS BIGINT) AS h, user_id AS u
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+ex AS (
+  {" UNION ".join(f"SELECT h + {d} AS w, u FROM hu" for d in range(ROLLING_W))}
+)
+SELECT w AS window_hour, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ex GROUP BY w ORDER BY w
+"""
+
+
+def _hour_user_explode(batch: pa.Table) -> pa.Table:
+    """Per-batch DISTINCT (hour, user) pairs, exploded to every window
+    they fall in: an event at hour h is visible to the windows ending at
+    h .. h+W−1 (window w covers hours w−W+1 .. w).  Only deduped pairs
+    leave the batch, W small — the combiner bounds the explode."""
+    mask = pc.and_(pc.is_valid(batch.column("ts")), pc.is_valid(batch.column("user_id")))
+    batch = batch.filter(mask)
+    hours = _truncdiv(
+        np.asarray(batch.column("ts").cast(pa.int64()).combine_chunks()), _US_PER_HOUR
+    )
+    users = np.asarray(batch.column("user_id").cast(pa.int64()).combine_chunks())
+    pairs = np.unique(np.stack([hours, users], axis=1), axis=0)
+    w = np.concatenate([pairs[:, 0] + d for d in range(ROLLING_W)])
+    u = np.tile(pairs[:, 1], ROLLING_W)
+    return pa.table({"w": pa.array(w), "u": pa.array(u)})
+
+
+def _rolling_count_block(block: pa.Table) -> pa.Table:
+    """One co-located window run: count DISTINCT users per window —
+    exact because the sort exchange co-locates each w's full pair set."""
+    empty = pa.table(
+        {"window_hour": pa.array([], pa.int64()), "n_users": pa.array([], pa.int64())}
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("w", "ascending"), ("u", "ascending")])
+    w = np.asarray(block.column("w"))
+    u = np.asarray(block.column("u"))
+    new_pair = np.concatenate([[True], (w[1:] != w[:-1]) | (u[1:] != u[:-1])])
+    w_d, u_d = w[new_pair], u[new_pair]
+    run_start = np.concatenate([[True], w_d[1:] != w_d[:-1]])
+    idx = np.nonzero(run_start)[0]
+    counts = np.diff(np.concatenate([idx, [len(w_d)]]))
+    return pa.table(
+        {
+            "window_hour": pa.array(w_d[idx].astype(np.int64)),
+            "n_users": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def rolling_users(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Distinct users per rolling {ROLLING_W}-hour window — windowed
+    COUNT DISTINCT, which no sliding-sum trick can compute (distincts
+    don't subtract).  The scalable shape: per-batch DISTINCT (hour,
+    user) pairs explode to the ≤{ROLLING_W} windows they serve, ONE
+    sort exchange on the window co-locates each window's full pair set,
+    and a vectorized run pass counts uniques — rows shuffle once, pair
+    volume is bounded by (active users × hours × W), not event count."""
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/events.parquet", columns=["ts", "user_id"]
+    )
+    pairs = ds.map_batches(_hour_user_explode, batch_format="pyarrow")
+    out = checked_sort(pairs, "w").map_batches(
+        _rolling_count_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("window_hour") if sort else out

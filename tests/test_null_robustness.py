@@ -42,7 +42,7 @@ TARGETS = [
     "inactive_customer_ids", "all_actor_ids", "customer_activity_full",
     "events_user_enrich", "events_asof_order", "customer_spend_deciles",
     "events_user_outliers", "events_props_extract",
-    "events_local_density", "events_user_trend",
+    "events_local_density", "events_user_trend", "events_rolling_users",
 ]
 
 
