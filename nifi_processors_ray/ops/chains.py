@@ -30,6 +30,7 @@ import ray
 import ray.data
 
 from ..functions.blocks import sorted_build_probe_runs
+from ..functions.bloom import bloom_member, build_key_bloom
 from ..functions.debug import checked_sort
 from ..functions.money import discounted_floored_cents
 from ..sources.reader import read_parquet as read_parquet_clean
@@ -141,8 +142,18 @@ def _q5_order_build_side(batch: pa.Table) -> pa.Table:
     )
 
 
-def _q5_lineitem_side(batch: pa.Table) -> pa.Table:
-    """Hop-2 probe pre-aggregated per (orderkey, suppkey) in the batch."""
+def _q5_lineitem_side(batch: pa.Table, bloom_ref=None) -> pa.Table:
+    """Hop-2 probe pre-aggregated per (orderkey, suppkey) in the batch.
+
+    ``bloom_ref``: semijoin reduction — lineitems whose orderkey is
+    definitely NOT among hop-1 survivors (the date-filtered in-region
+    orders) are dropped BEFORE the exchange, cutting hop-2 shuffle
+    volume by the order-window selectivity; false positives are dropped
+    by the join itself, so the filter can never change the result."""
+    if bloom_ref is not None:
+        bloom = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) else bloom_ref
+        keys = np.asarray(batch.column("l_orderkey").cast(pa.int64()).combine_chunks())
+        batch = batch.filter(pa.array(bloom_member(keys, bloom)))
     t = pa.table(
         {
             "key": batch.column("l_orderkey").cast(pa.int64()),
@@ -299,13 +310,18 @@ def local_supplier_volume(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(_q5_orders_side, batch_format="pyarrow")
     tagged_orders = checked_sort(cust.union(orders), "key").map_batches(
         _q5_hop1_block, batch_format="pyarrow", batch_size=None
-    )
+    ).materialize()  # consumed twice: bloom build + hop-2 build side
 
+    # semijoin reduction: only lineitems of surviving orders reach the
+    # hop-2 exchange (fixed-size bloom — see functions/bloom.py)
+    bloom_ref = build_key_bloom(tagged_orders, "o_orderkey")
     build2 = tagged_orders.map_batches(_q5_order_build_side, batch_format="pyarrow")
     items = read_parquet_clean(
         f"{sf}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(_q5_lineitem_side, batch_format="pyarrow")
+    ).map_batches(
+        _q5_lineitem_side, batch_format="pyarrow", fn_kwargs={"bloom_ref": bloom_ref}
+    )
     supp_partials = checked_sort(build2.union(items), "key").map_batches(
         _q5_hop2_block, batch_format="pyarrow", batch_size=None
     )
@@ -384,9 +400,15 @@ def _q10_order_side(batch: pa.Table) -> pa.Table:
     )
 
 
-def _q10_lineitem_side(batch: pa.Table) -> pa.Table:
+def _q10_lineitem_side(batch: pa.Table, bloom_ref=None) -> pa.Table:
     """Returned lineitems pre-aggregated per orderkey in the batch (the
-    returnflag predicate is pushed into the scan)."""
+    returnflag predicate is pushed into the scan; ``bloom_ref`` drops
+    rows whose order is outside the quarter before the exchange — the
+    same always-correct semijoin reduction as the Q5 chain)."""
+    if bloom_ref is not None:
+        bloom = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) else bloom_ref
+        keys = np.asarray(batch.column("l_orderkey").cast(pa.int64()).combine_chunks())
+        batch = batch.filter(pa.array(bloom_member(keys, bloom)))
     t = pa.table(
         {
             "key": batch.column("l_orderkey").cast(pa.int64()),
@@ -508,12 +530,15 @@ def returned_item_revenue(sf_dir: str, n_top: int = Q10_TOP) -> ray.data.Dataset
         f"{sf}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
-    ).map_batches(_q10_order_side, batch_format="pyarrow")
+    ).map_batches(_q10_order_side, batch_format="pyarrow").materialize()
+    bloom_ref = build_key_bloom(orders, "key")
     items = read_parquet_clean(
         f"{sf}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
         filter=pc.field("l_returnflag") == "R",
-    ).map_batches(_q10_lineitem_side, batch_format="pyarrow")
+    ).map_batches(
+        _q10_lineitem_side, batch_format="pyarrow", fn_kwargs={"bloom_ref": bloom_ref}
+    )
     rev = checked_sort(orders.union(items), "key").map_batches(
         _q10_hop1_block, batch_format="pyarrow", batch_size=None
     )

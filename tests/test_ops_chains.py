@@ -53,3 +53,41 @@ def test_q10_empty_window_is_schema_stable(ray_session, monkeypatch):
     ds = chains.returned_item_revenue(SF)
     assert ds.schema().names == ["c_custkey", "c_name", "n_name", "revenue_cents"]
     assert ds.count() == 0
+
+
+def test_bloom_semijoin_reduction_properties(ray_session):
+    """No false negatives ever (correctness), and the fixed-size filter
+    actually prunes (power): ≥99% of foreign keys rejected at this
+    cardinality."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from nifi_processors_ray.functions.bloom import bloom_member, build_key_bloom
+
+    keys = np.arange(0, 50_000, 2, dtype=np.int64)  # 25k even keys
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)}))
+    bloom = ray.get(build_key_bloom(ds, "k"))
+    assert bloom_member(keys, bloom).all()  # zero false negatives
+    foreign = np.arange(1, 50_000, 2, dtype=np.int64)  # odd keys, absent
+    fpr = bloom_member(foreign, bloom).mean()
+    assert fpr < 0.01, f"false-positive rate {fpr} too high for 25k keys/1MiB"
+
+
+def test_q5_result_identical_with_and_without_bloom(ray_session, monkeypatch):
+    """The semijoin reduction must be invisible in the result: disable
+    it by making membership always-true and compare."""
+    import numpy as np
+
+    from nifi_processors_ray.functions import bloom as B
+
+    want = chains.local_supplier_volume(SF).to_pandas()
+    monkeypatch.setattr(
+        B, "bloom_member", lambda keys, bloom: np.ones(len(keys), dtype=bool)
+    )
+    monkeypatch.setattr(
+        chains, "bloom_member", lambda keys, bloom: np.ones(len(keys), dtype=bool)
+    )
+    got = chains.local_supplier_volume(SF).to_pandas()
+    assert got.equals(want)
