@@ -191,3 +191,111 @@ def test_hot_null_key_parity(ray_session, hot_null_sf, name):
     df = df.sort_index(axis=1).sort_values(list(df.sort_index(axis=1).columns)).reset_index(drop=True)
     ot = ot.sort_index(axis=1).sort_values(list(ot.sort_index(axis=1).columns)).reset_index(drop=True)
     assert df.equals(ot), f"{name}: hot-NULL-key divergence"
+
+
+# ---------------------------------------------------------------------------
+# relational / join-chain skew: a hot customer and a monster order
+# ---------------------------------------------------------------------------
+
+REL_N_ORDERS = 8_000
+HOT_CUSTKEY = 1  # exists in the sf0.001 customer table
+HOT_ORDERKEY = 0  # gets 4_000 lineitems
+
+
+@pytest.fixture(scope="module")
+def skew_rel_sf(tmp_path_factory):
+    """TPC-H-ish tables where one customer owns half the orders and one
+    order owns a 4k-lineitem run — the join-chain kernels' hot keys."""
+    import os
+    import shutil
+
+    tmp = str(tmp_path_factory.mktemp("skewrel"))
+    src = "/root/testdata/sf0.001"
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), tmp)
+
+    rng = np.random.default_rng(29)
+    n_hot = REL_N_ORDERS // 2
+    cust = np.concatenate(
+        [np.full(n_hot, HOT_CUSTKEY, np.int64), rng.integers(0, 150, REL_N_ORDERS - n_hot)]
+    )
+    rng.shuffle(cust)
+    dates = rng.integers(  # 1995-01-01 .. 1999-01-01, us epoch
+        789_004_800_000_000, 915_148_800_000_000, REL_N_ORDERS
+    ).astype("datetime64[us]")
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(REL_N_ORDERS, dtype=np.int64)),
+            "o_custkey": pa.array(cust),
+            "o_orderstatus": pa.array(rng.choice(["O", "F", "P"], REL_N_ORDERS)),
+            "o_totalprice": pa.array(rng.uniform(100, 50_000, REL_N_ORDERS).round(2)),
+            "o_orderdate": pa.array(dates),
+            "o_orderpriority": pa.array(
+                rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"], REL_N_ORDERS)
+            ),
+        }
+    )
+    pq.write_table(orders, f"{tmp}/orders.parquet", row_group_size=256)
+
+    per_order = rng.integers(1, 5, REL_N_ORDERS)
+    okeys = np.concatenate(
+        [np.repeat(np.arange(REL_N_ORDERS, dtype=np.int64), per_order),
+         np.full(4_000, HOT_ORDERKEY, np.int64)]
+    )
+    rng.shuffle(okeys)
+    m = len(okeys)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(okeys),
+            "l_partkey": pa.array(rng.integers(0, 200, m)),
+            "l_suppkey": pa.array(rng.integers(0, 10, m)),  # sf0.001 has 10 suppliers
+            "l_linenumber": pa.array(rng.integers(1, 8, m).astype(np.int32)),
+            "l_quantity": pa.array(rng.integers(1, 51, m).astype(np.float64)),
+            "l_extendedprice": pa.array(rng.uniform(10, 90_000, m).round(2)),
+            "l_discount": pa.array(rng.choice([0.0, 0.02, 0.05, 0.1], m)),
+            "l_tax": pa.array(rng.choice([0.0, 0.04, 0.08], m)),
+            "l_returnflag": pa.array(rng.choice(["R", "N", "A"], m)),
+            "l_linestatus": pa.array(rng.choice(["O", "F"], m)),
+            "l_shipdate": pa.array(
+                rng.integers(789_004_800_000_000, 946_684_800_000_000, m).astype(
+                    "datetime64[us]"
+                )
+            ),
+        }
+    )
+    pq.write_table(lineitem, f"{tmp}/lineitem.parquet", row_group_size=256)
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def skew_rel_con(skew_rel_sf):
+    con = duckdb.connect()
+    for v in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        con.sql(
+            f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{skew_rel_sf}/{v}.parquet')"
+        )
+    return con
+
+
+REL_SKEW_TARGETS = [
+    "local_supplier_volume", "returned_item_revenue", "shipping_priority",
+    "customer_order_counts", "top_orders_per_cust", "order_priority_revenue",
+    "order_size_distribution", "customers_without_orders",
+]
+
+
+@pytest.mark.parametrize("name", REL_SKEW_TARGETS)
+def test_join_chain_hot_keys_match_oracle(ray_session, skew_rel_sf, skew_rel_con, name):
+    res = entry.queries()[name](skew_rel_sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    ot = skew_rel_con.sql(entry.oracle_sql()[name]).df()
+    if len(df) == 0 and len(ot) == 0:
+        # values agree (zero rows each); Ray's to_pandas drops columns
+        # on an all-empty dataset, so a frame compare can't be used here
+        return
+    df = df.sort_index(axis=1)
+    ot = ot.sort_index(axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
+    assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
