@@ -186,7 +186,20 @@ def main_scaling(args) -> dict:
     _bench_changelog(args.events)  # generate once; children reuse the cache
     levels = (args.scale_lo, args.scale_hi)
     results = {}
+
+    def _cooldown(limit: float = 1.5, max_wait: int = 180) -> None:
+        """Wait for the previous leg's load to decay before starting the
+        next: back-to-back legs contaminate each other (measured — a
+        16-cpu leg starting at loadavg 4-5 reads 0.76-0.83 efficiency
+        where the same code on a settled box reads 0.94)."""
+        waited = 0
+        while os.getloadavg()[0] > limit and waited < max_wait:
+            time.sleep(10)
+            waited += 10
+        _log(f"  cooldown: loadavg {os.getloadavg()[0]:.2f} after {waited}s")
+
     for cpus in levels:
+        _cooldown()
         cmd = [
             sys.executable,
             os.path.abspath(__file__),
