@@ -543,6 +543,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_trend": _ev.user_trend,
         # windowed COUNT DISTINCT (explode-to-windows, one exchange)
         "events_rolling_users": _ev.rolling_users,
+        # weekly cohort retention (per-user first week from one run)
+        "events_cohort_retention": _ev.cohort_retention,
         # ExtractText/RouteOnAttribute: typed regex extraction + routing
         "events_props_extract": _ev.props_extract,
         "pricing_unpivot": _rel.pricing_unpivot,
@@ -916,6 +918,7 @@ FROM _ch
         "events_local_density": _ev.LOCAL_DENSITY_SQL,
         "events_user_trend": _ev.USER_TREND_SQL,
         "events_rolling_users": _ev.ROLLING_USERS_SQL,
+        "events_cohort_retention": _ev.COHORT_RETENTION_SQL,
         "events_props_extract": _ev.PROPS_EXTRACT_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "label_centroids": _vec.LABEL_CENTROIDS_SQL,

@@ -2081,3 +2081,96 @@ def rolling_users(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         _rolling_count_block, batch_format="pyarrow", batch_size=None
     )
     return out.sort("window_hour") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (weekly)
+# ---------------------------------------------------------------------------
+
+_US_PER_WEEK = 7 * 86_400_000_000
+
+COHORT_RETENTION_SQL = f"""
+WITH p AS (
+  SELECT DISTINCT user_id AS u, CAST(epoch_us(ts) // {_US_PER_WEEK} AS BIGINT) AS w
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+fw AS (SELECT u, MIN(w) AS w0 FROM p GROUP BY u)
+SELECT fw.w0 AS cohort_week,
+       CAST(p.w - fw.w0 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p JOIN fw USING (u)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def _user_week_pairs(batch: pa.Table) -> pa.Table:
+    """Per-batch DISTINCT (user, week) pairs — the combiner."""
+    mask = pc.and_(pc.is_valid(batch.column("ts")), pc.is_valid(batch.column("user_id")))
+    batch = batch.filter(mask)
+    weeks = _truncdiv(
+        np.asarray(batch.column("ts").cast(pa.int64()).combine_chunks()), _US_PER_WEEK
+    )
+    users = np.asarray(batch.column("user_id").cast(pa.int64()).combine_chunks())
+    pairs = np.unique(np.stack([users, weeks], axis=1), axis=0)
+    return pa.table({"u": pa.array(pairs[:, 0]), "w": pa.array(pairs[:, 1])})
+
+
+def _cohort_block(block: pa.Table) -> pa.Table:
+    """One co-located user run holds ALL the user's (deduped) active
+    weeks, so the cohort week (min) needs NO separate aggregate or
+    join-back exchange — it falls out of the same run."""
+    empty = pa.table(
+        {
+            "cohort_week": pa.array([], pa.int64()),
+            "week_offset": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("u", "ascending"), ("w", "ascending")])
+    u = np.asarray(block.column("u"))
+    w = np.asarray(block.column("w"))
+    new_pair = np.concatenate([[True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])])
+    u_d, w_d = u[new_pair], w[new_pair]
+    run_start = np.concatenate([[True], u_d[1:] != u_d[:-1]])
+    starts = np.nonzero(run_start)[0]
+    run_len = np.diff(np.concatenate([starts, [len(u_d)]]))
+    w0 = np.repeat(w_d[starts], run_len)  # weeks sorted asc → run start is min
+    t = pa.table({"cohort_week": pa.array(w0), "week_offset": pa.array(w_d - w0)})
+    g = t.group_by(["cohort_week", "week_offset"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "cohort_week": g.column("cohort_week"),
+            "week_offset": g.column("week_offset"),
+            "n_users": g.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+def cohort_retention(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Weekly cohort retention matrix: users grouped by their FIRST
+    active week, counted at each later week offset — the canonical
+    product-analytics query.  ONE sort exchange total: per-batch
+    deduped (user, week) pairs co-locate by user, and the cohort week
+    (the per-user MIN) falls out of the same sorted run — no separate
+    min-aggregate, no join-back.  Only (cohort, offset) count partials
+    re-shuffle at the end."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/events.parquet", columns=["ts", "user_id"]
+    )
+    pairs = ds.map_batches(_user_week_pairs, batch_format="pyarrow")
+    partials = checked_sort(pairs, "u").map_batches(
+        _cohort_block, batch_format="pyarrow", batch_size=None
+    )
+    out = null_safe_groupby_agg(
+        partials,
+        ["cohort_week", "week_offset"],
+        Sum("n_users", alias_name="n_users"),
+        out_types={"n_users": pa.int64()},
+    )
+    return null_safe_sort(out, ["cohort_week", "week_offset"]) if sort else out
