@@ -545,6 +545,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_users": _ev.rolling_users,
         # weekly cohort retention (per-user first week from one run)
         "events_cohort_retention": _ev.cohort_retention,
+        # gaps-and-islands: per-user consecutive-day activity streaks
+        "events_user_streaks": _ev.user_streaks,
+        # fact-to-fact join where the measure spans both sides
+        "ship_delay_profile": _joins.ship_delay_profile,
         # ExtractText/RouteOnAttribute: typed regex extraction + routing
         "events_props_extract": _ev.props_extract,
         "pricing_unpivot": _rel.pricing_unpivot,
@@ -919,6 +923,8 @@ FROM _ch
         "events_user_trend": _ev.USER_TREND_SQL,
         "events_rolling_users": _ev.ROLLING_USERS_SQL,
         "events_cohort_retention": _ev.COHORT_RETENTION_SQL,
+        "events_user_streaks": _ev.USER_STREAKS_SQL,
+        "ship_delay_profile": _joins.SHIP_DELAY_PROFILE_SQL,
         "events_props_extract": _ev.PROPS_EXTRACT_SQL,
         "label_vector_sums": _vec.LABEL_VECTOR_SUMS_SQL,
         "label_centroids": _vec.LABEL_CENTROIDS_SQL,

@@ -2174,3 +2174,96 @@ def cohort_retention(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         out_types={"n_users": pa.int64()},
     )
     return null_safe_sort(out, ["cohort_week", "week_offset"]) if sort else out
+
+
+# ---------------------------------------------------------------------------
+# activity streaks (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+COHORT_US_PER_DAY = 86_400_000_000
+
+USER_STREAKS_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT user_id AS u, CAST(epoch_us(ts) // {COHORT_US_PER_DAY} AS BIGINT) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+g AS (
+  SELECT u, day, day - row_number() OVER (PARTITION BY u ORDER BY day) AS grp FROM d
+),
+s AS (SELECT u, grp, COUNT(*) AS len FROM g GROUP BY u, grp)
+SELECT u AS user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM s GROUP BY u ORDER BY u
+"""
+
+
+def _user_day_pairs(batch: pa.Table) -> pa.Table:
+    mask = pc.and_(pc.is_valid(batch.column("ts")), pc.is_valid(batch.column("user_id")))
+    batch = batch.filter(mask)
+    days = _truncdiv(
+        np.asarray(batch.column("ts").cast(pa.int64()).combine_chunks()), COHORT_US_PER_DAY
+    )
+    users = np.asarray(batch.column("user_id").cast(pa.int64()).combine_chunks())
+    pairs = np.unique(np.stack([users, days], axis=1), axis=0)
+    return pa.table({"u": pa.array(pairs[:, 0]), "day": pa.array(pairs[:, 1])})
+
+
+def _streaks_block(block: pa.Table) -> pa.Table:
+    """Gaps-and-islands per co-located user run, fully vectorized: an
+    island starts at a user boundary or where consecutive (deduped,
+    sorted) days differ by more than one; island lengths fold by
+    ``reduceat``, per-user rollups by a second ``reduceat`` over the
+    islands."""
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_active_days": pa.array([], pa.int64()),
+            "longest_streak": pa.array([], pa.int64()),
+            "n_streaks": pa.array([], pa.int64()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by([("u", "ascending"), ("day", "ascending")])
+    u = np.asarray(block.column("u"))
+    day = np.asarray(block.column("day"))
+    new_pair = np.concatenate([[True], (u[1:] != u[:-1]) | (day[1:] != day[:-1])])
+    u_d, day_d = u[new_pair], day[new_pair]
+    m = len(u_d)
+    new_user = np.concatenate([[True], u_d[1:] != u_d[:-1]])
+    new_island = new_user | np.concatenate([[True], (day_d[1:] - day_d[:-1]) != 1])
+    isl_start = np.nonzero(new_island)[0]
+    isl_len = np.diff(np.concatenate([isl_start, [m]]))
+    # roll islands up per user: island i belongs to the user at its start
+    isl_user_start = np.nonzero(new_user[isl_start])[0]
+    users_out = u_d[isl_start][new_user[isl_start]]
+    n_streaks = np.diff(np.concatenate([isl_user_start, [len(isl_start)]]))
+    n_days = np.add.reduceat(isl_len, isl_user_start)
+    longest = np.maximum.reduceat(isl_len, isl_user_start)
+    return pa.table(
+        {
+            "user_id": pa.array(users_out.astype(np.int64)),
+            "n_active_days": pa.array(n_days.astype(np.int64)),
+            "longest_streak": pa.array(longest.astype(np.int64)),
+            "n_streaks": pa.array(n_streaks.astype(np.int64)),
+        }
+    )
+
+
+def user_streaks(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Per-user activity streaks — the gaps-and-islands pattern (SQL's
+    ``day − row_number()`` grouping trick) computed distributed: ONE
+    sort exchange of per-batch deduped (user, day) pairs, then a fully
+    vectorized island fold inside each co-located user run.  Reports
+    active days, the longest consecutive-day streak, and streak count."""
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/events.parquet", columns=["ts", "user_id"]
+    )
+    pairs = ds.map_batches(_user_day_pairs, batch_format="pyarrow")
+    out = checked_sort(pairs, "u").map_batches(
+        _streaks_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("user_id") if sort else out

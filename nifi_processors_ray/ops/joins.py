@@ -1068,3 +1068,158 @@ def all_actor_ids(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         _union_block, batch_format="pyarrow", batch_size=None
     )
     return out.sort("custkey") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# fact-to-fact join with date arithmetic: shipping delay per priority
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY_J = 86_400_000_000
+
+SHIP_DELAY_PROFILE_SQL = f"""
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(epoch_us(l.l_shipdate) // {_US_PER_DAY_J}
+                     - epoch_us(o.o_orderdate) // {_US_PER_DAY_J} AS BIGINT))
+            AS BIGINT) AS delay_days_sum,
+       CAST(MIN(CAST(epoch_us(l.l_shipdate) // {_US_PER_DAY_J}
+                     - epoch_us(o.o_orderdate) // {_US_PER_DAY_J} AS BIGINT))
+            AS BIGINT) AS delay_days_min,
+       CAST(MAX(CAST(epoch_us(l.l_shipdate) // {_US_PER_DAY_J}
+                     - epoch_us(o.o_orderdate) // {_US_PER_DAY_J} AS BIGINT))
+            AS BIGINT) AS delay_days_max
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+def _delay_orders_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    day = batch.column("o_orderdate").cast(pa.int64())
+    return pa.table(
+        {
+            "key": batch.column("o_orderkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "priority": batch.column("o_orderpriority"),
+            "order_day": pc.divide(day, _US_PER_DAY_J),  # positive epochs
+            "n": pa.nulls(n, pa.int64()),
+            "ship_sum": pa.nulls(n, pa.int64()),
+            "ship_min": pa.nulls(n, pa.int64()),
+            "ship_max": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _delay_lineitem_side(batch: pa.Table) -> pa.Table:
+    """Probe partials per orderkey: the delay needs the build side's
+    order date, but (count, Σ ship_day, min, max) pre-aggregate exactly
+    — delay stats recover as Σship − n·order_day etc. in the kernel."""
+    days = pc.divide(batch.column("l_shipdate").cast(pa.int64()), _US_PER_DAY_J)
+    t = pa.table({"key": batch.column("l_orderkey").cast(pa.int64()), "d": days})
+    g = t.group_by(["key"]).aggregate(
+        [("d", "sum"), ("d", "min"), ("d", "max"), ([], "count_all")]
+    )
+    m = g.num_rows
+    return pa.table(
+        {
+            "key": g.column("key"),
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "priority": pa.nulls(m, pa.string()),
+            "order_day": pa.nulls(m, pa.int64()),
+            "n": g.column("count_all").cast(pa.int64()),
+            "ship_sum": g.column("d_sum"),
+            "ship_min": g.column("d_min"),
+            "ship_max": g.column("d_max"),
+        }
+    )
+
+
+def _delay_join_block(block: pa.Table) -> pa.Table:
+    """Per orderkey run: convert ship-day partials to delay partials
+    using the build row's order day, then fold per priority."""
+    from ..functions.blocks import sorted_build_probe_runs
+
+    empty = pa.table(
+        {
+            "priority": pa.array([], pa.string()),
+            "n_items": pa.array([], pa.int64()),
+            "delay_days_sum": pa.array([], pa.int64()),
+            "delay_days_min": pa.array([], pa.int64()),
+            "delay_days_max": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
+    keep = (side == 1) & (build_idx >= 0)
+    if not keep.any():
+        return empty
+    order_day = np.asarray(pc.fill_null(block.column("order_day"), 0).combine_chunks())
+    pr_codes = block.column("priority").combine_chunks().dictionary_encode()
+    pr_idx = np.asarray(pc.fill_null(pr_codes.indices, -1))
+    bi = build_idx[keep]
+    n = np.asarray(pc.fill_null(block.column("n"), 0).combine_chunks())[keep]
+    ssum = np.asarray(pc.fill_null(block.column("ship_sum"), 0).combine_chunks())[keep]
+    smin = np.asarray(pc.fill_null(block.column("ship_min"), 0).combine_chunks())[keep]
+    smax = np.asarray(pc.fill_null(block.column("ship_max"), 0).combine_chunks())[keep]
+    od = order_day[bi]
+    d_sum = ssum - n * od
+    d_min = smin - od
+    d_max = smax - od
+    code = pr_idx[bi]
+    n_codes = len(pr_codes.dictionary)
+    order = np.argsort(code, kind="stable")
+    code_s = code[order]
+    seg = np.concatenate([[True], code_s[1:] != code_s[:-1]])
+    idx = np.nonzero(seg)[0]
+    out_codes = code_s[idx]
+    return pa.table(
+        {
+            "priority": pr_codes.dictionary.take(pa.array(out_codes, pa.int32())),
+            "n_items": pa.array(np.add.reduceat(n[order], idx).astype(np.int64)),
+            "delay_days_sum": pa.array(np.add.reduceat(d_sum[order], idx).astype(np.int64)),
+            "delay_days_min": pa.array(np.minimum.reduceat(d_min[order], idx).astype(np.int64)),
+            "delay_days_max": pa.array(np.maximum.reduceat(d_max[order], idx).astype(np.int64)),
+        }
+    )
+
+
+def ship_delay_profile(sf_dir: str) -> ray.data.Dataset:
+    """Shipping delay (days between order and line shipment) per order
+    priority: the fact-to-fact join where the MEASURE spans both sides.
+    The probe side still pre-aggregates exactly — (count, Σ, min, max)
+    of ship days per orderkey recover the delay stats once the build
+    row's order day is known — so the exchange ships per-batch partials,
+    never lineitems.  Min/max/sum survive a second fold, so the final
+    per-priority groupby is a plain partial merge."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.debug import null_safe_groupby_agg
+
+    sf = sf_dir.rstrip("/")
+    orders = read_parquet_clean(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    ).map_batches(_delay_orders_side, batch_format="pyarrow")
+    items = read_parquet_clean(
+        f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(_delay_lineitem_side, batch_format="pyarrow")
+    partials = checked_sort(orders.union(items), "key").map_batches(
+        _delay_join_block, batch_format="pyarrow", batch_size=None
+    )
+    out = null_safe_groupby_agg(
+        partials,
+        "priority",
+        Sum("n_items", alias_name="n_items"),
+        Sum("delay_days_sum", alias_name="delay_days_sum"),
+        Min("delay_days_min", alias_name="delay_days_min"),
+        Max("delay_days_max", alias_name="delay_days_max"),
+        out_types={
+            "n_items": pa.int64(),
+            "delay_days_sum": pa.int64(),
+            "delay_days_min": pa.int64(),
+            "delay_days_max": pa.int64(),
+        },
+    )
+    return out.sort("priority")

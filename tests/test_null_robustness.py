@@ -43,7 +43,7 @@ TARGETS = [
     "events_user_enrich", "events_asof_order", "customer_spend_deciles",
     "events_user_outliers", "events_props_extract",
     "events_local_density", "events_user_trend", "events_rolling_users",
-    "events_cohort_retention",
+    "events_cohort_retention", "events_user_streaks",
 ]
 
 
