@@ -67,6 +67,8 @@ SKEW_TARGETS = [
     "events_window_agg", "events_funnel", "events_value_quantiles",
     # round-3 continuation blockwise group kernels
     "events_modal_type", "events_first_last",
+    # third-continuation kernels: window explode, cohort fold, islands
+    "events_rolling_users", "events_cohort_retention", "events_user_streaks",
 ]
 
 
@@ -282,6 +284,7 @@ REL_SKEW_TARGETS = [
     "local_supplier_volume", "returned_item_revenue", "shipping_priority",
     "customer_order_counts", "top_orders_per_cust", "order_priority_revenue",
     "order_size_distribution", "customers_without_orders",
+    "ship_delay_profile",
 ]
 
 
