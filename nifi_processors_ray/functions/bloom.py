@@ -49,7 +49,12 @@ def build_key_bloom(ds: ray.data.Dataset, col: str) -> "ray.ObjectRef":
     def partial(block: pa.Table) -> pa.Table:
         bits = np.zeros(_BLOOM_BYTES, dtype=np.uint8)
         if block.num_rows:
-            keys = np.asarray(block.column(col).cast(pa.int64()).combine_chunks())
+            # drop_null BEFORE the numpy view: a null would degrade the
+            # whole array to float64+NaN, where keys >2^53 round and
+            # NaN→uint64 is undefined — silent hash drift vs the probe
+            keys = np.asarray(
+                block.column(col).cast(pa.int64()).combine_chunks().drop_null()
+            )
             for h in _bit_positions(keys):
                 np.bitwise_or.at(bits, h >> 3, (1 << (h & 7)).astype(np.uint8))
         return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})

@@ -152,8 +152,12 @@ def _q5_lineitem_side(batch: pa.Table, bloom_ref=None) -> pa.Table:
     by the join itself, so the filter can never change the result."""
     if bloom_ref is not None:
         bloom = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) else bloom_ref
-        keys = np.asarray(batch.column("l_orderkey").cast(pa.int64()).combine_chunks())
-        batch = batch.filter(pa.array(bloom_member(keys, bloom)))
+        key_col = batch.column("l_orderkey").cast(pa.int64()).combine_chunks()
+        # null keys never join (INNER semantics) and would degrade the
+        # numpy view to float64+NaN — drop them with the bloom misses
+        valid = np.asarray(pc.is_valid(key_col))
+        keys = np.asarray(pc.fill_null(key_col, 0))
+        batch = batch.filter(pa.array(valid & bloom_member(keys, bloom)))
     t = pa.table(
         {
             "key": batch.column("l_orderkey").cast(pa.int64()),
@@ -275,7 +279,7 @@ def _q5_hop3_block(block: pa.Table) -> pa.Table:
     )
 
 
-def local_supplier_volume(sf_dir: str) -> ray.data.Dataset:
+def local_supplier_volume(sf_dir: str, *, use_bloom: bool = True) -> ray.data.Dataset:
     """Local-supplier volume per nation (the TPC-H Q5 shape): revenue
     from in-region customers buying from suppliers of their OWN nation,
     over one order year — six tables, THREE chained sort exchanges:
@@ -313,8 +317,9 @@ def local_supplier_volume(sf_dir: str) -> ray.data.Dataset:
     ).materialize()  # consumed twice: bloom build + hop-2 build side
 
     # semijoin reduction: only lineitems of surviving orders reach the
-    # hop-2 exchange (fixed-size bloom — see functions/bloom.py)
-    bloom_ref = build_key_bloom(tagged_orders, "o_orderkey")
+    # hop-2 exchange (fixed-size bloom — see functions/bloom.py);
+    # use_bloom=False is the equivalence knob the tests compare against
+    bloom_ref = build_key_bloom(tagged_orders, "o_orderkey") if use_bloom else None
     build2 = tagged_orders.map_batches(_q5_order_build_side, batch_format="pyarrow")
     items = read_parquet_clean(
         f"{sf}/lineitem.parquet",
@@ -407,8 +412,10 @@ def _q10_lineitem_side(batch: pa.Table, bloom_ref=None) -> pa.Table:
     same always-correct semijoin reduction as the Q5 chain)."""
     if bloom_ref is not None:
         bloom = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) else bloom_ref
-        keys = np.asarray(batch.column("l_orderkey").cast(pa.int64()).combine_chunks())
-        batch = batch.filter(pa.array(bloom_member(keys, bloom)))
+        key_col = batch.column("l_orderkey").cast(pa.int64()).combine_chunks()
+        valid = np.asarray(pc.is_valid(key_col))
+        keys = np.asarray(pc.fill_null(key_col, 0))
+        batch = batch.filter(pa.array(valid & bloom_member(keys, bloom)))
     t = pa.table(
         {
             "key": batch.column("l_orderkey").cast(pa.int64()),
@@ -513,7 +520,7 @@ def _q10_hop2_block(block: pa.Table) -> pa.Table:
     )
 
 
-def returned_item_revenue(sf_dir: str, n_top: int = Q10_TOP) -> ray.data.Dataset:
+def returned_item_revenue(sf_dir: str, n_top: int = Q10_TOP, *, use_bloom: bool = True) -> ray.data.Dataset:
     """Top-``n_top`` customers by returned-item revenue in one quarter
     (the TPC-H Q10 shape): orders ⋈ lineitem('R') ⋈ customer ⋈ nation
     through two chained sort exchanges (orderkey, then custkey), with
@@ -531,7 +538,7 @@ def returned_item_revenue(sf_dir: str, n_top: int = Q10_TOP) -> ray.data.Dataset
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
     ).map_batches(_q10_order_side, batch_format="pyarrow").materialize()
-    bloom_ref = build_key_bloom(orders, "key")
+    bloom_ref = build_key_bloom(orders, "key") if use_bloom else None
     items = read_parquet_clean(
         f"{sf}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],

@@ -1089,12 +1089,17 @@ SELECT o.o_orderpriority AS priority,
                      - epoch_us(o.o_orderdate) // {_US_PER_DAY_J} AS BIGINT))
             AS BIGINT) AS delay_days_max
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+-- null dates are excluded on BOTH sides: mixing them would let COUNT(*)
+-- count rows whose delay expression SUM/MIN/MAX skip (engine partials
+-- would then disagree with the twin on exactly those rows)
+WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
 GROUP BY priority
 ORDER BY priority
 """
 
 
 def _delay_orders_side(batch: pa.Table) -> pa.Table:
+    batch = batch.filter(pc.is_valid(batch.column("o_orderdate")))
     n = batch.num_rows
     day = batch.column("o_orderdate").cast(pa.int64())
     return pa.table(
@@ -1115,6 +1120,7 @@ def _delay_lineitem_side(batch: pa.Table) -> pa.Table:
     """Probe partials per orderkey: the delay needs the build side's
     order date, but (count, Σ ship_day, min, max) pre-aggregate exactly
     — delay stats recover as Σship − n·order_day etc. in the kernel."""
+    batch = batch.filter(pc.is_valid(batch.column("l_shipdate")))
     days = pc.divide(batch.column("l_shipdate").cast(pa.int64()), _US_PER_DAY_J)
     t = pa.table({"key": batch.column("l_orderkey").cast(pa.int64()), "d": days})
     g = t.group_by(["key"]).aggregate(
@@ -1168,7 +1174,6 @@ def _delay_join_block(block: pa.Table) -> pa.Table:
     d_min = smin - od
     d_max = smax - od
     code = pr_idx[bi]
-    n_codes = len(pr_codes.dictionary)
     order = np.argsort(code, kind="stable")
     code_s = code[order]
     seg = np.concatenate([[True], code_s[1:] != code_s[:-1]])

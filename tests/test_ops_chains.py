@@ -75,19 +75,21 @@ def test_bloom_semijoin_reduction_properties(ray_session):
     assert fpr < 0.01, f"false-positive rate {fpr} too high for 25k keys/1MiB"
 
 
-def test_q5_result_identical_with_and_without_bloom(ray_session, monkeypatch):
-    """The semijoin reduction must be invisible in the result: disable
-    it by making membership always-true and compare."""
-    import numpy as np
+def test_q5_result_identical_with_and_without_bloom(ray_session):
+    """The semijoin reduction must be invisible in the result.  The
+    disable path is threaded through fn_kwargs (``use_bloom=False`` →
+    no bloom_ref reaches the worker) — a driver-side monkeypatch of
+    ``bloom_member`` would NOT reach Ray worker processes (the UDF is
+    re-imported there), which made the first version of this test
+    vacuous (round-3 review finding)."""
+    with_bloom = chains.local_supplier_volume(SF).to_pandas()
+    without = chains.local_supplier_volume(SF, use_bloom=False).to_pandas()
+    assert with_bloom.equals(without)
+    assert len(with_bloom) > 0
 
-    from nifi_processors_ray.functions import bloom as B
 
-    want = chains.local_supplier_volume(SF).to_pandas()
-    monkeypatch.setattr(
-        B, "bloom_member", lambda keys, bloom: np.ones(len(keys), dtype=bool)
-    )
-    monkeypatch.setattr(
-        chains, "bloom_member", lambda keys, bloom: np.ones(len(keys), dtype=bool)
-    )
-    got = chains.local_supplier_volume(SF).to_pandas()
-    assert got.equals(want)
+def test_q10_result_identical_with_and_without_bloom(ray_session):
+    with_bloom = chains.returned_item_revenue(SF).to_pandas()
+    without = chains.returned_item_revenue(SF, use_bloom=False).to_pandas()
+    assert with_bloom.equals(without)
+    assert len(with_bloom) > 0
