@@ -561,6 +561,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deep multi-hop chains (Q5/Q10 shapes, 3 resp. 2 sort exchanges)
         "local_supplier_volume": _chains.local_supplier_volume,
         "returned_item_revenue": _chains.returned_item_revenue,
+        # HAVING-over-join (Q18) and pure filter-aggregate (Q6) shapes
+        "large_volume_customers": _chains.large_volume_customers,
+        "revenue_forecast": _rel.revenue_forecast,
         # benchmark decontamination (broadcast eval n-gram set, pure map)
         "decontaminate": _text.decontaminate,
         # ordered conversion funnel (the self-join-free chain evaluation)
@@ -909,6 +912,8 @@ FROM _ch
         "shipping_priority": _joins.SHIPPING_PRIORITY_SQL,
         "local_supplier_volume": _chains.LOCAL_SUPPLIER_VOLUME_SQL,
         "returned_item_revenue": _chains.RETURNED_ITEM_REVENUE_SQL,
+        "large_volume_customers": _chains.LARGE_VOLUME_CUSTOMERS_SQL,
+        "revenue_forecast": _rel.REVENUE_FORECAST_SQL,
         "decontaminate": _text.DECONTAMINATE_SQL,
         "events_funnel": _ev.FUNNEL_SQL,
         "customer_spend_deciles": _rel.SPEND_DECILES_SQL,

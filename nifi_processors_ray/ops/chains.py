@@ -598,3 +598,164 @@ def returned_item_revenue(sf_dir: str, n_top: int = Q10_TOP, *, use_bloom: bool 
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: large-volume customers (HAVING over a join)
+# ---------------------------------------------------------------------------
+
+Q18_QTY = 250
+Q18_TOP = 20
+
+LARGE_VOLUME_CUSTOMERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > {Q18_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+       b.total_qty
+FROM big b
+JOIN orders o   ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY price_cents DESC, o.o_orderkey
+LIMIT {Q18_TOP}
+"""
+
+
+def _q18_qty_partials(batch: pa.Table) -> pa.Table:
+    t = pa.table(
+        {
+            "key": batch.column("l_orderkey").cast(pa.int64()),
+            "qty": batch.column("l_quantity").cast(pa.int64()),
+        }
+    )
+    g = t.group_by(["key"]).aggregate([("qty", "sum")])
+    return pa.table({"key": g.column("key"), "qty": g.column("qty_sum")})
+
+
+def _q18_orders_side(batch: pa.Table, big_ref) -> pa.Table:
+    """Orders semi-filtered to the big-order set; carries the order's
+    qty from the broadcast lookup (sorted arrays + searchsorted)."""
+    keys, qtys = ray.get(big_ref) if isinstance(big_ref, ray.ObjectRef) else big_ref
+    ok = np.asarray(batch.column("o_orderkey").cast(pa.int64()).combine_chunks())
+    idx = np.searchsorted(keys, ok)
+    hit = (idx < len(keys)) & (keys[np.minimum(idx, max(len(keys) - 1, 0))] == ok) if len(keys) else np.zeros(len(ok), bool)
+    batch = batch.filter(pa.array(hit))
+    n = batch.num_rows
+    ok = np.asarray(batch.column("o_orderkey").cast(pa.int64()).combine_chunks()) if n else np.array([], np.int64)
+    qty = qtys[np.searchsorted(keys, ok)] if n else np.array([], np.int64)
+    from ..functions.money import floored_cents
+
+    return pa.table(
+        {
+            "key": batch.column("o_custkey").cast(pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "c_name": pa.nulls(n, pa.string()),
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "price_cents": floored_cents(batch.column("o_totalprice")) if n else pa.array([], pa.int64()),
+            "total_qty": pa.array(qty),
+        }
+    )
+
+
+def _q18_cust_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("c_custkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "c_name": batch.column("c_name"),
+            "o_orderkey": pa.nulls(n, pa.int64()),
+            "price_cents": pa.nulls(n, pa.int64()),
+            "total_qty": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q18_join_block(block: pa.Table) -> pa.Table:
+    """Per custkey run (unique build key = the customer): emit each
+    big-order probe row labeled with the customer's name."""
+    empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "price_cents": pa.array([], pa.int64()),
+            "total_qty": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
+    keep = (side == 1) & (build_idx >= 0)
+    if not keep.any():
+        return empty
+    names = block.column("c_name").take(pa.array(build_idx[keep].astype(np.int64)))
+    kept = block.filter(pa.array(keep))
+    return pa.table(
+        {
+            "c_custkey": kept.column("key"),
+            "c_name": names,
+            "o_orderkey": kept.column("o_orderkey"),
+            "price_cents": kept.column("price_cents"),
+            "total_qty": kept.column("total_qty"),
+        }
+    )
+
+
+def large_volume_customers(sf_dir: str, n_top: int = Q18_TOP) -> ray.data.Dataset:
+    """Large-volume customers (the TPC-H Q18 shape): orders whose total
+    lineitem quantity clears a HAVING threshold, labeled with their
+    customer — the HAVING-over-join pattern.  The per-order quantity
+    aggregate runs as combiner partials + one groupby; the surviving
+    "big" set (bounded by the HAVING selectivity — documented broadcast
+    assumption) ships as sorted arrays via ``ray.put`` and semi-filters
+    the orders scan; ONE sort exchange then attaches customer names."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.debug import null_safe_groupby_agg
+
+    sf = sf_dir.rstrip("/")
+    per_order = null_safe_groupby_agg(
+        read_parquet_clean(f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+        .map_batches(_q18_qty_partials, batch_format="pyarrow"),
+        "key",
+        Sum("qty", alias_name="qty"),
+        out_types={"qty": pa.int64()},
+    )
+    big = per_order.map_batches(
+        lambda b: b.filter(pc.greater(b.column("qty"), Q18_QTY)),
+        batch_format="pyarrow",
+    ).take_all()
+    keys = np.array([r["key"] for r in big], dtype=np.int64)
+    order = np.argsort(keys)
+    keys = keys[order]
+    qtys = np.array([r["qty"] for r in big], dtype=np.int64)[order]
+    big_ref = ray.put((keys, qtys))
+
+    orders = read_parquet_clean(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(_q18_orders_side, batch_format="pyarrow", fn_kwargs={"big_ref": big_ref})
+    cust = read_parquet_clean(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(_q18_cust_side, batch_format="pyarrow")
+    joined = checked_sort(cust.union(orders), "key").map_batches(
+        _q18_join_block, batch_format="pyarrow", batch_size=None
+    )
+    out = joined.sort(["price_cents", "o_orderkey"], descending=[True, False]).limit(n_top)
+    from ..functions.blocks import compact_small_result
+
+    return compact_small_result(
+        out,
+        pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_name", pa.string()),
+                ("o_orderkey", pa.int64()),
+                ("price_cents", pa.int64()),
+                ("total_qty", pa.int64()),
+            ]
+        ),
+    )

@@ -1305,3 +1305,74 @@ def orders_dow_profile(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         out_types={"n_orders": pa.int64(), "spend_cents": pa.int64()},
     )
     return out.sort("dow") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# forecast revenue change (the TPC-H Q6 shape: pure filter + aggregate)
+# ---------------------------------------------------------------------------
+
+Q6_LO = "1996-01-01"
+Q6_HI = "1997-01-01"
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY = 24
+
+REVENUE_FORECAST_SQL = f"""
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS promo_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_LO}' AND l_shipdate < TIMESTAMP '{Q6_HI}'
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY}
+"""
+
+
+def _q6_partial(batch: pa.Table) -> pa.Table:
+    p = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+    d = np.asarray(batch.column("l_discount"), dtype=np.float64)
+    cents = np.floor(p * d * 100).astype(np.int64)
+    return pa.table(
+        {
+            "promo_cents": pa.array([int(cents.sum())], pa.int64()),
+            "n_items": pa.array([batch.num_rows], pa.int64()),
+        }
+    )
+
+
+def revenue_forecast(sf_dir: str) -> ray.data.Dataset:
+    """Promotion revenue (the TPC-H Q6 shape): every predicate is pushed
+    into the parquet scan (row groups outside the ship-date range or
+    discount band never leave storage), each batch folds to ONE partial
+    row, and the only 'shuffle' is a ≤n_blocks-row global sum — the
+    pure filter-aggregate baseline of the relational family."""
+    from ray.data.aggregate import Sum
+
+    flt = (
+        (pc.field("l_shipdate") >= pa.scalar(np.datetime64(Q6_LO, "us"), pa.timestamp("us")))
+        & (pc.field("l_shipdate") < pa.scalar(np.datetime64(Q6_HI, "us"), pa.timestamp("us")))
+        & (pc.field("l_discount") >= Q6_DISC_LO)
+        & (pc.field("l_discount") <= Q6_DISC_HI)
+        & (pc.field("l_quantity") < Q6_QTY)
+    )
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_shipdate", "l_quantity"],
+        filter=flt,
+    )
+    partials = ds.map_batches(_q6_partial, batch_format="pyarrow")
+    out = partials.aggregate(
+        Sum("promo_cents", alias_name="promo_cents"),
+        Sum("n_items", alias_name="n_items"),
+    )
+    import ray.data as _rd
+
+    return _rd.from_items([out]).map_batches(
+        lambda b: pa.table(
+            {
+                "promo_cents": b.column("promo_cents").cast(pa.int64()),
+                "n_items": b.column("n_items").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
