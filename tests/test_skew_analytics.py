@@ -284,7 +284,7 @@ REL_SKEW_TARGETS = [
     "local_supplier_volume", "returned_item_revenue", "shipping_priority",
     "customer_order_counts", "top_orders_per_cust", "order_priority_revenue",
     "order_size_distribution", "customers_without_orders",
-    "ship_delay_profile",
+    "ship_delay_profile", "large_volume_customers", "revenue_forecast",
 ]
 
 
