@@ -127,3 +127,37 @@ def test_forget_does_not_consume_stream_seqs(ray_session, tmp_path):
     c0 = state[state.conv_id == "c0"]
     assert list(c0.turn_idx) == [0]
     assert list(c0.text) == ["resurrection attempt"]
+
+
+def test_forget_crash_before_commit_changes_nothing(ray_session, tmp_path, monkeypatch):
+    """Erasure inherits the 2PC contract: a failure BEFORE the manifest
+    commit leaves the lake byte-for-byte at the prior state (staged
+    files are orphans the next commit's paths overwrite), and the retry
+    succeeds idempotently."""
+    from nifi_processors_ray.pipelines.replay import CdcEngine
+
+    lake = str(tmp_path / "lake")
+    log = str(tmp_path / "log")
+    write_changelog_from_events(SF_DIR, log, files=3)
+    eng = make_engine(lake, log)
+    eng.replay()
+    before = eng.final_state(sort=True).to_pandas()
+    before_epoch = eng.store.latest().epoch
+
+    def boom(*a, **k):
+        raise RuntimeError("injected pre-commit crash")
+
+    monkeypatch.setattr(eng, "_commit", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.forget_conversations(("c0",))
+    monkeypatch.undo()
+
+    # nothing committed: same epoch, same state, c0 still present
+    assert eng.store.latest().epoch == before_epoch
+    mid = eng.final_state(sort=True).to_pandas()
+    assert mid.equals(before)
+    # the retry completes the erasure
+    assert eng.forget_conversations(("c0",)) is not None
+    after = eng.final_state(sort=True).to_pandas()
+    assert "c0" not in set(after["conv_id"])
+    assert after.equals(before[before.conv_id != "c0"].reset_index(drop=True))
