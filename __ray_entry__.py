@@ -504,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_size_distribution": _rel.order_size_distribution,
         # calendar-dimension profile (integer date kernel, no dim table)
         "orders_dow_profile": _rel.orders_dow_profile,
+        # RFM segmentation: 3 distributed-NTILE passes over one metric table
+        "customer_rfm": _rel.customer_rfm,
         # window functions: cumulative sum, DENSE_RANK, PERCENT_RANK/CUME_DIST
         "orders_running_total": _rel.orders_running_total,
         "part_price_rank": _rel.part_price_rank,
@@ -887,6 +889,7 @@ FROM _ch
         "supplier_nation_rollup": _rel.SUPPLIER_NATION_ROLLUP_SQL,
         "order_size_distribution": _rel.ORDER_SIZE_DISTRIBUTION_SQL,
         "orders_dow_profile": _rel.ORDERS_DOW_PROFILE_SQL,
+        "customer_rfm": _rel.CUSTOMER_RFM_SQL,
         "orders_running_total": _rel.ORDERS_RUNNING_TOTAL_SQL,
         "pricing_rollup": _rel.PRICING_ROLLUP_SQL,
         "orders_monthly_volume": _rel.ORDERS_MONTHLY_VOLUME_SQL,

@@ -1376,3 +1376,125 @@ def revenue_forecast(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------------
+
+RFM_K = 4
+
+CUSTOMER_RFM_SQL = f"""
+WITH m AS (
+  SELECT o_custkey,
+         CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS recency_day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_custkey
+),
+t AS (
+  SELECT *,
+         CAST(NTILE({RFM_K}) OVER (ORDER BY recency_day, o_custkey) AS BIGINT) AS r_tile,
+         CAST(NTILE({RFM_K}) OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS f_tile,
+         CAST(NTILE({RFM_K}) OVER (ORDER BY monetary_cents, o_custkey) AS BIGINT) AS m_tile
+  FROM m
+)
+SELECT o_custkey, recency_day, n_orders, monetary_cents, r_tile, f_tile, m_tile,
+       CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS rfm_code
+FROM t ORDER BY o_custkey
+"""
+
+
+def _add_ntile_column(ds: ray.data.Dataset, metric: str, key: str, out_col: str,
+                      k: int) -> ray.data.Dataset:
+    """One distributed NTILE pass: global sort on (metric, key), the
+    block-offset global-rank pattern, vectorized tile assignment —
+    shared by the three RFM passes (same machinery as
+    :func:`customer_spend_deciles`)."""
+    from ..functions.blocks import block_offset_index
+
+    ordered = ds.sort([metric, key]).materialize()
+    offset_by_key, n_total = block_offset_index(
+        ordered, [metric, key], lambda b: b.num_rows
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            if b.num_columns == 0:
+                return b
+            return b.append_column(out_col, pa.array([], pa.int64()))
+        first = (b.column(metric)[0].as_py(), b.column(key)[0].as_py())
+        off = offset_by_key[first]  # KeyError = block split drifted: fail loud
+        ranks = off + np.arange(b.num_rows, dtype=np.int64)
+        return b.append_column(out_col, pa.array(_ntile_of(ranks, int(n_total), k)))
+
+    return ordered.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def customer_rfm(sf_dir: str) -> ray.data.Dataset:
+    """RFM segmentation — each customer's recency / frequency / monetary
+    quartile plus the composed 3-digit RFM code, the classic marketing
+    segmentation.  One groupby builds the per-customer metric table;
+    each tile is an independent distributed-NTILE pass (sort + block
+    offsets + vectorized assignment) over that narrow table — the fact
+    table is read once and never re-shuffled."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.debug import null_safe_groupby_agg
+
+    sf = sf_dir.rstrip("/")
+    orders = read_parquet_clean(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("o_orderdate")))
+        day = pc.divide(b.column("o_orderdate").cast(pa.int64()), 86_400_000_000)
+        t = pa.table(
+            {
+                "o_custkey": b.column("o_custkey").cast(pa.int64()),
+                "recency_day": day,
+                "monetary_cents": floored_cents(b.column("o_totalprice")),
+            }
+        )
+        g = t.group_by(["o_custkey"]).aggregate(
+            [("recency_day", "max"), ("monetary_cents", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "o_custkey": g.column("o_custkey"),
+                "recency_day": g.column("recency_day_max"),
+                "n_orders": g.column("count_all").cast(pa.int64()),
+                "monetary_cents": g.column("monetary_cents_sum"),
+            }
+        )
+
+    metrics = null_safe_groupby_agg(
+        orders.map_batches(partials, batch_format="pyarrow"),
+        "o_custkey",
+        Max("recency_day", alias_name="recency_day"),
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("monetary_cents", alias_name="monetary_cents"),
+        out_types={
+            "recency_day": pa.int64(),
+            "n_orders": pa.int64(),
+            "monetary_cents": pa.int64(),
+        },
+    )
+    ds = _add_ntile_column(metrics, "recency_day", "o_custkey", "r_tile", RFM_K)
+    ds = _add_ntile_column(ds, "n_orders", "o_custkey", "f_tile", RFM_K)
+    ds = _add_ntile_column(ds, "monetary_cents", "o_custkey", "m_tile", RFM_K)
+
+    def code(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 and b.num_columns == 0:
+            return b
+        rfm = pc.add(
+            pc.add(pc.multiply(b.column("r_tile"), 100), pc.multiply(b.column("f_tile"), 10)),
+            b.column("m_tile"),
+        )
+        return b.select(
+            ["o_custkey", "recency_day", "n_orders", "monetary_cents",
+             "r_tile", "f_tile", "m_tile"]
+        ).append_column("rfm_code", rfm.cast(pa.int64()))
+
+    return ds.map_batches(code, batch_format="pyarrow").sort("o_custkey")

@@ -285,6 +285,7 @@ REL_SKEW_TARGETS = [
     "customer_order_counts", "top_orders_per_cust", "order_priority_revenue",
     "order_size_distribution", "customers_without_orders",
     "ship_delay_profile", "large_volume_customers", "revenue_forecast",
+    "customer_rfm",
 ]
 
 
