@@ -2267,3 +2267,55 @@ def user_streaks(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         _streaks_block, batch_format="pyarrow", batch_size=None
     )
     return out.sort("user_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# weighted (importance) sampling
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_DOMAIN = 100_000  # acceptance domain: p = min(cents·2, D) / D
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT event_id,
+       CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+       CAST(LEAST(CAST(FLOOR(value * 100) AS BIGINT) * 2, {_WSAMPLE_DOMAIN}) AS BIGINT)
+         AS accept_ppm100k
+FROM events
+WHERE event_id IS NOT NULL AND value IS NOT NULL
+  AND (CAST(event_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296
+      % {_WSAMPLE_DOMAIN}
+      < LEAST(CAST(FLOOR(value * 100) AS BIGINT) * 2, {_WSAMPLE_DOMAIN})
+ORDER BY event_id
+"""
+
+
+def weighted_sample(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Deterministic importance sampling: each event is kept with
+    probability proportional to its value (p = min(2·cents, D)/D over
+    the same Knuth-hash acceptance domain as :func:`sample_events`), and
+    the emitted ``accept_ppm100k`` is the acceptance threshold — the
+    inverse-probability weight a downstream unbiased estimator divides
+    by.  Pure per-batch filter: rejected rows never shuffle anywhere."""
+    ds = _events(sf_dir, ["event_id", "value"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(b.column("event_id")), pc.is_valid(b.column("value")))
+        b = b.filter(mask)
+        eid = _hash_ids(b.column("event_id"))
+        bucket = (eid * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(
+            _WSAMPLE_DOMAIN
+        )
+        cents = np.asarray(_cents(b.column("value")))
+        accept = np.minimum(cents * 2, _WSAMPLE_DOMAIN)
+        keep = bucket.astype(np.int64) < accept
+        kept = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": kept.column("event_id"),
+                "value_cents": pa.array(np.asarray(_cents(kept.column("value")))),
+                "accept_ppm100k": pa.array(accept[keep].astype(np.int64)),
+            }
+        )
+
+    out = ds.map_batches(pick, batch_format="pyarrow")
+    return out.sort("event_id") if sort else out
