@@ -489,6 +489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sample": _ev.sample_events,
         # importance sampling: p ∝ value, inverse-probability weights out
         "events_weighted_sample": _ev.weighted_sample,
+        # CEP temporal pattern: X then Y within a 30-minute window
+        "events_conversions_within": _ev.conversions_within,
         "events_stratified_sample": _ev.stratified_sample,
         "events_value_quantiles": _ev.value_quantiles,
         "events_value_moments": _ev.value_moments,
@@ -879,6 +881,7 @@ FROM _ch
         "events_distinct_types": _ev.DISTINCT_TYPES_SQL,
         "events_sample": _ev.SAMPLE_SQL,
         "events_weighted_sample": _ev.WEIGHTED_SAMPLE_SQL,
+        "events_conversions_within": _ev.CONVERSIONS_WITHIN_SQL,
         "events_stratified_sample": _ev.STRATIFIED_SAMPLE_SQL,
         "events_value_quantiles": _ev.VALUE_QUANTILES_SQL,
         "events_value_moments": _ev.VALUE_MOMENTS_SQL,

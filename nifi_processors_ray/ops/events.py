@@ -2319,3 +2319,111 @@ def weighted_sample(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
 
     out = ds.map_batches(pick, batch_format="pyarrow")
     return out.sort("event_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# temporal pattern: X then Y within a window (CEP-style conversion)
+# ---------------------------------------------------------------------------
+
+CONV_X = "click"
+CONV_Y = "purchase"
+CONV_WINDOW_US = 1_800_000_000  # 30 min
+
+CONVERSIONS_WITHIN_SQL = f"""
+SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_conversions
+FROM events p
+WHERE p.event_type = '{CONV_Y}' AND p.user_id IS NOT NULL AND p.ts IS NOT NULL
+  AND EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.user_id = p.user_id AND c.event_type = '{CONV_X}'
+      AND c.ts IS NOT NULL
+      AND epoch_us(c.ts) > epoch_us(p.ts) - {CONV_WINDOW_US}
+      AND epoch_us(c.ts) < epoch_us(p.ts)
+  )
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
+def _conv_project(batch: pa.Table) -> pa.Table:
+    """Keep only the two pattern types as (user, ts, is_y) — the
+    exchange ships 17 bytes/row.  is_y is the TIE-BREAK sort key: on
+    equal ts the Y row must sort BEFORE the X row so an exactly-tied
+    click can't shadow an earlier in-window one (strict c.ts < p.ts)."""
+    et = batch.column("event_type")
+    is_x = pc.equal(et, CONV_X)
+    is_y = pc.equal(et, CONV_Y)
+    keep = pc.and_(
+        pc.and_(pc.fill_null(pc.or_(is_x, is_y), False), pc.is_valid(batch.column("user_id"))),
+        pc.is_valid(batch.column("ts")),
+    )
+    kept = batch.filter(keep)
+    return pa.table(
+        {
+            "user_id": kept.column("user_id").cast(pa.int64()),
+            "ts_us": kept.column("ts").cast(pa.int64()),
+            # Y sorts before X on ties: Y=0, X=1
+            "is_x": pc.equal(kept.column("event_type"), CONV_X).cast(pa.int8()),
+        }
+    )
+
+
+def _conv_block(block: pa.Table) -> pa.Table:
+    """Per co-located user run: a Y row converts iff the most recent
+    PRIOR X row (prefix argmax over sorted order) lies strictly inside
+    (t−W, t).  'Most recent' suffices: any in-window X implies the most
+    recent prior X is in-window.  One accumulate + reduceat, no
+    per-user Python."""
+    empty = pa.table(
+        {"user_id": pa.array([], pa.int64()), "n_conversions": pa.array([], pa.int64())}
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    block = block.sort_by(
+        [("user_id", "ascending"), ("ts_us", "ascending"), ("is_x", "ascending")]
+    )
+    uid = np.asarray(block.column("user_id"))
+    ts = np.asarray(block.column("ts_us"))
+    is_x = np.asarray(block.column("is_x")).astype(bool)
+    new_run = np.concatenate([[True], uid[1:] != uid[:-1]])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    run_start_row = np.repeat(starts, run_len)
+    idx = np.arange(n, dtype=np.int64)
+    last_x_idx = np.maximum.accumulate(np.where(is_x, idx, -1))
+    has_prior_x = last_x_idx >= run_start_row  # resets at run boundaries
+    last_x_ts = ts[np.maximum(last_x_idx, 0)]
+    converts = (
+        (~is_x)
+        & has_prior_x
+        & (last_x_ts < ts)
+        & (last_x_ts > ts - CONV_WINDOW_US)
+    )
+    per_user = np.add.reduceat(converts.astype(np.int64), starts)
+    nz = per_user > 0
+    return pa.table(
+        {
+            "user_id": pa.array(uid[starts][nz].astype(np.int64)),
+            "n_conversions": pa.array(per_user[nz]),
+        }
+    )
+
+
+def conversions_within(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """CEP-style temporal pattern: per user, how many '{Y}' events have
+    a '{X}' strictly within the preceding 30 minutes — the
+    self-interval-join a streaming engine answers with pattern state,
+    expressed as ONE sort exchange of the two event types plus a
+    vectorized prefix pass (most-recent-prior-X) per co-located run."""
+    flt = pc.field("event_type").isin([CONV_X, CONV_Y])
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        filter=flt,
+    )
+    pairs = ds.map_batches(_conv_project, batch_format="pyarrow")
+    out = checked_sort(pairs, "user_id").map_batches(
+        _conv_block, batch_format="pyarrow", batch_size=None
+    )
+    return out.sort("user_id") if sort else out

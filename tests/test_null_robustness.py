@@ -44,7 +44,7 @@ TARGETS = [
     "events_user_outliers", "events_props_extract",
     "events_local_density", "events_user_trend", "events_rolling_users",
     "events_cohort_retention", "events_user_streaks",
-    "events_weighted_sample",
+    "events_weighted_sample", "events_conversions_within",
 ]
 
 

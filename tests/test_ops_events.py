@@ -461,3 +461,34 @@ def test_props_extract_malformed_payloads_match_duckdb(ray_session):
         eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=False
     )
     assert eng.event_id.tolist() == [1, 6]
+
+
+def test_conversions_within_tie_does_not_shadow_earlier_click():
+    """The equal-ts corner the kernel's tie-break sort exists for: a
+    click tied exactly with the purchase must not SHADOW an earlier
+    in-window click (SQL EXISTS would still find the earlier one), and
+    a tied click alone is NOT a conversion (strict c.ts < p.ts)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from nifi_processors_ray.ops.events import _conv_block
+
+    W = 1_800_000_000
+    rows = [
+        # user 1: click t-10s, click t (tie), purchase t  -> converts
+        (1, 1_000_000_000_000, 1), (1, 1_000_000_000_000 + W // 2 - 10_000_000, 1),
+        (1, 1_000_000_000_000 + W // 2, 1), (1, 1_000_000_000_000 + W // 2, 0),
+        # user 2: ONLY a tied click at the purchase ts     -> no conversion
+        (2, 5_000_000_000_000, 1), (2, 5_000_000_000_000, 0),
+        # user 3: click exactly W before purchase          -> boundary is strict, no
+        (3, 9_000_000_000_000, 1), (3, 9_000_000_000_000 + W, 0),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts_us": pa.array([r[1] for r in rows], pa.int64()),
+            "is_x": pa.array([r[2] for r in rows], pa.int8()),
+        }
+    )
+    out = _conv_block(t)
+    assert out.to_pydict() == {"user_id": [1], "n_conversions": [1]}
