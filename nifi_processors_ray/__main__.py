@@ -168,6 +168,24 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_forget(args) -> int:
+    """Targeted erasure (right-to-be-forgotten): tombstone every live
+    key of the given conversations through the ordinary merge as one
+    epoch.  Pair with `expire` + `vacuum` to make the bytes physically
+    unrecoverable."""
+    if not args.conv:
+        print("forget requires at least one --conv", file=sys.stderr)
+        return 2
+    _ensure_ray()
+    eng = _engine(args)
+    res = eng.forget_conversations(args.conv)
+    if res is None:
+        print(json.dumps({"forgotten": 0}))
+    else:
+        print(json.dumps({"forgotten": res.n_applied, "epoch": res.epoch}))
+    return 0
+
+
 def cmd_changes(args) -> int:
     """Emit one epoch's net-change feed as JSON lines (the CDC-consumer
     surface: downstreams follow the lake without rereading state)."""
@@ -194,6 +212,7 @@ def main(argv: list[str] | None = None) -> int:
         ("reprocess", cmd_reprocess),
         ("expire", cmd_expire),
         ("changes", cmd_changes),
+        ("forget", cmd_forget),
     ):
         p = sub.add_parser(name)
         p.add_argument("--lake", required=True)
@@ -222,6 +241,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         p.add_argument("--keep-last", type=int, default=10, help="expire: snapshots to keep")
         p.add_argument("--epoch", type=int, default=None, help="changes: epoch (default latest)")
+        p.add_argument(
+            "--conv", action="append", default=[], help="forget: conversation id (repeatable)"
+        )
         p.set_defaults(fn=fn)
     args = ap.parse_args(argv)
     return args.fn(args)

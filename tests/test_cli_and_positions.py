@@ -177,3 +177,30 @@ def test_cli_bootstrap_expire_changes(tmp_path):
     before = len(eng.store.epochs())
     out = json.loads(run("expire", "--keep-last", "2")[-1])
     assert out["expired"] == max(0, before - 2)
+
+
+def test_cli_forget(tmp_path):
+    """The erasure lifecycle end-to-end through the CLI: replay, forget
+    one conversation, confirm it left the status row counts, and a
+    second forget reports zero."""
+    log = str(tmp_path / "log")
+    write_generated_changelog(log, 1500, files=2, n_convs=20)
+    lake = str(tmp_path / "lake")
+    base = [sys.executable, "-m", "nifi_processors_ray", "replay",
+            "--lake", lake, "--log", log, "--partitions", "4"]
+    r = subprocess.run(base, capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-1500:]
+
+    fargv = [a if a != "replay" else "forget" for a in base] + ["--conv", "conv-0"]
+    r2 = subprocess.run(fargv, capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    rep = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rep["forgotten"] > 0
+    # idempotent: nothing left to erase
+    r3 = subprocess.run(fargv, capture_output=True, text=True, cwd="/root/repo")
+    assert r3.returncode == 0, r3.stderr[-1500:]
+    assert json.loads(r3.stdout.strip().splitlines()[-1]) == {"forgotten": 0}
+    # no --conv → usage error
+    bad = [a if a != "replay" else "forget" for a in base]
+    r4 = subprocess.run(bad, capture_output=True, text=True, cwd="/root/repo")
+    assert r4.returncode == 2

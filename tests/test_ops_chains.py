@@ -93,3 +93,28 @@ def test_q10_result_identical_with_and_without_bloom(ray_session):
     without = chains.returned_item_revenue(SF, use_bloom=False).to_pandas()
     assert with_bloom.equals(without)
     assert len(with_bloom) > 0
+
+
+def test_bloom_probe_drops_null_keys_without_degrading(ray_session):
+    """A null l_orderkey must neither crash the probe nor degrade the
+    key array to float64 (the round-3 second-review finding): null-key
+    rows are dropped with the bloom misses (INNER-join semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from nifi_processors_ray.functions.bloom import build_key_bloom
+    from nifi_processors_ray.ops.chains import _q5_lineitem_side
+
+    keys = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    bloom = ray.get(build_key_bloom(ray.data.from_arrow(keys), "k"))
+    batch = pa.table(
+        {
+            "l_orderkey": pa.array([1, None, 2, 999], pa.int64()),
+            "l_suppkey": pa.array([7, 7, 7, 7], pa.int64()),
+            "l_extendedprice": pa.array([10.0, 10.0, 10.0, 10.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+        }
+    )
+    out = _q5_lineitem_side(batch, bloom_ref=bloom)
+    assert sorted(out.column("key").to_pylist()) == [1, 2]  # null + miss dropped
