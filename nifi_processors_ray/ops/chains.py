@@ -625,6 +625,9 @@ LIMIT {Q18_TOP}
 
 
 def _q18_qty_partials(batch: pa.Table) -> pa.Table:
+    # null orderkeys can never join (INNER semantics) and would crash
+    # the big-set int64 materialization — drop them here, like the twin
+    batch = batch.filter(pc.is_valid(batch.column("l_orderkey")))
     t = pa.table(
         {
             "key": batch.column("l_orderkey").cast(pa.int64()),
@@ -637,8 +640,13 @@ def _q18_qty_partials(batch: pa.Table) -> pa.Table:
 
 def _q18_orders_side(batch: pa.Table, big_ref) -> pa.Table:
     """Orders semi-filtered to the big-order set; carries the order's
-    qty from the broadcast lookup (sorted arrays + searchsorted)."""
+    qty from the broadcast lookup (sorted arrays + searchsorted).
+    Null keys are dropped BEFORE the numpy view (a NaN-degraded float64
+    array rounds keys >2^53 — the same hazard the bloom probe guards)."""
     keys, qtys = ray.get(big_ref) if isinstance(big_ref, ray.ObjectRef) else big_ref
+    batch = batch.filter(
+        pc.and_(pc.is_valid(batch.column("o_orderkey")), pc.is_valid(batch.column("o_custkey")))
+    )
     ok = np.asarray(batch.column("o_orderkey").cast(pa.int64()).combine_chunks())
     idx = np.searchsorted(keys, ok)
     hit = (idx < len(keys)) & (keys[np.minimum(idx, max(len(keys) - 1, 0))] == ok) if len(keys) else np.zeros(len(ok), bool)
@@ -661,6 +669,7 @@ def _q18_orders_side(batch: pa.Table, big_ref) -> pa.Table:
 
 
 def _q18_cust_side(batch: pa.Table) -> pa.Table:
+    batch = batch.filter(pc.is_valid(batch.column("c_custkey")))
     n = batch.num_rows
     return pa.table(
         {

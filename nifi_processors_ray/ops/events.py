@@ -2312,7 +2312,9 @@ def weighted_sample(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
         return pa.table(
             {
                 "event_id": kept.column("event_id"),
-                "value_cents": pa.array(np.asarray(_cents(kept.column("value")))),
+                # cents already computed for the acceptance test — no
+                # second floor pass over the kept rows
+                "value_cents": pa.array(cents[keep]),
                 "accept_ppm100k": pa.array(accept[keep].astype(np.int64)),
             }
         )

@@ -771,35 +771,9 @@ def customer_spend_deciles(sf_dir: str) -> ray.data.Dataset:
         .groupby("o_custkey")
         .aggregate(Sum("spend_cents", alias_name="spend_cents"))
     )
-    ordered = spend.sort(["spend_cents", "o_custkey"]).materialize()
-
-    from ..functions.blocks import block_offset_index
-
-    offset_by_key, n_total = block_offset_index(
-        ordered, ["spend_cents", "o_custkey"], lambda b: b.num_rows
-    )
-
-    def assign(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table(
-                {
-                    "o_custkey": pa.array([], pa.int64()),
-                    "spend_cents": pa.array([], pa.int64()),
-                    "decile": pa.array([], pa.int64()),
-                }
-            )
-        first = (b.column("spend_cents")[0].as_py(), b.column("o_custkey")[0].as_py())
-        off = offset_by_key[first]  # KeyError = block split drifted: fail loud
-        ranks = off + np.arange(b.num_rows, dtype=np.int64)
-        return pa.table(
-            {
-                "o_custkey": b.column("o_custkey"),
-                "spend_cents": b.column("spend_cents"),
-                "decile": pa.array(_ntile_of(ranks, int(n_total))),
-            }
-        )
-
-    out = ordered.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    # shared distributed-NTILE pass (one home for the calibrated
+    # subtleties: materialize-before-boundary-pass, KeyError-as-drift)
+    out = _add_ntile_column(spend, "spend_cents", "o_custkey", "decile", _N_TILES)
     return out.sort("o_custkey")
 
 
@@ -1317,9 +1291,12 @@ Q6_DISC_LO = 0.05
 Q6_DISC_HI = 0.07
 Q6_QTY = 24
 
+# COALESCE matches the engine's 0 on an empty/all-null window (SQL SUM
+# over no rows is NULL); COUNT(*) still counts rows whose product is
+# NULL, and the engine's null-skipping Arrow sum matches SUM exactly
 REVENUE_FORECAST_SQL = f"""
-SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
-         AS promo_cents,
+SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)), 0)
+            AS BIGINT) AS promo_cents,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{Q6_LO}' AND l_shipdate < TIMESTAMP '{Q6_HI}'
@@ -1329,12 +1306,18 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_LO}' AND l_shipdate < TIMESTAMP '{Q6_HI}'
 
 
 def _q6_partial(batch: pa.Table) -> pa.Table:
-    p = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
-    d = np.asarray(batch.column("l_discount"), dtype=np.float64)
-    cents = np.floor(p * d * 100).astype(np.int64)
+    # NULL-preserving Arrow kernels, never a numpy view: a NULL price
+    # would surface as NaN whose int64 cast is C-undefined garbage in
+    # the sum, where SQL's SUM just skips the NULL product
+    cents = pc.floor(
+        pc.multiply(
+            pc.multiply(batch.column("l_extendedprice"), batch.column("l_discount")), 100.0
+        )
+    ).cast(pa.int64())
+    s = pc.sum(cents)  # skips nulls, like SQL SUM
     return pa.table(
         {
-            "promo_cents": pa.array([int(cents.sum())], pa.int64()),
+            "promo_cents": pa.array([s.as_py() if s.is_valid else 0], pa.int64()),
             "n_items": pa.array([batch.num_rows], pa.int64()),
         }
     )
@@ -1361,20 +1344,25 @@ def revenue_forecast(sf_dir: str) -> ray.data.Dataset:
         filter=flt,
     )
     partials = ds.map_batches(_q6_partial, batch_format="pyarrow")
-    out = partials.aggregate(
+    agg = partials.aggregate(
         Sum("promo_cents", alias_name="promo_cents"),
         Sum("n_items", alias_name="n_items"),
     )
+    # empty qualifying set: Dataset.aggregate returns None/None-valued —
+    # the twin still emits one (0, 0) row (COALESCE'd SUM + COUNT(*)=0)
+    row = {
+        "promo_cents": int((agg or {}).get("promo_cents") or 0),
+        "n_items": int((agg or {}).get("n_items") or 0),
+    }
     import ray.data as _rd
 
-    return _rd.from_items([out]).map_batches(
-        lambda b: pa.table(
+    return _rd.from_arrow(
+        pa.table(
             {
-                "promo_cents": b.column("promo_cents").cast(pa.int64()),
-                "n_items": b.column("n_items").cast(pa.int64()),
+                "promo_cents": pa.array([row["promo_cents"]], pa.int64()),
+                "n_items": pa.array([row["n_items"]], pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
+        )
     )
 
 
