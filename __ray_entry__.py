@@ -25,6 +25,7 @@ from nifi_processors_ray.config import EngineConfig
 from nifi_processors_ray.ops import dedup as _dedup
 from nifi_processors_ray.ops import events as _ev
 from nifi_processors_ray.ops import chains as _chains
+from nifi_processors_ray.ops import subqueries as _subq
 from nifi_processors_ray.ops import joins as _joins
 from nifi_processors_ray.ops import profile as _prof
 from nifi_processors_ray.ops import relational as _rel
@@ -570,6 +571,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HAVING-over-join (Q18) and pure filter-aggregate (Q6) shapes
         "large_volume_customers": _chains.large_volume_customers,
         "revenue_forecast": _rel.revenue_forecast,
+        # correlated scalar subquery decorrelated into one co-located pass (Q17)
+        "small_qty_part_revenue": _subq.small_qty_part_revenue,
+        # EXISTS + NOT EXISTS on the same table, both resolved per run (Q21)
+        "sole_returned_supplier": _subq.sole_returned_supplier,
+        # global scalar subquery + anti-join + rollup (Q22)
+        "idle_rich_customers": _subq.idle_rich_customers,
+        # two-sided dimension tagging meeting on the orderkey (Q7)
+        "nation_pair_volume": _subq.nation_pair_volume,
+        # conditional aggregation over a fact-to-dim join (Q14)
+        "promo_revenue_share": _subq.promo_revenue_share,
         # benchmark decontamination (broadcast eval n-gram set, pure map)
         "decontaminate": _text.decontaminate,
         # ordered conversion funnel (the self-join-free chain evaluation)
@@ -923,6 +934,11 @@ FROM _ch
         "returned_item_revenue": _chains.RETURNED_ITEM_REVENUE_SQL,
         "large_volume_customers": _chains.LARGE_VOLUME_CUSTOMERS_SQL,
         "revenue_forecast": _rel.REVENUE_FORECAST_SQL,
+        "small_qty_part_revenue": _subq.SMALL_QTY_PART_REVENUE_SQL,
+        "sole_returned_supplier": _subq.SOLE_RETURNED_SUPPLIER_SQL,
+        "idle_rich_customers": _subq.IDLE_RICH_CUSTOMERS_SQL,
+        "nation_pair_volume": _subq.NATION_PAIR_VOLUME_SQL,
+        "promo_revenue_share": _subq.PROMO_REVENUE_SHARE_SQL,
         "decontaminate": _text.DECONTAMINATE_SQL,
         "events_funnel": _ev.FUNNEL_SQL,
         "customer_spend_deciles": _rel.SPEND_DECILES_SQL,

@@ -1,0 +1,1045 @@
+"""Correlated-subquery and multi-predicate join shapes (TPC-H Q17 /
+Q21 / Q22 / Q7 / Q14 analogues), decorrelated Ray-Data-first.
+
+The reference (swiftj/nifi-processors) has no relational engine
+(SURVEY §2.4); these are the lakehouse-side analytic patterns a CDC-fed
+warehouse runs that the rest of ``ops/`` does not yet cover:
+
+- :func:`small_qty_part_revenue` (Q17) — a CORRELATED SCALAR SUBQUERY
+  (each row compared against its own group's average) evaluated with no
+  second fact pass: one sort exchange on the correlation key co-locates
+  each part's whole lineitem group, and the per-run kernel computes the
+  aggregate AND applies the row-level predicate in the same block.  The
+  ``qty < avg(qty)/5`` comparison is cross-multiplied to integers
+  (``5·qty·cnt < sum``) so the twin can never drift on float division.
+- :func:`sole_returned_supplier` (Q21) — EXISTS and NOT-EXISTS against
+  the SAME table resolved in ONE co-located pass: per order-run, the
+  distinct-supplier and distinct-returned-supplier counts decide both
+  quantifiers at once (multi-supplier order, exactly one supplier with
+  a returned item).  All run logic is reduceat-vectorized.
+- :func:`idle_rich_customers` (Q22) — a GLOBAL scalar subquery (the
+  positive-balance average) reduced to two int64 scalars on the driver
+  and applied as a cross-multiplied predicate inside the scan, then the
+  engine's anti-join exchange and a per-nation rollup.
+- :func:`nation_pair_volume` (Q7) — the two-sided dimension tagging
+  chain: supplier-nation and customer-nation ride separate exchanges
+  and meet on the orderkey, where the asymmetric pair predicate
+  (``s_nat != c_nat``) is applied block-locally.
+- :func:`promo_revenue_share` (Q14) — conditional aggregation over a
+  fact-to-dim join: one exchange, per-run CASE-WHEN partials, two
+  integer sums out.
+
+Scale posture: every fact leg is ONE co-partitioned sort exchange with
+per-batch combiners; tiny dims (nation) are driver-read; the Q21/Q22
+count tables that re-shuffle are bounded by |suppliers| / |nations|;
+bloom semijoin reduction (``functions/bloom.py``) prunes probe scans
+where a prior hop has already shrunk the key set — false positives are
+dropped by the exact build-side check, so the filter can never change
+a result.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.blocks import compact_small_result, sorted_build_probe_runs
+from ..functions.bloom import bloom_member, build_key_bloom
+from ..functions.debug import checked_sort, null_safe_groupby_agg
+from ..functions.money import discounted_floored_cents, floored_cents
+from ..sources.reader import read_parquet as read_parquet_clean
+
+# ---------------------------------------------------------------------------
+# Q17 shape: small-quantity part revenue (correlated scalar subquery)
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#23"
+
+SMALL_QTY_PART_REVENUE_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = '{Q17_BRAND}'
+  AND 5 * CAST(l.l_quantity AS BIGINT)
+        * (SELECT COUNT(l2.l_quantity) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def _q17_part_side(batch: pa.Table) -> pa.Table:
+    """Build side: DISTINCT keys of brand parts (predicate pushed into
+    the scan; p_partkey is a pk — dedup keeps the contract explicit)."""
+    keys = pc.unique(batch.column("p_partkey").cast(pa.int64()).combine_chunks())
+    keys = keys.filter(pc.is_valid(keys))
+    m = len(keys)
+    return pa.table(
+        {
+            "key": keys,
+            "side": pa.array(np.zeros(m, dtype=np.int8)),
+            "qty": pa.nulls(m, pa.int64()),
+            "cents": pa.nulls(m, pa.int64()),
+        }
+    )
+
+
+def _q17_lineitem_side(batch: pa.Table, bloom_ref=None) -> pa.Table:
+    """Probe side: RAW rows (qty, price cents) — the correlated
+    predicate needs every row against its group aggregate, so no
+    per-batch pre-aggregation is possible; the bloom prunes the scan to
+    ~|brand parts| / |parts| of the fact instead."""
+    key_col = batch.column("l_partkey").cast(pa.int64()).combine_chunks()
+    valid = np.asarray(pc.is_valid(key_col))
+    if bloom_ref is not None:
+        bloom = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) else bloom_ref
+        keys = np.asarray(pc.fill_null(key_col, 0))
+        valid &= bloom_member(keys, bloom)
+    batch = batch.filter(pa.array(valid))
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("l_partkey").cast(pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "qty": batch.column("l_quantity").cast(pa.int64()),
+            "cents": floored_cents(batch.column("l_extendedprice")),
+        }
+    )
+
+
+def _q17_block(block: pa.Table) -> pa.Table:
+    """Per partkey run (co-located whole by the checked sort): compute
+    the group's (sum_qty, cnt) over non-null quantities, then keep rows
+    with ``5·qty·cnt < sum_qty`` — the integer-exact form of
+    ``qty < 0.2 · avg(qty)``.  Null-qty rows are invisible on both
+    sides of the inequality, exactly like the twin (COUNT(l_quantity)
+    skips them; NULL < x excludes the row)."""
+    empty = pa.table(
+        {
+            "n_small": pa.array([], pa.int64()),
+            "cents_sum": pa.array([], pa.int64()),
+            "n_valid": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
+    qty_col = block.column("qty").combine_chunks()
+    qty_valid = np.asarray(pc.is_valid(qty_col))
+    qty = np.asarray(pc.fill_null(qty_col, 0))
+    probe = side == 1
+    counted = probe & qty_valid
+    run_id = np.repeat(np.arange(len(starts)), run_len)
+    n_runs = len(starts)
+    sum_qty = np.zeros(n_runs, dtype=np.int64)
+    np.add.at(sum_qty, run_id, np.where(counted, qty, 0))
+    cnt = np.zeros(n_runs, dtype=np.int64)
+    np.add.at(cnt, run_id, counted.astype(np.int64))
+    keep = counted & (build_idx >= 0) & (5 * qty * cnt[run_id] < sum_qty[run_id])
+    if not keep.any():
+        return empty
+    cents = block.column("cents").filter(pa.array(keep))
+    return pa.table(
+        {
+            "n_small": pa.array([int(keep.sum())], pa.int64()),
+            "cents_sum": pa.array([int(pc.sum(cents).as_py() or 0)], pa.int64()),
+            "n_valid": pa.array([len(cents) - cents.null_count], pa.int64()),
+        }
+    )
+
+
+def small_qty_part_revenue(sf_dir: str, *, use_bloom: bool = True) -> pa.Table:
+    """Revenue from small-quantity orders of one brand's parts (the
+    TPC-H Q17 shape): each lineitem is compared against the average
+    quantity of ITS OWN part — a correlated scalar subquery.
+
+    Decorrelation: ONE sort exchange on ``l_partkey`` co-locates every
+    part's whole lineitem group with the brand-part build row; the
+    per-run kernel computes the group aggregate and applies the
+    row-level predicate in the same pass — no second fact scan, no
+    stats broadcast.  A bloom of brand-part keys prunes the lineitem
+    scan before the exchange (exact build check drops false positives).
+    """
+    sf = sf_dir.rstrip("/")
+    parts = read_parquet_clean(
+        f"{sf}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        filter=pc.field("p_brand") == Q17_BRAND,
+    ).map_batches(_q17_part_side, batch_format="pyarrow").materialize()
+    bloom_ref = build_key_bloom(parts, "key") if use_bloom else None
+    items = read_parquet_clean(
+        f"{sf}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        _q17_lineitem_side, batch_format="pyarrow", fn_kwargs={"bloom_ref": bloom_ref}
+    )
+    partials = checked_sort(parts.union(items), "key").map_batches(
+        _q17_block, batch_format="pyarrow", batch_size=None
+    )
+    rows = partials.take_all()
+    n = sum(r["n_small"] for r in rows)
+    n_valid = sum(r["n_valid"] for r in rows)
+    # SQL SUM over zero non-null addends is NULL, not 0
+    cents = sum(r["cents_sum"] for r in rows) if n_valid else None
+    return pa.table(
+        {"n_small": pa.array([n], pa.int64()), "revenue_cents": pa.array([cents], pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: the sole returned-item supplier of multi-supplier orders
+# ---------------------------------------------------------------------------
+
+Q21_STATUS = "F"
+Q21_TOP = 10
+
+SOLE_RETURNED_SUPPLIER_SQL = f"""
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_returnflag = 'R' AND l_suppkey IS NOT NULL) l1
+JOIN orders o  ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE o.o_orderstatus = '{Q21_STATUS}'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_name, s.s_suppkey
+LIMIT {Q21_TOP}
+"""
+
+
+def _q21_orders_side(batch: pa.Table) -> pa.Table:
+    """Build side: keys of F-status orders (predicate pushed into the
+    scan)."""
+    keys = pc.unique(batch.column("o_orderkey").cast(pa.int64()).combine_chunks())
+    keys = keys.filter(pc.is_valid(keys))
+    m = len(keys)
+    return pa.table(
+        {
+            "key": keys,
+            "side": pa.array(np.zeros(m, dtype=np.int8)),
+            "supp": pa.nulls(m, pa.int64()),
+            "ret": pa.nulls(m, pa.bool_()),
+        }
+    )
+
+
+def _q21_lineitem_side(batch: pa.Table) -> pa.Table:
+    """Probe side combined per (orderkey, suppkey) in the batch: one row
+    per pair with ``ret = any returned``.  Null-supplier rows are
+    invisible to every quantifier in the twin (``<>`` never matches
+    NULL, and l1 requires a supplier) — dropped here for the same
+    semantics."""
+    batch = batch.filter(
+        pc.and_(
+            pc.is_valid(batch.column("l_orderkey")),
+            pc.is_valid(batch.column("l_suppkey")),
+        )
+    )
+    t = pa.table(
+        {
+            "key": batch.column("l_orderkey").cast(pa.int64()),
+            "supp": batch.column("l_suppkey").cast(pa.int64()),
+            "ret": pc.equal(batch.column("l_returnflag"), "R"),
+        }
+    )
+    g = t.group_by(["key", "supp"]).aggregate([("ret", "max")])
+    m = g.num_rows
+    return pa.table(
+        {
+            "key": g.column("key"),
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "supp": g.column("supp"),
+            "ret": pc.fill_null(g.column("ret_max"), False),
+        }
+    )
+
+
+def _q21_block(block: pa.Table) -> pa.Table:
+    """Per orderkey run: both quantifiers at once.  Pair partials from
+    different batches are re-merged (``ret = any``), then the order
+    qualifies iff it has an F-status build row, ≥2 distinct suppliers,
+    and EXACTLY ONE supplier with a returned item — that supplier gets
+    the win.  All reduceat-vectorized, no per-run Python."""
+    empty = pa.table({"supp": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    if block.num_rows == 0:
+        return empty
+    # sort by (key, side, supp): build rows first, then probe pairs by supplier
+    block = block.sort_by(
+        [("key", "ascending"), ("side", "ascending"), ("supp", "ascending")]
+    )
+    key = np.asarray(block.column("key"))
+    side = np.asarray(block.column("side"))
+    probe = side == 1
+    build_keys = np.unique(key[~probe])
+    k = key[probe]
+    if len(k) == 0:
+        return empty
+    s = np.asarray(pc.fill_null(block.column("supp"), -1).combine_chunks())[probe]
+    r = np.asarray(pc.fill_null(block.column("ret"), False).combine_chunks())[probe]
+    # pair runs (same key, same supplier — partials from different batches)
+    new_pair = np.concatenate([[True], (k[1:] != k[:-1]) | (s[1:] != s[:-1])])
+    pstarts = np.nonzero(new_pair)[0]
+    pair_key = k[pstarts]
+    pair_supp = s[pstarts]
+    pair_ret = np.logical_or.reduceat(r, pstarts)
+    # key runs over the pair table
+    new_key = np.concatenate([[True], pair_key[1:] != pair_key[:-1]])
+    kstarts = np.nonzero(new_key)[0]
+    n_pairs = np.diff(np.concatenate([kstarts, [len(pair_key)]]))
+    n_ret = np.add.reduceat(pair_ret.astype(np.int64), kstarts)
+    # the single returned supplier (valid only where n_ret == 1)
+    lone = np.maximum.reduceat(np.where(pair_ret, pair_supp, np.int64(-1)), kstarts)
+    uk = pair_key[kstarts]
+    idx = np.searchsorted(build_keys, uk)
+    has_build = (
+        (idx < len(build_keys)) & (build_keys[np.minimum(idx, max(len(build_keys) - 1, 0))] == uk)
+        if len(build_keys)
+        else np.zeros(len(uk), dtype=bool)
+    )
+    win = has_build & (n_pairs >= 2) & (n_ret == 1)
+    if not win.any():
+        return empty
+    supp_win = lone[win]
+    order = np.argsort(supp_win, kind="stable")
+    sw = supp_win[order]
+    rstart = np.concatenate([[True], sw[1:] != sw[:-1]])
+    ridx = np.nonzero(rstart)[0]
+    counts = np.diff(np.concatenate([ridx, [len(sw)]]))
+    return pa.table(
+        {
+            "supp": pa.array(sw[ridx].astype(np.int64)),
+            "n": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def _q21_supp_name_side(batch: pa.Table) -> pa.Table:
+    batch = batch.filter(pc.is_valid(batch.column("s_suppkey")))
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("s_suppkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "s_name": batch.column("s_name"),
+            "n": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q21_count_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("supp"),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "s_name": pa.nulls(n, pa.string()),
+            "n": batch.column("n"),
+        }
+    )
+
+
+def _q21_name_block(block: pa.Table) -> pa.Table:
+    """Per suppkey run (unique build key = the supplier): label count
+    rows with the supplier's name (inner join)."""
+    empty = pa.table(
+        {
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "numwait": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
+    keep = (side == 1) & (build_idx >= 0)
+    if not keep.any():
+        return empty
+    names = block.column("s_name").take(pa.array(build_idx[keep].astype(np.int64)))
+    kept = block.filter(pa.array(keep))
+    return pa.table(
+        {"s_suppkey": kept.column("key"), "s_name": names, "numwait": kept.column("n")}
+    )
+
+
+def sole_returned_supplier(sf_dir: str, n_top: int = Q21_TOP) -> ray.data.Dataset:
+    """Suppliers who were the ONLY supplier with a returned item in a
+    finished multi-supplier order (the TPC-H Q21 quantifier shape):
+    EXISTS (another supplier in the order) and NOT EXISTS (another
+    supplier with a returned item) resolved in ONE co-located pass per
+    orderkey run — the distinct-supplier and returned-supplier counts
+    decide both quantifiers together.  The per-supplier win counts
+    (≤ |supplier| rows) then take one exchange to pick up names."""
+    from ray.data.aggregate import Sum
+
+    sf = sf_dir.rstrip("/")
+    orders = read_parquet_clean(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"],
+        filter=pc.field("o_orderstatus") == Q21_STATUS,
+    ).map_batches(_q21_orders_side, batch_format="pyarrow")
+    items = read_parquet_clean(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    ).map_batches(_q21_lineitem_side, batch_format="pyarrow")
+    wins = checked_sort(orders.union(items), "key").map_batches(
+        _q21_block, batch_format="pyarrow", batch_size=None
+    )
+    counts = null_safe_groupby_agg(
+        wins, "supp", Sum("n", alias_name="n"), out_types={"n": pa.int64()}
+    )
+    supp = read_parquet_clean(
+        f"{sf}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).map_batches(_q21_supp_name_side, batch_format="pyarrow")
+    probe = counts.map_batches(_q21_count_side, batch_format="pyarrow")
+    named = checked_sort(supp.union(probe), "key").map_batches(
+        _q21_name_block, batch_format="pyarrow", batch_size=None
+    )
+    out = named.sort(
+        ["numwait", "s_name", "s_suppkey"], descending=[True, False, False]
+    ).limit(n_top)
+    return compact_small_result(
+        out,
+        pa.schema(
+            [
+                ("s_suppkey", pa.int64()),
+                ("s_name", pa.string()),
+                ("numwait", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: idle rich customers (global scalar subquery + anti-join)
+# ---------------------------------------------------------------------------
+
+Q22_CUTOFF = "1999-01-01"
+
+IDLE_RICH_CUSTOMERS_SQL = f"""
+WITH pos AS (
+  SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(FLOOR(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer c, pos
+WHERE CAST(FLOOR(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+def _q22_pos_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for the global scalar: (Σ floored cents, count)
+    over positive balances."""
+    batch = batch.filter(pc.greater(batch.column("c_acctbal"), 0.0))
+    cents = floored_cents(batch.column("c_acctbal"))
+    return pa.table(
+        {
+            "s": pa.array([int(pc.sum(cents).as_py() or 0)], pa.int64()),
+            "n": pa.array([batch.num_rows], pa.int64()),
+        }
+    )
+
+
+def _q22_cust_side(batch: pa.Table, s: int, n: int) -> pa.Table:
+    """Build side: customers whose balance clears the cross-multiplied
+    global-average threshold (``cents·n > s`` ⇔ ``bal > avg``; a NULL
+    balance fails the comparison, like the twin)."""
+    cents = floored_cents(batch.column("c_acctbal"))
+    batch = batch.append_column("__cents", cents)
+    batch = batch.filter(pc.greater(pc.multiply(cents, np.int64(n)), np.int64(s)))
+    m = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("c_custkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(m, dtype=np.int8)),
+            "c_nat": batch.column("c_nationkey").cast(pa.int64()),
+            "cents": batch.column("__cents"),
+        }
+    )
+
+
+def _q22_order_keys(batch: pa.Table) -> pa.Table:
+    """Probe side: per-batch DISTINCT custkeys of RECENT orders (the
+    cutoff predicate is pushed into the scan).  Null custkeys can never
+    satisfy the EXISTS — dropped (a null-key order must not
+    anti-eliminate the null-key customers' run)."""
+    keys = pc.unique(batch.column("o_custkey").cast(pa.int64()).combine_chunks())
+    keys = keys.filter(pc.is_valid(keys))
+    m = len(keys)
+    return pa.table(
+        {
+            "key": keys,
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "c_nat": pa.nulls(m, pa.int64()),
+            "cents": pa.nulls(m, pa.int64()),
+        }
+    )
+
+
+def _q22_anti_block(block: pa.Table) -> pa.Table:
+    """Per custkey run: keep BUILD rows whose run has no probe row
+    (NOT EXISTS), reduced to per-nation partials before the exchange."""
+    empty = pa.table(
+        {
+            "c_nat": pa.array([], pa.int64()),
+            "n_cust": pa.array([], pa.int64()),
+            "bal_cents": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    block = block.sort_by([("key", "ascending"), ("side", "ascending")])
+    key = np.asarray(pc.fill_null(block.column("key").combine_chunks(), np.iinfo(np.int64).min))
+    side = np.asarray(block.column("side"))
+    new_run = np.concatenate([[True], key[1:] != key[:-1]])
+    run_id = np.cumsum(new_run) - 1
+    has_probe = np.zeros(run_id[-1] + 1, dtype=bool)
+    np.logical_or.at(has_probe, run_id, side == 1)
+    keep = (side == 0) & ~has_probe[run_id]
+    if not keep.any():
+        return empty
+    kept = block.filter(pa.array(keep))
+    t = pa.table({"c_nat": kept.column("c_nat"), "cents": kept.column("cents")})
+    g = t.group_by(["c_nat"]).aggregate([("cents", "sum"), ([], "count_all")])
+    return pa.table(
+        {
+            "c_nat": g.column("c_nat"),
+            "n_cust": g.column("count_all").cast(pa.int64()),
+            "bal_cents": g.column("cents_sum"),
+        }
+    )
+
+
+def idle_rich_customers(sf_dir: str) -> ray.data.Dataset:
+    """Per-nation count and balance of customers ABOVE the global
+    positive-balance average with NO order since the cutoff (the TPC-H
+    Q22 shape).  The global scalar reduces to two int64s on the driver
+    (legal: two numbers, not data) and is applied as an integer
+    cross-multiplied predicate inside the customer scan; the NOT EXISTS
+    is the engine's co-partitioned anti-join exchange with per-batch
+    distinct-key combining on the orders side."""
+    from ray.data.aggregate import Sum
+
+    sf = sf_dir.rstrip("/")
+    pos = (
+        read_parquet_clean(f"{sf}/customer.parquet", columns=["c_acctbal"])
+        .map_batches(_q22_pos_partials, batch_format="pyarrow")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+    s, n = int(pos["s"] or 0), int(pos["n"] or 0)
+
+    cust = read_parquet_clean(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(_q22_cust_side, batch_format="pyarrow", fn_kwargs={"s": s, "n": n})
+    cutoff = pa.scalar(np.datetime64(Q22_CUTOFF, "us"), pa.timestamp("us"))
+    orders = read_parquet_clean(
+        f"{sf}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") >= cutoff,
+    ).map_batches(_q22_order_keys, batch_format="pyarrow")
+    partials = checked_sort(cust.union(orders), "key").map_batches(
+        _q22_anti_block, batch_format="pyarrow", batch_size=None
+    )
+    agg = null_safe_groupby_agg(
+        partials,
+        "c_nat",
+        Sum("n_cust", alias_name="n_cust"),
+        Sum("bal_cents", alias_name="bal_cents"),
+        out_types={"n_cust": pa.int64(), "bal_cents": pa.int64()},
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": b.column("c_nat"),
+                "n_cust": b.column("n_cust"),
+                "bal_cents": b.column("bal_cents"),
+            }
+        )
+
+    out = agg.map_batches(rename, batch_format="pyarrow").sort("c_nationkey")
+    return compact_small_result(
+        out,
+        pa.schema(
+            [
+                ("c_nationkey", pa.int64()),
+                ("n_cust", pa.int64()),
+                ("bal_cents", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: volume shipped between a nation pair
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_7"
+Q7_LO = "1995-01-01"
+Q7_HI = "1997-01-01"
+
+NATION_PAIR_VOLUME_SQL = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+WHERE ((ns.n_name = '{Q7_NATION_A}' AND nc.n_name = '{Q7_NATION_B}')
+    OR (ns.n_name = '{Q7_NATION_B}' AND nc.n_name = '{Q7_NATION_A}'))
+  AND l.l_shipdate >= TIMESTAMP '{Q7_LO}'
+  AND l.l_shipdate <  TIMESTAMP '{Q7_HI}'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def _pair_nation_keys(sf_dir: str) -> tuple[list[int], pa.Table]:
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    pair = nation.filter(
+        pc.is_in(
+            nation.column("n_name"), value_set=pa.array([Q7_NATION_A, Q7_NATION_B])
+        )
+    )
+    keys = pair.column("n_nationkey").cast(pa.int64())
+    names = pa.table({"n_nationkey": keys, "n_name": pair.column("n_name")})
+    return keys.to_pylist(), names
+
+
+def _q7_cust_side(batch: pa.Table) -> pa.Table:
+    batch = batch.filter(pc.is_valid(batch.column("c_custkey")))
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("c_custkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "c_nat": batch.column("c_nationkey").cast(pa.int64()),
+            "o_orderkey": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q7_orders_side(batch: pa.Table) -> pa.Table:
+    batch = batch.filter(
+        pc.and_(
+            pc.is_valid(batch.column("o_custkey")),
+            pc.is_valid(batch.column("o_orderkey")),
+        )
+    )
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("o_custkey").cast(pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "c_nat": pa.nulls(n, pa.int64()),
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+        }
+    )
+
+
+def _q7_hop1_block(block: pa.Table) -> pa.Table:
+    """Per custkey run: tag the customer's orders with c_nat."""
+    empty = pa.table(
+        {"o_orderkey": pa.array([], pa.int64()), "c_nat": pa.array([], pa.int64())}
+    )
+    if block.num_rows == 0:
+        return empty
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
+    keep = (side == 1) & (build_idx >= 0)
+    if not keep.any():
+        return empty
+    c_nat = np.asarray(pc.fill_null(block.column("c_nat"), -1).combine_chunks())
+    return pa.table(
+        {
+            "o_orderkey": block.column("o_orderkey").filter(pa.array(keep)),
+            "c_nat": pa.array(c_nat[build_idx[keep]]),
+        }
+    )
+
+
+def _q7_supp_side(batch: pa.Table) -> pa.Table:
+    batch = batch.filter(pc.is_valid(batch.column("s_suppkey")))
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("s_suppkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "s_nat": batch.column("s_nationkey").cast(pa.int64()),
+            "orderkey": pa.nulls(n, pa.int64()),
+            "year": pa.nulls(n, pa.int64()),
+            "cents": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q7_lineitem_side(batch: pa.Table, bloom_ref=None) -> pa.Table:
+    """Probe side pre-aggregated per (suppkey, orderkey, year) in the
+    batch (shipdate window pushed into the scan; the bloom drops
+    lineitems whose order has no pair-nation customer BEFORE this
+    exchange)."""
+    key_col = batch.column("l_orderkey").cast(pa.int64()).combine_chunks()
+    valid = np.asarray(pc.is_valid(key_col)) & np.asarray(
+        pc.is_valid(batch.column("l_suppkey").combine_chunks())
+    )
+    if bloom_ref is not None:
+        bloom = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) else bloom_ref
+        keys = np.asarray(pc.fill_null(key_col, 0))
+        valid &= bloom_member(keys, bloom)
+    batch = batch.filter(pa.array(valid))
+    ship = np.asarray(
+        batch.column("l_shipdate").cast(pa.timestamp("us")).combine_chunks()
+    ).astype("datetime64[Y]").astype(np.int64) + 1970
+    t = pa.table(
+        {
+            "key": batch.column("l_suppkey").cast(pa.int64()),
+            "orderkey": batch.column("l_orderkey").cast(pa.int64()),
+            "year": pa.array(ship, pa.int64()),
+            "cents": discounted_floored_cents(
+                batch.column("l_extendedprice"), batch.column("l_discount")
+            ),
+        }
+    )
+    g = t.group_by(["key", "orderkey", "year"]).aggregate([("cents", "sum")])
+    m = g.num_rows
+    return pa.table(
+        {
+            "key": g.column("key"),
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "s_nat": pa.nulls(m, pa.int64()),
+            "orderkey": g.column("orderkey"),
+            "year": g.column("year"),
+            "cents": g.column("cents_sum"),
+        }
+    )
+
+
+def _q7_hop2_block(block: pa.Table) -> pa.Table:
+    """Per suppkey run: tag lineitem partials with s_nat."""
+    empty = pa.table(
+        {
+            "key": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int8()),
+            "s_nat": pa.array([], pa.int64()),
+            "c_nat": pa.array([], pa.int64()),
+            "year": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
+    keep = (side == 1) & (build_idx >= 0)
+    if not keep.any():
+        return empty
+    s_nat = np.asarray(pc.fill_null(block.column("s_nat"), -1).combine_chunks())
+    m = int(keep.sum())
+    return pa.table(
+        {
+            "key": block.column("orderkey").filter(pa.array(keep)),
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "s_nat": pa.array(s_nat[build_idx[keep]]),
+            "c_nat": pa.nulls(m, pa.int64()),
+            "year": block.column("year").filter(pa.array(keep)),
+            "cents": block.column("cents").filter(pa.array(keep)),
+        }
+    )
+
+
+def _q7_order_build_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("o_orderkey"),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "s_nat": pa.nulls(n, pa.int64()),
+            "c_nat": batch.column("c_nat"),
+            "year": pa.nulls(n, pa.int64()),
+            "cents": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q7_hop3_block(block: pa.Table) -> pa.Table:
+    """Per orderkey run: apply the asymmetric pair predicate
+    (``s_nat != c_nat``; both sides are in-pair by construction) and
+    reduce to per (s_nat, c_nat, year) partials."""
+    empty = pa.table(
+        {
+            "s_nat": pa.array([], pa.int64()),
+            "c_nat": pa.array([], pa.int64()),
+            "l_year": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
+    c_nat = np.asarray(pc.fill_null(block.column("c_nat"), -2).combine_chunks())
+    s_nat = np.asarray(pc.fill_null(block.column("s_nat"), -1).combine_chunks())
+    keep = (side == 1) & (build_idx >= 0)
+    keep &= s_nat != c_nat[np.maximum(build_idx, 0)]
+    if not keep.any():
+        return empty
+    t = pa.table(
+        {
+            "s_nat": pa.array(s_nat[keep]),
+            "c_nat": pa.array(c_nat[np.maximum(build_idx, 0)][keep]),
+            "l_year": block.column("year").filter(pa.array(keep)),
+            "cents": block.column("cents").filter(pa.array(keep)),
+        }
+    )
+    g = t.group_by(["s_nat", "c_nat", "l_year"]).aggregate([("cents", "sum")])
+    return pa.table(
+        {
+            "s_nat": g.column("s_nat"),
+            "c_nat": g.column("c_nat"),
+            "l_year": g.column("l_year"),
+            "cents": g.column("cents_sum"),
+        }
+    )
+
+
+def nation_pair_volume(sf_dir: str, *, use_bloom: bool = True) -> ray.data.Dataset:
+    """Revenue shipped between two nations per (direction, year) — the
+    TPC-H Q7 shape.  Supplier nation and customer nation ride SEPARATE
+    exchanges (suppkey for lineitem tagging, custkey for order tagging)
+    and meet on the orderkey, where the asymmetric pair predicate
+    ``s_nat != c_nat`` is applied block-locally.  A bloom of the
+    pair-customers' order keys prunes the lineitem scan (≈ 2/|nations|
+    selectivity) before its first exchange."""
+    from ray.data.aggregate import Sum
+
+    sf = sf_dir.rstrip("/")
+    nat_keys, names = _pair_nation_keys(sf)
+    lo = pa.scalar(np.datetime64(Q7_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Q7_HI, "us"), pa.timestamp("us"))
+
+    cust = read_parquet_clean(
+        f"{sf}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(nat_keys),
+    ).map_batches(_q7_cust_side, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(_q7_orders_side, batch_format="pyarrow")
+    tagged_orders = checked_sort(cust.union(orders), "key").map_batches(
+        _q7_hop1_block, batch_format="pyarrow", batch_size=None
+    ).materialize()  # consumed twice: bloom build + hop-3 build side
+
+    bloom_ref = build_key_bloom(tagged_orders, "o_orderkey") if use_bloom else None
+    supp = read_parquet_clean(
+        f"{sf}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(nat_keys),
+    ).map_batches(_q7_supp_side, batch_format="pyarrow")
+    items = read_parquet_clean(
+        f"{sf}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+        ],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    ).map_batches(
+        _q7_lineitem_side, batch_format="pyarrow", fn_kwargs={"bloom_ref": bloom_ref}
+    )
+    tagged_items = checked_sort(supp.union(items), "key").map_batches(
+        _q7_hop2_block, batch_format="pyarrow", batch_size=None
+    )
+
+    build3 = tagged_orders.map_batches(_q7_order_build_side, batch_format="pyarrow")
+    partials = checked_sort(build3.union(tagged_items), "key").map_batches(
+        _q7_hop3_block, batch_format="pyarrow", batch_size=None
+    )
+    agg = partials.groupby(["s_nat", "c_nat", "l_year"]).aggregate(
+        Sum("cents", alias_name="revenue_cents")
+    )
+    names_ref = ray.put(names)
+
+    def label(b: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref) if isinstance(names_ref, ray.ObjectRef) else names_ref
+        si = pc.index_in(b.column("s_nat"), value_set=nm.column("n_nationkey"))
+        ci = pc.index_in(b.column("c_nat"), value_set=nm.column("n_nationkey"))
+        return pa.table(
+            {
+                "supp_nation": nm.column("n_name").take(si),
+                "cust_nation": nm.column("n_name").take(ci),
+                "l_year": b.column("l_year"),
+                "revenue_cents": b.column("revenue_cents"),
+            }
+        )
+
+    out = agg.map_batches(label, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+    return compact_small_result(
+        out,
+        pa.schema(
+            [
+                ("supp_nation", pa.string()),
+                ("cust_nation", pa.string()),
+                ("l_year", pa.int64()),
+                ("revenue_cents", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue share (conditional aggregation over a join)
+# ---------------------------------------------------------------------------
+
+Q14_TYPE = "PROMO"
+Q14_LO = "1996-01-01"
+Q14_HI = "1996-04-01"
+
+PROMO_REVENUE_SHARE_SQL = f"""
+SELECT CAST(SUM(CASE WHEN p.p_type = '{Q14_TYPE}'
+                     THEN CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q14_LO}'
+  AND l.l_shipdate <  TIMESTAMP '{Q14_HI}'
+"""
+
+
+def _q14_part_side(batch: pa.Table) -> pa.Table:
+    batch = batch.filter(pc.is_valid(batch.column("p_partkey")))
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("p_partkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "promo": pc.equal(batch.column("p_type"), Q14_TYPE),
+            "cents": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q14_lineitem_side(batch: pa.Table) -> pa.Table:
+    """Probe side pre-aggregated per partkey in the batch (shipdate
+    window pushed into the scan)."""
+    batch = batch.filter(pc.is_valid(batch.column("l_partkey")))
+    t = pa.table(
+        {
+            "key": batch.column("l_partkey").cast(pa.int64()),
+            "cents": discounted_floored_cents(
+                batch.column("l_extendedprice"), batch.column("l_discount")
+            ),
+        }
+    )
+    g = t.group_by(["key"]).aggregate([("cents", "sum")])
+    m = g.num_rows
+    return pa.table(
+        {
+            "key": g.column("key"),
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "promo": pa.nulls(m, pa.bool_()),
+            "cents": g.column("cents_sum"),
+        }
+    )
+
+
+def _q14_block(block: pa.Table) -> pa.Table:
+    """Per partkey run (unique build key): CASE-WHEN partials — the
+    probe partials' cents go to ``total`` always and to ``promo`` iff
+    the build row's part type matches."""
+    empty = pa.table(
+        {
+            "promo_cents": pa.array([], pa.int64()),
+            "total_cents": pa.array([], pa.int64()),
+            "n_promo_addends": pa.array([], pa.int64()),
+            "n_valid": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
+    keep = (side == 1) & (build_idx >= 0)
+    if not keep.any():
+        return empty
+    promo = np.asarray(
+        pc.fill_null(block.column("promo"), False).combine_chunks()
+    )
+    cents_col = block.column("cents").combine_chunks()
+    cents_valid = np.asarray(pc.is_valid(cents_col))
+    cents = np.asarray(pc.fill_null(cents_col, 0))
+    kept_cents = cents[keep]
+    kept_promo = promo[build_idx[keep]]
+    kept_valid = cents_valid[keep]
+    # a promo addend is non-NULL iff the row is non-promo (the ELSE 0)
+    # or its cents are valid; a total addend needs valid cents
+    return pa.table(
+        {
+            "promo_cents": pa.array([int(kept_cents[kept_promo].sum())], pa.int64()),
+            "total_cents": pa.array([int(kept_cents.sum())], pa.int64()),
+            "n_promo_addends": pa.array([int((~kept_promo | kept_valid).sum())], pa.int64()),
+            "n_valid": pa.array([int(kept_valid.sum())], pa.int64()),
+        }
+    )
+
+
+def promo_revenue_share(sf_dir: str) -> pa.Table:
+    """Promo vs total revenue in one quarter (the TPC-H Q14 shape):
+    conditional aggregation over the lineitem ⋈ part join — one
+    co-partitioned sort exchange, per-run CASE-WHEN partials, two int64
+    sums out (the caller derives the share; a ratio would not be
+    IEEE-stable across summation orders)."""
+    sf = sf_dir.rstrip("/")
+    lo = pa.scalar(np.datetime64(Q14_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Q14_HI, "us"), pa.timestamp("us"))
+    parts = read_parquet_clean(
+        f"{sf}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(_q14_part_side, batch_format="pyarrow")
+    items = read_parquet_clean(
+        f"{sf}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    ).map_batches(_q14_lineitem_side, batch_format="pyarrow")
+    partials = checked_sort(parts.union(items), "key").map_batches(
+        _q14_block, batch_format="pyarrow", batch_size=None
+    )
+    rows = partials.take_all()
+    n_promo_addends = sum(r["n_promo_addends"] for r in rows)
+    n_valid = sum(r["n_valid"] for r in rows)
+    # SQL SUM semantics: NULL over zero joined rows; the CASE's ELSE 0
+    # makes promo non-null whenever ANY row joins, while total needs a
+    # non-null addend
+    promo = sum(r["promo_cents"] for r in rows) if n_promo_addends else None
+    total = sum(r["total_cents"] for r in rows) if n_valid else None
+    return pa.table(
+        {
+            "promo_cents": pa.array([promo], pa.int64()),
+            "total_cents": pa.array([total], pa.int64()),
+        }
+    )

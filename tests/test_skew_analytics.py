@@ -286,6 +286,11 @@ REL_SKEW_TARGETS = [
     "order_size_distribution", "customers_without_orders",
     "ship_delay_profile", "large_volume_customers", "revenue_forecast",
     "customer_rfm",
+    # correlated-subquery / quantifier shapes: the monster order stresses
+    # the one-pass EXISTS+NOT-EXISTS kernel, the hot customer the Q22
+    # anti-join and Q7 tagging hops
+    "small_qty_part_revenue", "sole_returned_supplier",
+    "idle_rich_customers", "nation_pair_volume", "promo_revenue_share",
 ]
 
 
