@@ -38,10 +38,85 @@ def _clean_schema(path: str, columns: list[str] | None) -> pa.Schema | None:
         return None
 
 
-def read_parquet(paths, *, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
-    """``ray.data.read_parquet`` that yields metadata-free block schemas."""
+#: auto block sizing targets (see :func:`suggest_scan_blocks`)
+_ROWS_PER_BLOCK = 65536
+_BYTES_PER_BLOCK = 256 << 20
+
+
+def suggest_scan_blocks(path: str, rows_per_block: int | None = None) -> int | None:
+    """Footer-derived ``override_num_blocks`` for EXCHANGE-BOUND scans.
+
+    Ray's default read parallelism floor (~200 blocks) is tuned for
+    big inputs; feeding a sort exchange 200 near-empty blocks makes the
+    exchange pay ~200 partition tasks of pure overhead (measured 6 s →
+    0.5 s on a 24k-row join hop at sf0.1).  Blocks should scale with
+    DATA, not a constant:
+
+    - rows-based: one block per ~64k rows, capped at the session's CPU
+      count (small inputs never fan out wider than the machine);
+    - bytes-based floor: one block per ~256 MB uncompressed (footer
+      row-group sizes), UNCAPPED — at lake scale this term dominates
+      and keeps per-block memory bounded no matter the CPU cap.
+
+    Returns ``None`` (caller falls back to Ray's default) when the
+    footer can't be read.  Only suitable for scans whose per-row work
+    is light (side maps, combiners); compute-heavy ops (minhash over
+    documents) want MORE blocks than rows suggest and should keep
+    Ray's default.
+    """
+    env = os.environ.get("NPR_READ_ROWS_PER_BLOCK")
+    if env is not None:  # env wins: 0 disables auto sizing entirely
+        try:
+            rows_per_block = int(env)
+        except ValueError:
+            rows_per_block = None
+    if rows_per_block is None:
+        rows_per_block = _ROWS_PER_BLOCK
+    if rows_per_block <= 0:  # escape hatch: Ray's own heuristic
+        return None
+    try:
+        meta = pq.ParquetFile(path).metadata
+        rows = meta.num_rows
+        unc_bytes = sum(
+            meta.row_group(i).total_byte_size for i in range(meta.num_row_groups)
+        )
+    except Exception:
+        return None
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    rows_based = min(-(-rows // rows_per_block), max(cpus, 1))
+    bytes_based = -(-unc_bytes // _BYTES_PER_BLOCK)
+    return max(rows_based, bytes_based, 1)
+
+
+def read_parquet(
+    paths,
+    *,
+    columns: list[str] | None = None,
+    auto_blocks: bool | int = False,
+    **kwargs,
+) -> ray.data.Dataset:
+    """``ray.data.read_parquet`` that yields metadata-free block schemas.
+
+    ``auto_blocks=True`` sizes ``override_num_blocks`` from the footer
+    (:func:`suggest_scan_blocks`) for single-file reads — use on scans
+    that feed a sort exchange, not on compute-heavy per-row stages.
+    Pass an int to set the rows-per-block target instead of the 64k
+    default (compute-heavy stages over few rows want a SMALL target so
+    they still fan out to the CPUs).  An explicit
+    ``override_num_blocks`` always wins.
+    """
+    single_file = isinstance(paths, str) and os.path.isfile(paths)
+    if auto_blocks and single_file and "override_num_blocks" not in kwargs:
+        nb = suggest_scan_blocks(
+            paths, None if auto_blocks is True else int(auto_blocks)
+        )
+        if nb is not None:
+            kwargs["override_num_blocks"] = nb
     schema = None
-    if isinstance(paths, str) and os.path.isfile(paths):
+    if single_file:
         schema = _clean_schema(paths, columns)
     if schema is not None:
         return ray.data.read_parquet(paths, columns=columns, schema=schema, **kwargs)

@@ -294,8 +294,18 @@ REL_SKEW_TARGETS = [
 ]
 
 
+@pytest.fixture()
+def many_scan_blocks(monkeypatch):
+    """Disable footer-sized scan blocks (reader.suggest_scan_blocks) so
+    these fixtures keep their many-tiny-blocks shape — the hot runs must
+    SPAN blocks for the repair machinery to be exercised in situ."""
+    monkeypatch.setenv("NPR_READ_ROWS_PER_BLOCK", "0")
+
+
 @pytest.mark.parametrize("name", REL_SKEW_TARGETS)
-def test_join_chain_hot_keys_match_oracle(ray_session, skew_rel_sf, skew_rel_con, name):
+def test_join_chain_hot_keys_match_oracle(
+    ray_session, skew_rel_sf, skew_rel_con, many_scan_blocks, name
+):
     res = entry.queries()[name](skew_rel_sf)
     df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
     ot = skew_rel_con.sql(entry.oracle_sql()[name]).df()
