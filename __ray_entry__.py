@@ -581,6 +581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_pair_volume": _subq.nation_pair_volume,
         # conditional aggregation over a fact-to-dim join (Q14)
         "promo_revenue_share": _subq.promo_revenue_share,
+        # disjunctive predicates spanning both join sides (Q19)
+        "disjunctive_band_revenue": _subq.disjunctive_band_revenue,
         # benchmark decontamination (broadcast eval n-gram set, pure map)
         "decontaminate": _text.decontaminate,
         # ordered conversion funnel (the self-join-free chain evaluation)
@@ -939,6 +941,7 @@ FROM _ch
         "idle_rich_customers": _subq.IDLE_RICH_CUSTOMERS_SQL,
         "nation_pair_volume": _subq.NATION_PAIR_VOLUME_SQL,
         "promo_revenue_share": _subq.PROMO_REVENUE_SHARE_SQL,
+        "disjunctive_band_revenue": _subq.DISJUNCTIVE_BAND_REVENUE_SQL,
         "decontaminate": _text.DECONTAMINATE_SQL,
         "events_funnel": _ev.FUNNEL_SQL,
         "customer_spend_deciles": _rel.SPEND_DECILES_SQL,

@@ -1050,3 +1050,150 @@ def promo_revenue_share(sf_dir: str) -> pa.Table:
             "total_cents": pa.array([total], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive predicates spanning both join sides
+# ---------------------------------------------------------------------------
+
+#: (brand, size_lo, size_hi, qty_lo, qty_hi) — each disjunct constrains
+#: BOTH sides of the join, so no single-side pushdown can evaluate it
+Q19_BANDS = (
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 1, 25, 10, 20),
+    ("Brand#34", 1, 35, 20, 30),
+)
+
+_Q19_PRED_SQL = " OR ".join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+    f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in Q19_BANDS
+)
+
+DISJUNCTIVE_BAND_REVENUE_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {_Q19_PRED_SQL}
+"""
+
+
+def _q19_part_side(batch: pa.Table) -> pa.Table:
+    """Build side: parts of any disjunct's brand (IN-set pushed into
+    the scan), carrying the band code and size the kernel needs."""
+    batch = batch.filter(pc.is_valid(batch.column("p_partkey")))
+    code = pc.index_in(
+        batch.column("p_brand"), value_set=pa.array([b[0] for b in Q19_BANDS])
+    )
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("p_partkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "band": code.cast(pa.int64()),
+            "size": batch.column("p_size").cast(pa.int64()),
+            "qty": pa.nulls(n, pa.int64()),
+            "cents": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q19_lineitem_side(batch: pa.Table, bloom_ref=None) -> pa.Table:
+    """Probe side: RAW rows — the disjunction needs (band, size) from
+    the build AND (qty) from the probe, so it can only be evaluated at
+    the join; the bloom prunes the scan to ~|brand parts|/|parts|."""
+    key_col = batch.column("l_partkey").cast(pa.int64()).combine_chunks()
+    valid = np.asarray(pc.is_valid(key_col))
+    if bloom_ref is not None:
+        bloom = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) else bloom_ref
+        keys = np.asarray(pc.fill_null(key_col, 0))
+        valid &= bloom_member(keys, bloom)
+    batch = batch.filter(pa.array(valid))
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("l_partkey").cast(pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "band": pa.nulls(n, pa.int64()),
+            "size": pa.nulls(n, pa.int64()),
+            "qty": batch.column("l_quantity").cast(pa.int64()),
+            "cents": discounted_floored_cents(
+                batch.column("l_extendedprice"), batch.column("l_discount")
+            ),
+        }
+    )
+
+
+def _q19_block(block: pa.Table) -> pa.Table:
+    """Per partkey run: evaluate the full disjunction vectorized — the
+    build row contributes (band, size), each probe row its quantity; a
+    NULL on either side fails every disjunct, like SQL BETWEEN."""
+    empty = pa.table(
+        {
+            "n_items": pa.array([], pa.int64()),
+            "cents_sum": pa.array([], pa.int64()),
+            "n_valid": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
+    joined = (side == 1) & (build_idx >= 0)
+    if not joined.any():
+        return empty
+    bi = np.maximum(build_idx, 0)
+    band = np.asarray(pc.fill_null(block.column("band"), -1).combine_chunks())[bi]
+    size_col = block.column("size").combine_chunks()
+    size_ok = np.asarray(pc.is_valid(size_col))[bi]
+    size = np.asarray(pc.fill_null(size_col, 0))[bi]
+    qty_col = block.column("qty").combine_chunks()
+    qty_ok = np.asarray(pc.is_valid(qty_col))
+    qty = np.asarray(pc.fill_null(qty_col, 0))
+    keep = np.zeros(len(band), dtype=bool)
+    for i, (_, slo, shi, qlo, qhi) in enumerate(Q19_BANDS):
+        keep |= (band == i) & (size >= slo) & (size <= shi) & (qty >= qlo) & (qty <= qhi)
+    keep &= joined & size_ok & qty_ok
+    if not keep.any():
+        return empty
+    cents = block.column("cents").filter(pa.array(keep))
+    return pa.table(
+        {
+            "n_items": pa.array([int(keep.sum())], pa.int64()),
+            "cents_sum": pa.array([int(pc.sum(cents).as_py() or 0)], pa.int64()),
+            "n_valid": pa.array([len(cents) - cents.null_count], pa.int64()),
+        }
+    )
+
+
+def disjunctive_band_revenue(sf_dir: str, *, use_bloom: bool = True) -> pa.Table:
+    """Revenue from lineitems matching ANY of three (brand, size-range,
+    quantity-range) bands — the TPC-H Q19 shape.  Each disjunct
+    constrains BOTH join sides at once, so neither scan can evaluate it
+    alone: the brand IN-set prunes the part scan (and its bloom the
+    lineitem scan), and the full disjunction is evaluated vectorized at
+    the join, one pass per band over the block."""
+    sf = sf_dir.rstrip("/")
+    parts = read_parquet_clean(
+        f"{sf}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=pc.field("p_brand").isin([b[0] for b in Q19_BANDS]),
+    ).map_batches(_q19_part_side, batch_format="pyarrow").materialize()
+    bloom_ref = build_key_bloom(parts, "key") if use_bloom else None
+    items = read_parquet_clean(
+        f"{sf}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        _q19_lineitem_side, batch_format="pyarrow", fn_kwargs={"bloom_ref": bloom_ref}
+    )
+    partials = checked_sort(parts.union(items), "key").map_batches(
+        _q19_block, batch_format="pyarrow", batch_size=None
+    )
+    rows = partials.take_all()
+    n = sum(r["n_items"] for r in rows)
+    n_valid = sum(r["n_valid"] for r in rows)
+    cents = sum(r["cents_sum"] for r in rows) if n_valid else None
+    return pa.table(
+        {"n_items": pa.array([n], pa.int64()), "revenue_cents": pa.array([cents], pa.int64())}
+    )

@@ -117,6 +117,30 @@ def test_q14_empty_window_yields_null_sums(ray_session, monkeypatch):
     assert t.column("total_cents")[0].as_py() is None
 
 
+def test_q19_shape(ray_session):
+    t = subq.disjunctive_band_revenue(SF)
+    assert t.schema.names == ["n_items", "revenue_cents"]
+    assert t.num_rows == 1
+    assert t.column("n_items")[0].as_py() > 0
+    assert t.column("revenue_cents")[0].as_py() > 0
+
+
+def test_q19_bloom_is_invisible(ray_session):
+    a = subq.disjunctive_band_revenue(SF, use_bloom=True)
+    b = subq.disjunctive_band_revenue(SF, use_bloom=False)
+    assert a.equals(b)
+
+
+def test_q19_empty_bands_yield_zero_and_null_sum(ray_session, monkeypatch):
+    monkeypatch.setattr(
+        subq, "Q19_BANDS", (("Brand#none-such", 1, 1, 1, 1),)
+    )
+    t = subq.disjunctive_band_revenue(SF)
+    assert t.num_rows == 1
+    assert t.column("n_items")[0].as_py() == 0
+    assert t.column("revenue_cents")[0].as_py() is None
+
+
 # ---------------------------------------------------------------------------
 # Q21 kernel unit pin: the one-pass EXISTS + NOT-EXISTS logic
 # ---------------------------------------------------------------------------
@@ -169,6 +193,7 @@ def test_q21_kernel_merges_split_pair_partials():
 # ---------------------------------------------------------------------------
 
 NULL_TARGETS = [
+    "disjunctive_band_revenue",
     "small_qty_part_revenue",
     "sole_returned_supplier",
     "idle_rich_customers",
