@@ -233,19 +233,27 @@ def _q_cdc_lineage_metrics(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Max, Min, Sum
 
+    import pyarrow as pa
+
+    from nifi_processors_ray.functions.debug import null_safe_groupby_agg
+
     eng = _replayed_engine(sf_dir)
-    return (
-        eng.lineage()
-        .groupby("partition")
-        .aggregate(
-            Sum("n_applied", alias_name="applied"),
-            Sum("n_rejected", alias_name="rejected"),
-            Min("seq_lo", alias_name="seq_lo"),
-            Max("seq_hi", alias_name="seq_hi"),
-            Count(alias_name="batches"),
-        )
-        .sort("partition")
-    )
+    return null_safe_groupby_agg(
+        eng.lineage(),
+        "partition",
+        Sum("n_applied", alias_name="applied"),
+        Sum("n_rejected", alias_name="rejected"),
+        Min("seq_lo", alias_name="seq_lo"),
+        Max("seq_hi", alias_name="seq_hi"),
+        Count(alias_name="batches"),
+        out_types={
+            "applied": pa.int64(),
+            "rejected": pa.int64(),
+            "seq_lo": pa.int64(),
+            "seq_hi": pa.int64(),
+            "batches": pa.int64(),
+        },
+    ).sort("partition")
 
 
 def _q_cdc_lineage_totals(sf_dir: str):

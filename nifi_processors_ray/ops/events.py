@@ -835,9 +835,15 @@ def hourly_retention(sf_dir: str) -> ray.data.Dataset:
     per_block = checked_sort(partials, "user_id").map_batches(
         _retention_block, batch_format="pyarrow", batch_size=None
     )
+    from ..functions.debug import null_safe_groupby_agg
+
     return (
-        per_block.groupby("hour")
-        .aggregate(Sum("n_retained", alias_name="n_retained"))
+        null_safe_groupby_agg(
+            per_block,
+            "hour",
+            Sum("n_retained", alias_name="n_retained"),
+            out_types={"n_retained": pa.int64()},
+        )
         .sort("hour")
     )
 
@@ -1188,11 +1194,15 @@ def hourly_dense(sf_dir: str) -> pa.Table:
         g = t.group_by(["hour"]).aggregate([([], "count_all")])
         return pa.table({"hour": g.column("hour"), "n": g.column("count_all")})
 
+    from ..functions.debug import null_safe_groupby_agg
+
     agg = (
-        _events(sf_dir, ["ts"])
-        .map_batches(partials, batch_format="pyarrow")
-        .groupby("hour")
-        .aggregate(Sum("n", alias_name="n"))
+        null_safe_groupby_agg(
+            _events(sf_dir, ["ts"]).map_batches(partials, batch_format="pyarrow"),
+            "hour",
+            Sum("n", alias_name="n"),
+            out_types={"n": pa.int64()},
+        )
         .to_arrow_refs()
     )
     import ray as _ray

@@ -30,7 +30,7 @@ from ..sources.reader import read_parquet as _read_parquet
 #: instead of Ray's ~200-block floor — the sort exchanges downstream pay
 #: per-block overhead, and these modules' per-row work is light
 read_parquet_clean = functools.partial(_read_parquet, auto_blocks=True)
-from ..functions.debug import checked_sort, null_safe_sort
+from ..functions.debug import checked_sort, null_safe_groupby_agg, null_safe_sort
 from ..functions.money import floored_cents
 
 EVENTS_USER_ENRICH_SQL = """
@@ -613,11 +613,12 @@ def orders_monthly_volume(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("month_idx")
-        .aggregate(
+        null_safe_groupby_agg(
+            ds.map_batches(partials, batch_format="pyarrow"),
+            "month_idx",
             Sum("n_orders", alias_name="n_orders"),
             Sum("total_cents", alias_name="total_cents"),
+            out_types={"n_orders": pa.int64(), "total_cents": pa.int64()},
         )
         .sort("month_idx")
     )
@@ -773,10 +774,11 @@ def customer_spend_deciles(sf_dir: str) -> ray.data.Dataset:
 
     from ray.data.aggregate import Sum
 
-    spend = (
-        orders.map_batches(partials, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("spend_cents", alias_name="spend_cents"))
+    spend = null_safe_groupby_agg(
+        orders.map_batches(partials, batch_format="pyarrow"),
+        "o_custkey",
+        Sum("spend_cents", alias_name="spend_cents"),
+        out_types={"spend_cents": pa.int64()},
     )
     # shared distributed-NTILE pass (one home for the calibrated
     # subtleties: materialize-before-boundary-pass, KeyError-as-drift)

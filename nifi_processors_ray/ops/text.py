@@ -368,9 +368,12 @@ def top_ngrams(sf_dir: str, *, k: int = TOP_NGRAMS_K) -> ray.data.Dataset:
         f"{sf_dir.rstrip('/')}/documents.parquet", columns=["text"]
     )
     partials = ds.map_batches(_bigram_partials, batch_format="pyarrow")
+    from ..functions.debug import null_safe_groupby_agg
+
     return (
-        partials.groupby("ngram")
-        .aggregate(Sum("n", alias_name="n"))
+        null_safe_groupby_agg(
+            partials, "ngram", Sum("n", alias_name="n"), out_types={"n": pa.int64()}
+        )
         .sort(["n", "ngram"], descending=[True, False])
         .limit(k)
     )
