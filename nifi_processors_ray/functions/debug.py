@@ -235,9 +235,20 @@ def _vector_agg_plan(aggs, out_types) -> list[tuple[str, str | None, str]] | Non
             return None
         on = getattr(a, "_target_col_name", None)
         alias = getattr(a, "name", None)
+        ignore = getattr(a, "_ignore_nulls", None)
         if alias is None or (kind != "count" and on is None):
             return None
-        if kind != "count":
+        if kind == "count":
+            # Count(ignore_nulls=False) counts every row (the kernel's
+            # run_len); Count(on, ignore_nulls=True) counts non-null —
+            # normalize so the kernel needn't know the flag
+            if on is not None and not ignore:
+                on = None
+        else:
+            # the kernel always skips nulls; ignore_nulls=False (null
+            # result if any input null) must keep Ray's operator
+            if ignore is not True:
+                return None
             t = (out_types or {}).get(alias)
             if t is None or not pa.types.is_integer(t):
                 return None
@@ -265,7 +276,15 @@ def _grouped_reduce_kernel(skeys: list[str], plan):
         if n > 1:
             for sk in skeys:
                 col = b.column(sk).combine_chunks()
-                ne = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+                a, prev = col.slice(1), col.slice(0, n - 1)
+                ne = pc.not_equal(a, prev)
+                if pa.types.is_floating(col.type):
+                    # NaN != NaN would shred the NaN run into per-row
+                    # groups; the sort and repair co-locate NaN as ONE
+                    # run (_keys_equal), so the kernel must match
+                    ne = pc.and_(
+                        ne, pc.invert(pc.and_(pc.is_nan(a), pc.is_nan(prev)))
+                    )
                 # shadow keys are null-free; fill defensively anyway
                 change[1:] |= np.asarray(pc.fill_null(ne, True))
         starts = np.nonzero(change)[0]
@@ -332,7 +351,12 @@ def null_safe_groupby_agg(ds: ray.data.Dataset, keys, *aggs, out_types=None) -> 
 
     key_list = [keys] if isinstance(keys, str) else list(keys)
     pre, skeys = _with_shadow_keys(ds, key_list, strict=True)
-    plan = _vector_agg_plan(aggs, out_types)
+    # the kernel emits ONE row per key run and never re-merges, so it is
+    # only correct when the run repair is armed (a split hot run would
+    # yield duplicate group rows with split sums); under the
+    # NPR_DEBUG_COLOCATION=0 escape hatch fall back to Ray's operator,
+    # which is split-agnostic
+    plan = _vector_agg_plan(aggs, out_types) if run_integrity_enabled() else None
     if plan is not None:
         # skeys are already sentinel-filled shadow columns (null-free);
         # shadow=False keeps checked_sort from re-shadowing them, which

@@ -33,14 +33,7 @@ from ..functions.blocks import sorted_build_probe_runs
 from ..functions.bloom import bloom_member, build_key_bloom
 from ..functions.debug import checked_sort
 from ..functions.money import discounted_floored_cents
-import functools
-
-from ..sources.reader import read_parquet as _read_parquet
-
-#: exchange-bound scans: footer-sized blocks (reader.suggest_scan_blocks)
-#: instead of Ray's ~200-block floor — the sort exchanges downstream pay
-#: per-block overhead, and these modules' per-row work is light
-read_parquet_clean = functools.partial(_read_parquet, auto_blocks=True)
+from ..sources.reader import read_parquet_exchange as read_parquet_clean
 
 # ---------------------------------------------------------------------------
 # Q5 shape: local-supplier volume per nation

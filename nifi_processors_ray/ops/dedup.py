@@ -28,15 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-import functools
-
-from ..sources.reader import read_parquet as _read_parquet
-
-#: compute-heavy per-row stages over small-row tables (documents /
-#: embeddings): fan out to the CPUs (~64 rows per block) instead of
-#: Ray's ~200-block floor; reader.suggest_scan_blocks keeps the bytes
-#: floor for lake-scale files
-read_parquet_clean = functools.partial(_read_parquet, auto_blocks=64)
+from ..sources.reader import read_parquet_fanout as read_parquet_clean
 
 from ..functions.debug import checked_sort
 from ..functions.hashing import hash_strings_u64

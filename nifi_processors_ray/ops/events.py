@@ -31,14 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-import functools
-
-from ..sources.reader import read_parquet as _read_parquet
-
-#: exchange-bound scans: footer-sized blocks (reader.suggest_scan_blocks)
-#: instead of Ray's ~200-block floor — the sort exchanges downstream pay
-#: per-block overhead, and these modules' per-row work is light
-read_parquet_clean = functools.partial(_read_parquet, auto_blocks=True)
+from ..sources.reader import read_parquet_exchange as read_parquet_clean
 
 from ..functions.debug import checked_sort, null_safe_groupby_agg, null_safe_sort
 
@@ -835,8 +828,6 @@ def hourly_retention(sf_dir: str) -> ray.data.Dataset:
     per_block = checked_sort(partials, "user_id").map_batches(
         _retention_block, batch_format="pyarrow", batch_size=None
     )
-    from ..functions.debug import null_safe_groupby_agg
-
     return (
         null_safe_groupby_agg(
             per_block,
@@ -1193,8 +1184,6 @@ def hourly_dense(sf_dir: str) -> pa.Table:
         t = pa.table({"hour": pa.array(_truncdiv(ts_us, _US_PER_HOUR))})
         g = t.group_by(["hour"]).aggregate([([], "count_all")])
         return pa.table({"hour": g.column("hour"), "n": g.column("count_all")})
-
-    from ..functions.debug import null_safe_groupby_agg
 
     agg = (
         null_safe_groupby_agg(

@@ -32,14 +32,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.money import discounted_floored_cents, floored_cents
-import functools
-
-from ..sources.reader import read_parquet as _read_parquet
-
-#: exchange-bound scans: footer-sized blocks (reader.suggest_scan_blocks)
-#: instead of Ray's ~200-block floor — the sort exchanges downstream pay
-#: per-block overhead, and these modules' per-row work is light
-read_parquet_clean = functools.partial(_read_parquet, auto_blocks=True)
+from ..sources.reader import read_parquet_exchange as read_parquet_clean
 
 from ..functions.debug import checked_sort
 

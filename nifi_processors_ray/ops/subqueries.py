@@ -48,16 +48,9 @@ import ray.data
 
 from ..functions.blocks import compact_small_result, sorted_build_probe_runs
 from ..functions.bloom import bloom_member, build_key_bloom
-from ..functions.debug import checked_sort, null_safe_groupby_agg
+from ..functions.debug import checked_sort, null_safe_groupby_agg, null_safe_sort
 from ..functions.money import discounted_floored_cents, floored_cents
-import functools
-
-from ..sources.reader import read_parquet as _read_parquet
-
-#: exchange-bound scans: footer-sized blocks (reader.suggest_scan_blocks)
-#: instead of Ray's ~200-block floor — the sort exchanges downstream pay
-#: per-block overhead, and these modules' per-row work is light
-read_parquet_clean = functools.partial(_read_parquet, auto_blocks=True)
+from ..sources.reader import read_parquet_exchange as read_parquet_clean
 
 # ---------------------------------------------------------------------------
 # Q17 shape: small-quantity part revenue (correlated scalar subquery)
@@ -305,8 +298,12 @@ def _q21_block(block: pa.Table) -> pa.Table:
     kstarts = np.nonzero(new_key)[0]
     n_pairs = np.diff(np.concatenate([kstarts, [len(pair_key)]]))
     n_ret = np.add.reduceat(pair_ret.astype(np.int64), kstarts)
-    # the single returned supplier (valid only where n_ret == 1)
-    lone = np.maximum.reduceat(np.where(pair_ret, pair_supp, np.int64(-1)), kstarts)
+    # the single returned supplier (valid only where n_ret == 1); the
+    # absent-sentinel must sort below ANY real key, not just positive
+    # ones — int64 min, never -1
+    lone = np.maximum.reduceat(
+        np.where(pair_ret, pair_supp, np.iinfo(np.int64).min), kstarts
+    )
     uk = pair_key[kstarts]
     idx = np.searchsorted(build_keys, uk)
     has_build = (
@@ -412,8 +409,12 @@ def sole_returned_supplier(sf_dir: str, n_top: int = Q21_TOP) -> ray.data.Datase
     named = checked_sort(supp.union(probe), "key").map_batches(
         _q21_name_block, batch_format="pyarrow", batch_size=None
     )
-    out = named.sort(
-        ["numwait", "s_name", "s_suppkey"], descending=[True, False, False]
+    # null-safe: a NULL s_name in Ray's boundary sample would TypeError
+    # (caveat: the sentinel places a null name FIRST among ascending
+    # ties where DuckDB orders NULLS LAST — divergence only reachable
+    # with null supplier names at the top-k tie boundary)
+    out = null_safe_sort(
+        named, ["numwait", "s_name", "s_suppkey"], descending=[True, False, False]
     ).limit(n_top)
     return compact_small_result(
         out,
@@ -582,7 +583,10 @@ def idle_rich_customers(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    out = agg.map_batches(rename, batch_format="pyarrow").sort("c_nationkey")
+    # null-safe: a NULL c_nationkey group survives the rollup (SQL
+    # GROUP BY keeps it) and would TypeError in a raw sort's boundary
+    # sample
+    out = null_safe_sort(agg.map_batches(rename, batch_format="pyarrow"), "c_nationkey")
     return compact_small_result(
         out,
         pa.schema(

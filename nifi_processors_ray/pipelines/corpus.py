@@ -13,13 +13,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-import functools
-
-from ..sources.reader import read_parquet as _read_parquet
-
-#: corpus pipelines are compute-heavy per doc (shingle/minhash inside)
-#: over few-row documents tables — same fan-out target as ops/dedup.py
-read_parquet_clean = functools.partial(_read_parquet, auto_blocks=64)
+from ..sources.reader import read_parquet_fanout as read_parquet_clean
 
 from ..functions.debug import checked_sort
 from ..ops.dedup import EXACT_DEDUP_SQL, _add_text_hash, _first_per_text

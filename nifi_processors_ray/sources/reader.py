@@ -17,6 +17,7 @@ multi-file globs).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import pyarrow as pa
@@ -26,16 +27,6 @@ import ray.data
 
 def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
     return batch.replace_schema_metadata(None) if batch.schema.metadata else batch
-
-
-def _clean_schema(path: str, columns: list[str] | None) -> pa.Schema | None:
-    try:
-        sch = pq.read_schema(path).remove_metadata()
-        if columns is not None:
-            sch = pa.schema([sch.field(c) for c in columns])
-        return sch
-    except Exception:
-        return None
 
 
 #: auto block sizing targets (see :func:`suggest_scan_blocks`)
@@ -64,6 +55,14 @@ def suggest_scan_blocks(path: str, rows_per_block: int | None = None) -> int | N
     documents) want MORE blocks than rows suggest and should keep
     Ray's default.
     """
+    try:
+        meta = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    return _blocks_from_meta(meta, rows_per_block)
+
+
+def _blocks_from_meta(meta, rows_per_block: int | None) -> int | None:
     env = os.environ.get("NPR_READ_ROWS_PER_BLOCK")
     if env is not None:  # env wins: 0 disables auto sizing entirely
         try:
@@ -74,14 +73,10 @@ def suggest_scan_blocks(path: str, rows_per_block: int | None = None) -> int | N
         rows_per_block = _ROWS_PER_BLOCK
     if rows_per_block <= 0:  # escape hatch: Ray's own heuristic
         return None
-    try:
-        meta = pq.ParquetFile(path).metadata
-        rows = meta.num_rows
-        unc_bytes = sum(
-            meta.row_group(i).total_byte_size for i in range(meta.num_row_groups)
-        )
-    except Exception:
-        return None
+    rows = meta.num_rows
+    unc_bytes = sum(
+        meta.row_group(i).total_byte_size for i in range(meta.num_row_groups)
+    )
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
@@ -109,19 +104,43 @@ def read_parquet(
     ``override_num_blocks`` always wins.
     """
     single_file = isinstance(paths, str) and os.path.isfile(paths)
-    if auto_blocks and single_file and "override_num_blocks" not in kwargs:
-        nb = suggest_scan_blocks(
-            paths, None if auto_blocks is True else int(auto_blocks)
+    pf = None
+    if single_file:
+        try:
+            pf = pq.ParquetFile(paths)  # ONE footer parse for blocks + schema
+        except Exception:
+            pf = None
+    if auto_blocks and pf is not None and "override_num_blocks" not in kwargs:
+        nb = _blocks_from_meta(
+            pf.metadata, None if auto_blocks is True else int(auto_blocks)
         )
         if nb is not None:
             kwargs["override_num_blocks"] = nb
     schema = None
-    if single_file:
-        schema = _clean_schema(paths, columns)
+    if pf is not None:
+        try:
+            sch = pf.schema_arrow.remove_metadata()
+            if columns is not None:
+                sch = pa.schema([sch.field(c) for c in columns])
+            schema = sch
+        except Exception:
+            schema = None
     if schema is not None:
         return ray.data.read_parquet(paths, columns=columns, schema=schema, **kwargs)
     ds = ray.data.read_parquet(paths, columns=columns, **kwargs)
     return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+
+
+#: named auto-block presets — ONE home for the tuning rationale.
+#: ``read_parquet_exchange``: scans whose per-row work is light and whose
+#: output feeds a sort exchange — blocks sized ~64k rows so the exchange
+#: doesn't pay Ray's ~200-block floor in per-partition overhead.
+#: ``read_parquet_fanout``: compute-heavy per-row stages over small-row
+#: tables (documents/embeddings) — ~64 rows per block so they still fan
+#: out to the CPUs.  Both keep the 256 MB uncompressed bytes floor for
+#: lake-scale files (see :func:`suggest_scan_blocks`).
+read_parquet_exchange = functools.partial(read_parquet, auto_blocks=True)
+read_parquet_fanout = functools.partial(read_parquet, auto_blocks=64)
 
 
 def read_jsonl(paths, *, columns: list[str] | None = None, schema=None, **kwargs) -> ray.data.Dataset:
