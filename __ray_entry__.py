@@ -591,6 +591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": _subq.promo_revenue_share,
         # disjunctive predicates spanning both join sides (Q19)
         "disjunctive_band_revenue": _subq.disjunctive_band_revenue,
+        # overlapping-window chunking (retrieval / context packing)
+        "doc_chunks": _text.doc_chunks,
         # benchmark decontamination (broadcast eval n-gram set, pure map)
         "decontaminate": _text.decontaminate,
         # ordered conversion funnel (the self-join-free chain evaluation)
@@ -950,6 +952,7 @@ FROM _ch
         "nation_pair_volume": _subq.NATION_PAIR_VOLUME_SQL,
         "promo_revenue_share": _subq.PROMO_REVENUE_SHARE_SQL,
         "disjunctive_band_revenue": _subq.DISJUNCTIVE_BAND_REVENUE_SQL,
+        "doc_chunks": _text.DOC_CHUNKS_SQL,
         "decontaminate": _text.DECONTAMINATE_SQL,
         "events_funnel": _ev.FUNNEL_SQL,
         "customer_spend_deciles": _rel.SPEND_DECILES_SQL,

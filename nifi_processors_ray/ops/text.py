@@ -883,3 +883,97 @@ def doc_top_terms(sf_dir: str, *, k: int = TOP_TERMS_K, sort: bool = True) -> ra
         fn_kwargs={"n_docs": n_docs, "k": k},
     )
     return out.sort(["doc_id", "rn"]) if sort else out
+
+
+# ---------------------------------------------------------------------------
+# document chunking: fixed-size overlapping windows for context packing
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 200  # characters per chunk
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+_CHUNK_SERIES_MAX = 10_000  # twin-side series bound (far above any doc)
+
+# DuckDB's generate_series ERRORS on an empty range (0..-1), so the twin
+# joins a fixed series against the start-inside-text predicate instead of
+# a per-row upper bound; g*stride < length(text) yields exactly
+# ceil(len/stride) chunks for len > 0, zero for empty, none for NULL.
+DOC_CHUNKS_SQL = f"""
+SELECT d.doc_id,
+       s.g AS chunk_idx,
+       substr(d.text, CAST(s.g * {CHUNK_STRIDE} + 1 AS BIGINT), {CHUNK_SIZE})
+         AS chunk_text,
+       CAST(length(substr(d.text, CAST(s.g * {CHUNK_STRIDE} + 1 AS BIGINT),
+                          {CHUNK_SIZE})) AS BIGINT) AS n_chunk_chars
+FROM documents d
+JOIN (SELECT g FROM generate_series(0, {_CHUNK_SERIES_MAX}) t(g)) s
+  ON s.g * {CHUNK_STRIDE} < length(d.text)
+ORDER BY d.doc_id, s.g
+"""
+
+
+def _chunk_batch(batch: pa.Table, size: int, stride: int) -> pa.Table:
+    """Expand each document into its overlapping windows — one
+    vectorized slice PER CHUNK ORDINAL (bounded by the longest doc in
+    the batch), never per row.  Character semantics match the twin:
+    ``utf8_length`` / ``utf8_slice_codeunits`` count codepoints exactly
+    like DuckDB's ``length`` / ``substr``.  NULL text yields no chunks
+    (the twin's join predicate is NULL)."""
+    lens = pc.utf8_length(batch.column("text"))
+    parts = []
+    k = 0
+    while True:
+        mask = pc.greater(lens, k * stride)  # NULL text → NULL → dropped
+        sub = batch.filter(mask)
+        if sub.num_rows == 0:
+            break
+        chunk = pc.utf8_slice_codeunits(
+            sub.column("text"), start=k * stride, stop=k * stride + size
+        )
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": sub.column("doc_id").cast(pa.int64()),
+                    "chunk_idx": pa.array(
+                        np.full(sub.num_rows, k, dtype=np.int64)
+                    ),
+                    "chunk_text": chunk,
+                    "n_chunk_chars": pc.utf8_length(chunk).cast(pa.int64()),
+                }
+            )
+        )
+        k += 1
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_chunk_chars": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts)
+
+
+def doc_chunks(
+    sf_dir: str,
+    *,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    sort: bool = True,
+) -> ray.data.Dataset:
+    """Fixed-size overlapping character windows per document — the
+    chunking stage every retrieval / context-packing pipeline runs
+    before embedding.  Pure map (no exchange): each batch expands to
+    its chunks with one vectorized slice per chunk ordinal; output is
+    ~``size/stride`` × corpus bytes, streamed block by block.  ``sort``
+    orders by (doc_id, chunk_idx) for the oracle compare; production
+    callers keep ``sort=False`` and write chunks as they stream."""
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(
+        _chunk_batch, batch_format="pyarrow", fn_kwargs={"size": size, "stride": stride}
+    )
+    from ..functions.debug import null_safe_sort
+
+    return null_safe_sort(out, ["doc_id", "chunk_idx"]) if sort else out

@@ -169,3 +169,47 @@ def test_decontaminate_matches_sql(con):
     assert len(got) > 0
     # benchmark docs themselves are never flagged
     assert (got["doc_id"] % T.DECONTAM_MOD != 0).all()
+
+
+# ---------------------------------------------------------------------------
+# doc_chunks: overlapping-window chunking
+# ---------------------------------------------------------------------------
+
+
+def test_doc_chunks_window_invariants(ray_session):
+    from nifi_processors_ray.ops import text as T
+
+    df = T.doc_chunks("/root/testdata/sf0.001").to_pandas()
+    assert list(df.columns) == ["doc_id", "chunk_idx", "chunk_text", "n_chunk_chars"]
+    # every chunk ≤ size; with stride < size the last ceil(size/stride)
+    # = 2 chunks of a doc may be truncated, every earlier one is full
+    assert (df["n_chunk_chars"] <= T.CHUNK_SIZE).all()
+    last = df.groupby("doc_id")["chunk_idx"].transform("max")
+    assert (df.loc[df["chunk_idx"] < last - 1, "n_chunk_chars"] == T.CHUNK_SIZE).all()
+    # chunk_idx is dense 0..k per doc
+    g = df.groupby("doc_id")["chunk_idx"]
+    assert (g.min() == 0).all()
+    assert (g.max() + 1 == g.count()).all()
+    # consecutive chunks overlap by size - stride characters
+    a = df[(df.doc_id == df.doc_id.iloc[0]) & (df.chunk_idx == 0)]["chunk_text"].iloc[0]
+    b = df[(df.doc_id == df.doc_id.iloc[0]) & (df.chunk_idx == 1)]
+    if len(b):
+        assert a[T.CHUNK_STRIDE:] == b["chunk_text"].iloc[0][: T.CHUNK_SIZE - T.CHUNK_STRIDE]
+
+
+def test_doc_chunks_null_and_empty_text(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from nifi_processors_ray.ops import text as T
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["abc", None, ""], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = T.doc_chunks(str(tmp_path)).to_pandas()
+    # null and empty text yield NO chunks (the twin's join predicate)
+    assert df["doc_id"].tolist() == [1]
+    assert df["chunk_text"].tolist() == ["abc"]
