@@ -130,3 +130,39 @@ def test_q21_kernel_handles_negative_supplier_keys():
     out = subq._q21_block(block)
     assert out.column("supp").to_pylist() == [-5]
     assert out.column("n").to_pylist() == [1]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fast_path_matches_ray_operator_fuzz(ray_session, seed):
+    """Randomized parity: the reduceat fast path must agree with Ray's
+    Aggregate operator on null-bearing keys AND values, including
+    all-null groups, across Sum/Min/Max/Count."""
+    rng = np.random.default_rng(seed)
+    n = 5_000
+    keys = rng.integers(-3, 40, n)
+    key_arr = pa.array(
+        [None if rng.random() < 0.07 else int(k) for k in keys], pa.int64()
+    )
+    val_arr = pa.array(
+        [None if rng.random() < 0.2 else int(v) for v in rng.integers(-100, 100, n)],
+        pa.int64(),
+    )
+    ds = ray.data.from_arrow(pa.table({"k": key_arr, "v": val_arr})).repartition(7)
+    aggs = lambda: (  # noqa: E731
+        Sum("v", alias_name="s"),
+        Min("v", alias_name="lo"),
+        Max("v", alias_name="hi"),
+        Count(alias_name="n"),
+    )
+    out_types = {"s": pa.int64(), "lo": pa.int64(), "hi": pa.int64()}
+    fast = _agg_rows(ds, "k", *aggs(), out_types=out_types)
+    # force the slow path by adding a disqualifying aggregate, then drop it
+    from ray.data.aggregate import Mean
+
+    slow = null_safe_groupby_agg(
+        ds, "k", *aggs(), Mean("v", alias_name="_m"), out_types=out_types
+    ).to_pandas()
+    slow = slow.drop(columns=["_m"]).sort_values(slow.columns.drop("_m").tolist()).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
