@@ -593,6 +593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_band_revenue": _subq.disjunctive_band_revenue,
         # overlapping-window chunking (retrieval / context packing)
         "doc_chunks": _text.doc_chunks,
+        # seeded deterministic global shuffle -> fixed-size training shards
+        "corpus_shuffle_shards": _corpus.corpus_shuffle_shards,
         # benchmark decontamination (broadcast eval n-gram set, pure map)
         "decontaminate": _text.decontaminate,
         # ordered conversion funnel (the self-join-free chain evaluation)
@@ -953,6 +955,7 @@ FROM _ch
         "promo_revenue_share": _subq.PROMO_REVENUE_SHARE_SQL,
         "disjunctive_band_revenue": _subq.DISJUNCTIVE_BAND_REVENUE_SQL,
         "doc_chunks": _text.DOC_CHUNKS_SQL,
+        "corpus_shuffle_shards": _corpus.SHUFFLE_SHARDS_SQL,
         "decontaminate": _text.DECONTAMINATE_SQL,
         "events_funnel": _ev.FUNNEL_SQL,
         "customer_spend_deciles": _rel.SPEND_DECILES_SQL,

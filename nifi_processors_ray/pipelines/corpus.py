@@ -284,3 +284,110 @@ def token_pack(sf_dir: str, *, budget: int = PACK_TOKEN_BUDGET) -> ray.data.Data
     return ordered.map_batches(
         assign, batch_format="pyarrow", batch_size=None, fn_kwargs={"budget": budget}
     )
+
+
+# ---------------------------------------------------------------------------
+# seeded global shuffle → fixed-size training shards
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = 17
+SHARD_SIZE = 64
+
+# the engine's shared deterministic Knuth-hash order (same arithmetic as
+# events_sample), reproducible across runs and cluster sizes
+SHUFFLE_SHARDS_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         (CAST((doc_id + {SHUFFLE_SEED}) % 4294967296 AS HUGEINT) * 2654435761)
+           % 4294967296 AS hkey
+  FROM documents WHERE doc_id IS NOT NULL
+),
+r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY hkey, doc_id) - 1 AS rank
+  FROM h
+)
+SELECT doc_id,
+       CAST(rank // {SHARD_SIZE} AS BIGINT) AS shard,
+       CAST(rank % {SHARD_SIZE} AS BIGINT) AS pos_in_shard
+FROM r
+ORDER BY doc_id
+"""
+
+
+def _shuffle_hash_batch(batch: pa.Table, seed: int) -> pa.Table:
+    import pyarrow.compute as pc
+
+    batch = batch.filter(pc.is_valid(batch.column("doc_id")))
+    did = np.asarray(
+        batch.column("doc_id").cast(pa.int64()).combine_chunks()
+    ).astype(np.uint64)
+    h = ((did + np.uint64(seed)) % np.uint64(2**32) * np.uint64(2654435761)) % np.uint64(
+        2**32
+    )
+    return pa.table(
+        {
+            "hkey": pa.array(h.astype(np.int64)),
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+        }
+    )
+
+
+def corpus_shuffle_shards(
+    sf_dir: str,
+    *,
+    seed: int = SHUFFLE_SEED,
+    shard_size: int = SHARD_SIZE,
+    sort: bool = True,
+) -> ray.data.Dataset:
+    """Deterministic seeded GLOBAL shuffle of the corpus into fixed-size
+    training shards — the reproducible-ordering step every training
+    export runs (a true ``random_shuffle`` is neither reproducible
+    across cluster sizes nor oracle-checkable).
+
+    Shuffle order = the shared Knuth multiplicative hash of
+    ``doc_id + seed`` (ties impossible: doc_id breaks them); the global
+    rank comes from the distributed block-offset pattern (sorted blocks
+    report boundary metadata, the driver cumsums ≤blocks rows), so the
+    window never runs on one node; ``shard = rank // shard_size`` and
+    ``pos_in_shard = rank % shard_size`` are then block-local
+    arithmetic.  Changing ``seed`` re-deals every shard
+    deterministically.
+    """
+    from ..functions.blocks import block_offset_index
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id"]
+    )
+    hashed = ds.map_batches(
+        _shuffle_hash_batch, batch_format="pyarrow", fn_kwargs={"seed": seed}
+    )
+    ordered = checked_sort(hashed, ["hkey", "doc_id"]).materialize()
+    offset_by_key, _total = block_offset_index(
+        ordered, ["hkey", "doc_id"], lambda b: b.num_rows
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
+                    "pos_in_shard": pa.array([], pa.int64()),
+                }
+            )
+        first = (b.column("hkey")[0].as_py(), b.column("doc_id")[0].as_py())
+        off = offset_by_key[first]  # KeyError = block split drifted: fail loud
+        ranks = off + np.arange(b.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "shard": pa.array(ranks // shard_size),
+                "pos_in_shard": pa.array(ranks % shard_size),
+            }
+        )
+
+    out = ordered.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    from ..functions.debug import null_safe_sort
+
+    return null_safe_sort(out, "doc_id") if sort else out

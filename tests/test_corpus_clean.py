@@ -115,3 +115,26 @@ def test_token_pack_matches_serial_prefix_sum(ray_session):
     assert (out["pack_id"] == excl // 512).all()
     # and be non-decreasing in doc order
     assert (out["pack_id"].diff().fillna(0) >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# corpus_shuffle_shards: seeded deterministic global shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shards_seed_determinism_and_shape(ray_session):
+    from nifi_processors_ray.pipelines import corpus as C
+
+    a = C.corpus_shuffle_shards("/root/testdata/sf0.001").to_pandas()
+    b = C.corpus_shuffle_shards("/root/testdata/sf0.001").to_pandas()
+    assert a.equals(b)  # reproducible across runs
+    # every shard except the last is exactly full; positions dense
+    sizes = a.groupby("shard")["pos_in_shard"].agg(["count", "min", "max"])
+    full = sizes.iloc[:-1]
+    assert (full["count"] == C.SHARD_SIZE).all()
+    assert (sizes["min"] == 0).all()
+    assert (sizes["max"] == sizes["count"] - 1).all()
+    # a different seed re-deals the order
+    c = C.corpus_shuffle_shards("/root/testdata/sf0.001", seed=99).to_pandas()
+    merged = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
+    assert (merged["pos_in_shard_a"] != merged["pos_in_shard_c"]).any()
