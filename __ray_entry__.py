@@ -595,6 +595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _text.doc_chunks,
         # seeded deterministic global shuffle -> fixed-size training shards
         "corpus_shuffle_shards": _corpus.corpus_shuffle_shards,
+        # share-of-total within group over a 6-table chain (Q8)
+        "nation_market_share": _subq.nation_market_share,
         # benchmark decontamination (broadcast eval n-gram set, pure map)
         "decontaminate": _text.decontaminate,
         # ordered conversion funnel (the self-join-free chain evaluation)
@@ -956,6 +958,7 @@ FROM _ch
         "disjunctive_band_revenue": _subq.DISJUNCTIVE_BAND_REVENUE_SQL,
         "doc_chunks": _text.DOC_CHUNKS_SQL,
         "corpus_shuffle_shards": _corpus.SHUFFLE_SHARDS_SQL,
+        "nation_market_share": _subq.NATION_MARKET_SHARE_SQL,
         "decontaminate": _text.DECONTAMINATE_SQL,
         "events_funnel": _ev.FUNNEL_SQL,
         "customer_spend_deciles": _rel.SPEND_DECILES_SQL,

@@ -1201,3 +1201,426 @@ def disjunctive_band_revenue(sf_dir: str, *, use_bloom: bool = True) -> pa.Table
     return pa.table(
         {"n_items": pa.array([n], pa.int64()), "revenue_cents": pa.array([cents], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: nation market share within a region (share-of-total per group)
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_7"
+Q8_TYPE = "ECONOMY"
+
+NATION_MARKET_SHARE_SQL = f"""
+SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN ns.n_name = '{Q8_NATION}'
+                     THEN CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS target_cents,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+JOIN region r   ON nc.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q8_REGION}' AND p.p_type = '{Q8_TYPE}'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def _q8_orders_side(batch: pa.Table) -> pa.Table:
+    """Probe of the custkey exchange: every order with its calendar
+    year (Arrow ``pc.year`` — null-preserving; a null orderdate forms
+    the twin's NULL year group)."""
+    batch = batch.filter(
+        pc.and_(
+            pc.is_valid(batch.column("o_custkey")),
+            pc.is_valid(batch.column("o_orderkey")),
+        )
+    )
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("o_custkey").cast(pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "c_nat": pa.nulls(n, pa.int64()),
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "o_year": pc.year(batch.column("o_orderdate")).cast(pa.int64()),
+        }
+    )
+
+
+def _q8_hop1_block(block: pa.Table) -> pa.Table:
+    """Per custkey run: keep the in-region customers' orders
+    (semi-join; the region membership IS the build row)."""
+    empty = pa.table(
+        {"o_orderkey": pa.array([], pa.int64()), "o_year": pa.array([], pa.int64())}
+    )
+    if block.num_rows == 0:
+        return empty
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
+    keep = (side == 1) & (build_idx >= 0)
+    if not keep.any():
+        return empty
+    return pa.table(
+        {
+            "o_orderkey": block.column("o_orderkey").filter(pa.array(keep)),
+            "o_year": block.column("o_year").filter(pa.array(keep)),
+        }
+    )
+
+
+def _q8_part_side(batch: pa.Table) -> pa.Table:
+    keys = pc.unique(batch.column("p_partkey").cast(pa.int64()).combine_chunks())
+    keys = keys.filter(pc.is_valid(keys))
+    m = len(keys)
+    return pa.table(
+        {
+            "key": keys,
+            "side": pa.array(np.zeros(m, dtype=np.int8)),
+            "suppkey": pa.nulls(m, pa.int64()),
+            "orderkey": pa.nulls(m, pa.int64()),
+            "cents": pa.nulls(m, pa.int64()),
+        }
+    )
+
+
+def _q8_lineitem_side(batch: pa.Table, part_bloom=None, order_bloom=None) -> pa.Table:
+    """Lineitem probe of the partkey exchange — raw (suppkey, orderkey,
+    cents) rows, both blooms pruning the scan (FPs die at the exact
+    joins)."""
+    valid = (
+        np.asarray(pc.is_valid(batch.column("l_partkey").combine_chunks()))
+        & np.asarray(pc.is_valid(batch.column("l_suppkey").combine_chunks()))
+        & np.asarray(pc.is_valid(batch.column("l_orderkey").combine_chunks()))
+    )
+    if part_bloom is not None:
+        bloom = ray.get(part_bloom) if isinstance(part_bloom, ray.ObjectRef) else part_bloom
+        keys = np.asarray(
+            pc.fill_null(batch.column("l_partkey").cast(pa.int64()).combine_chunks(), 0)
+        )
+        valid &= bloom_member(keys, bloom)
+    if order_bloom is not None:
+        bloom = ray.get(order_bloom) if isinstance(order_bloom, ray.ObjectRef) else order_bloom
+        keys = np.asarray(
+            pc.fill_null(batch.column("l_orderkey").cast(pa.int64()).combine_chunks(), 0)
+        )
+        valid &= bloom_member(keys, bloom)
+    batch = batch.filter(pa.array(valid))
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("l_partkey").cast(pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "suppkey": batch.column("l_suppkey").cast(pa.int64()),
+            "orderkey": batch.column("l_orderkey").cast(pa.int64()),
+            "cents": discounted_floored_cents(
+                batch.column("l_extendedprice"), batch.column("l_discount")
+            ),
+        }
+    )
+
+
+def _q8_hop2_block(block: pa.Table) -> pa.Table:
+    """Per partkey run: semi-keep type-part lineitems, re-keyed to
+    suppkey for the next exchange."""
+    empty = pa.table(
+        {
+            "key": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int8()),
+            "is_target": pa.array([], pa.int8()),
+            "orderkey": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
+    keep = (side == 1) & (build_idx >= 0)
+    if not keep.any():
+        return empty
+    m = int(keep.sum())
+    return pa.table(
+        {
+            "key": block.column("suppkey").filter(pa.array(keep)),
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "is_target": pa.nulls(m, pa.int8()),
+            "orderkey": block.column("orderkey").filter(pa.array(keep)),
+            "cents": block.column("cents").filter(pa.array(keep)),
+        }
+    )
+
+
+def _q8_supp_side(batch: pa.Table, target_key: int) -> pa.Table:
+    batch = batch.filter(pc.is_valid(batch.column("s_suppkey")))
+    n = batch.num_rows
+    is_t = pc.cast(
+        pc.equal(batch.column("s_nationkey").cast(pa.int64()), np.int64(target_key)),
+        pa.int8(),
+    )
+    return pa.table(
+        {
+            "key": batch.column("s_suppkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "is_target": pc.fill_null(is_t, 0),
+            "orderkey": pa.nulls(n, pa.int64()),
+            "cents": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q8_hop3_block(block: pa.Table) -> pa.Table:
+    """Per suppkey run: tag lineitems with the supplier's target flag,
+    pre-combined per (orderkey, is_target)."""
+    empty = pa.table(
+        {
+            "key": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int8()),
+            "is_target": pa.array([], pa.int8()),
+            "o_year": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "n_valid": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
+    keep = (side == 1) & (build_idx >= 0)
+    if not keep.any():
+        return empty
+    is_t = np.asarray(pc.fill_null(block.column("is_target"), 0).combine_chunks())
+    cents_col = block.column("cents").combine_chunks()
+    cents_valid = np.asarray(pc.is_valid(cents_col))
+    cents = np.asarray(pc.fill_null(cents_col, 0))
+    t = pa.table(
+        {
+            "orderkey": block.column("orderkey").filter(pa.array(keep)),
+            "is_target": pa.array(is_t[np.maximum(build_idx, 0)][keep]),
+            "cents": pa.array(cents[keep]),
+            "n_valid": pa.array(cents_valid[keep].astype(np.int64)),
+        }
+    )
+    g = t.group_by(["orderkey", "is_target"]).aggregate(
+        [("cents", "sum"), ("n_valid", "sum")]
+    )
+    m = g.num_rows
+    return pa.table(
+        {
+            "key": g.column("orderkey"),
+            "side": pa.array(np.ones(m, dtype=np.int8)),
+            "is_target": g.column("is_target").cast(pa.int8()),
+            "o_year": pa.nulls(m, pa.int64()),
+            "cents": g.column("cents_sum"),
+            "n_valid": g.column("n_valid_sum"),
+        }
+    )
+
+
+def _q8_order_build_side(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch.column("o_orderkey"),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "is_target": pa.nulls(n, pa.int8()),
+            "o_year": batch.column("o_year"),
+            "cents": pa.nulls(n, pa.int64()),
+            "n_valid": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q8_hop4_block(block: pa.Table) -> pa.Table:
+    """Per orderkey run: attach the order's year to its lineitem
+    partials, reduced per (year, is_target).  ``n_valid`` counts
+    non-null cents addends so the finalizer can reproduce SQL
+    SUM-over-all-null = NULL per year group."""
+    empty = pa.table(
+        {
+            "o_year": pa.array([], pa.int64()),
+            "target_cents": pa.array([], pa.int64()),
+            "total_cents": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+            "n_valid": pa.array([], pa.int64()),
+            "n_target_addends": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
+    keep = (side == 1) & (build_idx >= 0)
+    if not keep.any():
+        return empty
+    bi = np.maximum(build_idx, 0)
+    is_t = np.asarray(pc.fill_null(block.column("is_target"), 0).combine_chunks())
+    cents = np.asarray(pc.fill_null(block.column("cents"), 0).combine_chunks())
+    nv = np.asarray(pc.fill_null(block.column("n_valid"), 0).combine_chunks())
+    t = pa.table(
+        {
+            # Arrow group_by keeps a NULL year as ONE group (the twin's
+            # NULL year group) — no sentinel, which would collide with
+            # the downstream shadow-key machinery's own sentinel
+            "o_year": block.column("o_year").take(pa.array(bi[keep].astype(np.int64))),
+            "is_target": pa.array(is_t[keep]),
+            "cents": pa.array(cents[keep]),
+            "n_rows": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            "n_valid": pa.array(nv[keep]),
+        }
+    )
+    g = t.group_by(["o_year", "is_target"]).aggregate(
+        [("cents", "sum"), ("n_rows", "sum"), ("n_valid", "sum")]
+    )
+    tgt = np.asarray(g.column("is_target"), dtype=np.int64)
+    c = np.asarray(pc.fill_null(g.column("cents_sum"), 0))
+    nrows = np.asarray(pc.fill_null(g.column("n_rows_sum"), 0))
+    nvalid = np.asarray(pc.fill_null(g.column("n_valid_sum"), 0))
+    # a target-sum addend is non-NULL iff the row is non-target (the
+    # CASE's ELSE 0) or its cents are valid
+    return pa.table(
+        {
+            "o_year": g.column("o_year"),
+            "target_cents": pa.array(np.where(tgt == 1, c, 0)),
+            "total_cents": pa.array(c),
+            "n_rows": pa.array(nrows),
+            "n_valid": pa.array(nvalid),
+            "n_target_addends": pa.array(np.where(tgt == 1, nvalid, nrows)),
+        }
+    )
+
+
+def nation_market_share(sf_dir: str, *, use_bloom: bool = True) -> ray.data.Dataset:
+    """One nation's share of a part type's revenue among one region's
+    customers, per order year — the TPC-H Q8 shape (share-of-total
+    within group over a 6-table chain).  FOUR exchanges: custkey
+    (region semi-filter tags orders with their year), partkey (type
+    semi-filter on the fact), suppkey (target-nation flag), orderkey
+    (year meets the flagged partials).  Output is the integer
+    (target_cents, total_cents) pair per year — the share is the
+    caller's division, which would not be IEEE-stable as a stored
+    float."""
+    from ray.data.aggregate import Sum
+
+    from .chains import _region_nation_keys
+
+    sf = sf_dir.rstrip("/")
+    nat_keys, names = _region_nation_keys(sf, Q8_REGION)
+    target_idx = pc.index_in(
+        pa.array([Q8_NATION]), value_set=names.column("n_name")
+    )[0].as_py()
+    # target nation key (the nation may be outside the region — then no
+    # row is ever target-flagged, matching the twin)
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"])
+    tmask = pc.equal(nation.column("n_name"), Q8_NATION)
+    tkeys = nation.filter(tmask).column("n_nationkey").cast(pa.int64())
+    target_key = tkeys[0].as_py() if len(tkeys) else -1
+
+    cust = read_parquet_clean(
+        f"{sf}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(nat_keys),
+    ).map_batches(_q7_cust_side, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(_q8_orders_side, batch_format="pyarrow")
+    # reuse the Q7 hop-1 kernel schema? no — years ride here, so Q8 has
+    # its own emit
+    u1 = cust.map_batches(
+        lambda b: pa.table(
+            {
+                "key": b.column("key"),
+                "side": b.column("side"),
+                "c_nat": b.column("c_nat"),
+                "o_orderkey": b.column("o_orderkey"),
+                "o_year": pa.nulls(b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tagged_orders = checked_sort(u1.union(orders), "key").map_batches(
+        _q8_hop1_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    order_bloom = build_key_bloom(tagged_orders, "o_orderkey") if use_bloom else None
+    parts = read_parquet_clean(
+        f"{sf}/part.parquet",
+        columns=["p_partkey", "p_type"],
+        filter=pc.field("p_type") == Q8_TYPE,
+    ).map_batches(_q8_part_side, batch_format="pyarrow").materialize()
+    part_bloom = build_key_bloom(parts, "key") if use_bloom else None
+
+    items = read_parquet_clean(
+        f"{sf}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        _q8_lineitem_side,
+        batch_format="pyarrow",
+        fn_kwargs={"part_bloom": part_bloom, "order_bloom": order_bloom},
+    )
+    typed = checked_sort(parts.union(items), "key").map_batches(
+        _q8_hop2_block, batch_format="pyarrow", batch_size=None
+    )
+
+    supp = read_parquet_clean(
+        f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(_q8_supp_side, batch_format="pyarrow", fn_kwargs={"target_key": target_key})
+    flagged = checked_sort(supp.union(typed), "key").map_batches(
+        _q8_hop3_block, batch_format="pyarrow", batch_size=None
+    )
+
+    build4 = tagged_orders.map_batches(_q8_order_build_side, batch_format="pyarrow")
+    partials = checked_sort(build4.union(flagged), "key").map_batches(
+        _q8_hop4_block, batch_format="pyarrow", batch_size=None
+    )
+    agg = null_safe_groupby_agg(
+        partials,
+        "o_year",
+        Sum("target_cents", alias_name="target_cents"),
+        Sum("total_cents", alias_name="total_cents"),
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("n_valid", alias_name="n_valid"),
+        Sum("n_target_addends", alias_name="n_target_addends"),
+        out_types={
+            "target_cents": pa.int64(),
+            "total_cents": pa.int64(),
+            "n_rows": pa.int64(),
+            "n_valid": pa.int64(),
+            "n_target_addends": pa.int64(),
+        },
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        year = b.column("o_year")
+        nv = np.asarray(pc.fill_null(b.column("n_valid"), 0).combine_chunks())
+        nta = np.asarray(
+            pc.fill_null(b.column("n_target_addends"), 0).combine_chunks()
+        )
+        total = np.asarray(pc.fill_null(b.column("total_cents"), 0).combine_chunks())
+        target = np.asarray(pc.fill_null(b.column("target_cents"), 0).combine_chunks())
+        # SQL SUM is NULL iff the year group has zero non-null addends
+        return pa.table(
+            {
+                "o_year": year,
+                "target_cents": pa.array(target, pa.int64(), mask=nta == 0),
+                "total_cents": pa.array(total, pa.int64(), mask=nv == 0),
+            }
+        )
+
+    out = null_safe_sort(
+        agg.map_batches(finalize, batch_format="pyarrow"), "o_year"
+    )
+    return compact_small_result(
+        out,
+        pa.schema(
+            [
+                ("o_year", pa.int64()),
+                ("target_cents", pa.int64()),
+                ("total_cents", pa.int64()),
+            ]
+        ),
+    )

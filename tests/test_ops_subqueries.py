@@ -141,6 +141,32 @@ def test_q19_empty_bands_yield_zero_and_null_sum(ray_session, monkeypatch):
     assert t.column("revenue_cents")[0].as_py() is None
 
 
+def test_q8_shape_and_bloom_invisible(ray_session):
+    a = subq.nation_market_share(SF, use_bloom=True).to_pandas()
+    b = subq.nation_market_share(SF, use_bloom=False).to_pandas()
+    assert list(a.columns) == ["o_year", "target_cents", "total_cents"]
+    assert len(a) > 0
+    assert (a["target_cents"] <= a["total_cents"]).all()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_q8_unknown_type_is_schema_stable(ray_session, monkeypatch):
+    monkeypatch.setattr(subq, "Q8_TYPE", "NO-SUCH-TYPE")
+    ds = subq.nation_market_share(SF)
+    assert ds.schema().names == ["o_year", "target_cents", "total_cents"]
+    assert ds.count() == 0
+
+
+def test_q8_out_of_region_nation_has_zero_share(ray_session, monkeypatch):
+    """A target nation OUTSIDE the region never supplies a flagged row
+    — target_cents must be identically zero, totals unchanged."""
+    base = subq.nation_market_share(SF).to_pandas()
+    monkeypatch.setattr(subq, "Q8_NATION", "NO-SUCH-NATION")
+    off = subq.nation_market_share(SF).to_pandas()
+    assert (off["target_cents"] == 0).all()
+    assert off["total_cents"].tolist() == base["total_cents"].tolist()
+
+
 # ---------------------------------------------------------------------------
 # Q21 kernel unit pin: the one-pass EXISTS + NOT-EXISTS logic
 # ---------------------------------------------------------------------------
@@ -194,6 +220,7 @@ def test_q21_kernel_merges_split_pair_partials():
 
 NULL_TARGETS = [
     "disjunctive_band_revenue",
+    "nation_market_share",
     "small_qty_part_revenue",
     "sole_returned_supplier",
     "idle_rich_customers",

@@ -291,7 +291,7 @@ REL_SKEW_TARGETS = [
     # anti-join and Q7 tagging hops
     "small_qty_part_revenue", "sole_returned_supplier",
     "idle_rich_customers", "nation_pair_volume", "promo_revenue_share",
-    "disjunctive_band_revenue",
+    "disjunctive_band_revenue", "nation_market_share",
 ]
 
 
