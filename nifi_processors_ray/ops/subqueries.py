@@ -1208,7 +1208,7 @@ def disjunctive_band_revenue(sf_dir: str, *, use_bloom: bool = True) -> pa.Table
 # ---------------------------------------------------------------------------
 
 Q8_REGION = "ASIA"
-Q8_NATION = "NATION_7"
+Q8_NATION = "NATION_8"
 Q8_TYPE = "ECONOMY"
 
 NATION_MARKET_SHARE_SQL = f"""
@@ -1355,8 +1355,20 @@ def _q8_hop2_block(block: pa.Table) -> pa.Table:
     )
 
 
-def _q8_supp_side(batch: pa.Table, target_key: int) -> pa.Table:
-    batch = batch.filter(pc.is_valid(batch.column("s_suppkey")))
+def _q8_supp_side(batch: pa.Table, target_key: int, nation_keys: list[int]) -> pa.Table:
+    """Build side of the suppkey exchange.  The twin INNER-joins nation
+    on s_nationkey, so a supplier with a NULL or dangling nationkey
+    contributes NOTHING (not even to the denominator) — filter against
+    the driver-read nation key set, don't just zero the flag."""
+    batch = batch.filter(
+        pc.and_(
+            pc.is_valid(batch.column("s_suppkey")),
+            pc.is_in(
+                batch.column("s_nationkey").cast(pa.int64()),
+                value_set=pa.array(nation_keys, pa.int64()),
+            ),
+        )
+    )
     n = batch.num_rows
     is_t = pc.cast(
         pc.equal(batch.column("s_nationkey").cast(pa.int64()), np.int64(target_key)),
@@ -1508,14 +1520,18 @@ def nation_market_share(sf_dir: str, *, use_bloom: bool = True) -> ray.data.Data
 
     sf = sf_dir.rstrip("/")
     nat_keys, names = _region_nation_keys(sf, Q8_REGION)
-    target_idx = pc.index_in(
-        pa.array([Q8_NATION]), value_set=names.column("n_name")
-    )[0].as_py()
-    # target nation key (the nation may be outside the region — then no
+    # ONE driver-side nation read serves the customer-region filter
+    # (via _region_nation_keys), the supplier nation-join domain, and
+    # the target key (the target may be outside the region — then no
     # row is ever target-flagged, matching the twin)
     import pyarrow.parquet as pq
 
     nation = pq.read_table(f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"])
+    all_nat_keys = [
+        k
+        for k in nation.column("n_nationkey").cast(pa.int64()).to_pylist()
+        if k is not None
+    ]
     tmask = pc.equal(nation.column("n_name"), Q8_NATION)
     tkeys = nation.filter(tmask).column("n_nationkey").cast(pa.int64())
     target_key = tkeys[0].as_py() if len(tkeys) else -1
@@ -1568,7 +1584,11 @@ def nation_market_share(sf_dir: str, *, use_bloom: bool = True) -> ray.data.Data
 
     supp = read_parquet_clean(
         f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).map_batches(_q8_supp_side, batch_format="pyarrow", fn_kwargs={"target_key": target_key})
+    ).map_batches(
+        _q8_supp_side,
+        batch_format="pyarrow",
+        fn_kwargs={"target_key": target_key, "nation_keys": all_nat_keys},
+    )
     flagged = checked_sort(supp.union(typed), "key").map_batches(
         _q8_hop3_block, batch_format="pyarrow", batch_size=None
     )

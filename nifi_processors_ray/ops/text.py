@@ -926,6 +926,13 @@ def _chunk_batch(batch: pa.Table, size: int, stride: int) -> pa.Table:
         sub = batch.filter(mask)
         if sub.num_rows == 0:
             break
+        if k > _CHUNK_SERIES_MAX:
+            # the twin's generate_series stops here; silent divergence
+            # on a ~1.5M-char doc is worse than a loud error
+            raise ValueError(
+                f"doc_chunks: document needs more than {_CHUNK_SERIES_MAX} "
+                "chunks — raise _CHUNK_SERIES_MAX (twin bound) in lockstep"
+            )
         chunk = pc.utf8_slice_codeunits(
             sub.column("text"), start=k * stride, stop=k * stride + size
         )

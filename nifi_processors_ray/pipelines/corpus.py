@@ -319,9 +319,13 @@ def _shuffle_hash_batch(batch: pa.Table, seed: int) -> pa.Table:
     import pyarrow.compute as pc
 
     batch = batch.filter(pc.is_valid(batch.column("doc_id")))
-    did = np.asarray(
-        batch.column("doc_id").cast(pa.int64()).combine_chunks()
-    ).astype(np.uint64)
+    signed = np.asarray(batch.column("doc_id").cast(pa.int64()).combine_chunks())
+    if len(signed) and signed.min() < 0:
+        # DuckDB's % keeps the dividend's sign while the uint64 view
+        # wraps — a negative id would silently desynchronize the deal
+        # from the twin (same guard as events._hash_ids)
+        raise ValueError("corpus_shuffle_shards requires non-negative doc_id")
+    did = signed.astype(np.uint64)
     h = ((did + np.uint64(seed)) % np.uint64(2**32) * np.uint64(2654435761)) % np.uint64(
         2**32
     )

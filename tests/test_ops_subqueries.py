@@ -261,6 +261,10 @@ def null_rel_sf(tmp_path_factory):
     )
     cust = pq.read_table(os.path.join(SF, "customer.parquet"))
     pq.write_table(inject(cust, ["c_acctbal"]), os.path.join(tmp, "customer.parquet"))
+    supp = pq.read_table(os.path.join(SF, "supplier.parquet"))
+    # s_nationkey nulls pin the INNER-nation-join semantics: a supplier
+    # with no nation row must not reach even the Q8 denominator
+    pq.write_table(inject(supp, ["s_nationkey"]), os.path.join(tmp, "supplier.parquet"))
     return tmp
 
 
