@@ -262,6 +262,48 @@ def _explode_bands(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
     )
 
 
+def _explode_band_buckets(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
+    """(doc_id, sig) → one (bucket, doc_id) row per band — WITHOUT the
+    512-byte signature payload.  The exact-verify pipeline's candidate
+    exchange only needs bucket cohabitation (the verify applies the real
+    threshold), so shipping signatures there was pure exchange weight
+    (~32× the bytes at 64 perms / 32 bands)."""
+    n = batch.num_rows
+    sig = np.asarray(batch.column("sig").combine_chunks().flatten()).reshape(n, -1).astype(np.uint64)
+    band_h = np.empty((n, bands), dtype=np.uint64)
+    for bi in range(bands):
+        chunk = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+        acc = np.full(n, np.uint64(bi + 1), dtype=np.uint64)
+        for r in range(chunk.shape[1]):
+            acc = acc * _MIX1 + chunk[:, r]
+        band_h[:, bi] = _mix(acc)
+    return pa.table(
+        {
+            "bucket": pa.array(band_h.reshape(-1).astype(np.int64)),
+            "doc_id": pa.array(np.repeat(np.asarray(batch.column("doc_id")), bands)),
+        }
+    )
+
+
+def _bucket_pairs_all(group: pa.Table) -> pa.Table:
+    """ALL C(m,2) pairs of a bucket run — no estimate filter (the exact
+    verify downstream applies the real threshold, so a pre-filter could
+    only LOSE true pairs, never gain precision)."""
+    n = group.num_rows
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    if n < 2:
+        return empty
+    ids = np.asarray(group.column("doc_id"))
+    ia, ib = np.triu_indices(n, k=1)
+    a, b = ids[ia], ids[ib]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table(
+        {"doc_a": pa.array(lo.astype(np.int64)), "doc_b": pa.array(hi.astype(np.int64))}
+    )
+
+
 def _pairs_blockwise(block: pa.Table, pair_fn, **kw) -> pa.Table:
     """Apply ``pair_fn`` to each bucket run inside a bucket-sorted block.
 
@@ -705,30 +747,43 @@ def jaccard_dup_pairs(
     materialize on the driver — at a 0.1% near-dup rate on a 100 TB
     corpus the old driver dict would have been ~100 GB in one object.
     """
-    # Candidate generation runs at a LOWERED estimate threshold (-4.5σ of
-    # the 64-perm estimator, σ = sqrt(t(1-t)/num_perms) ≈ 0.0625) so true
-    # pairs sitting just above `threshold` are not discarded by estimate
-    # noise before the exact verify can rule on them — only the exact
-    # Jaccard applies the real threshold.  Candidate-miss budget at
-    # j = threshold: banding (1-j²)^32 ≤ 1e-4 + estimate pre-filter
-    # Φ(-4.5) ≈ 3e-6 — both terms documented because the -3σ margin
-    # alone would dominate the banding bound (review finding).
+    # Candidates = ALL pairs cohabiting any LSH bucket — NO estimate
+    # pre-filter: the exact verify applies the real threshold, so a
+    # pre-filter could only LOSE true pairs (the old -4.5σ margin is
+    # gone with it).  Candidate-miss budget at j = threshold is pure
+    # banding: (1-j^r)^b = (1-j²)^32 ≤ 1e-4 at j = 0.5.  The exchange
+    # ships (bucket, doc_id) ONLY — the signature payload the estimator
+    # op needs is dead weight here (~32× the candidate-exchange bytes).
     # shingle_k flows through so the candidate S-curve is calibrated to
-    # the SAME similarity being verified.  bands defaults to 32 (×2 rows
-    # over 64 perms) — steeper than the estimator op's 16×4 (which
-    # misses ~35% at j=0.5), at the price of ~2× explode rows.
-    # max_bucket=None: an EXACT op may not cap degenerate buckets — the
-    # true pair set of a B-duplicate cluster IS C(B,2), so work/output
-    # are inherently quadratic in the largest cluster; run exact_dedup
-    # first on corpora with massive identical-text clusters.
-    cand_threshold = max(0.0, threshold - 0.28)
-    cands = minhash_dup_pairs(
-        docs,
-        threshold=cand_threshold,
-        shingle_k=k,
-        bands=bands,
-        max_bucket=None,
-        **minhash_kw,
+    # the SAME similarity being verified.  No bucket cap: an EXACT op
+    # may not cap degenerate buckets — the true pair set of a
+    # B-duplicate cluster IS C(B,2); run exact_dedup first on corpora
+    # with massive identical-text clusters.
+    num_perms = int(minhash_kw.pop("num_perms", 64))
+    rows = num_perms // bands
+    sigs = docs.map_batches(
+        minhash_signatures,
+        batch_format="pyarrow",
+        fn_kwargs={"num_perms": num_perms, "shingle_k": k},
+    )
+    exploded = sigs.map_batches(
+        _explode_band_buckets,
+        batch_format="pyarrow",
+        fn_kwargs={"bands": bands, "rows_per_band": rows},
+    )
+    raw_pairs = checked_sort(exploded, "bucket").map_batches(
+        _pairs_blockwise,
+        batch_format="pyarrow",
+        batch_size=None,
+        fn_kwargs={"pair_fn": _bucket_pairs_all},
+    )
+    from ..functions.blocks import compact_small_result as _csr
+
+    cands = _csr(
+        checked_sort(raw_pairs, ["doc_a", "doc_b"]).map_batches(
+            _first_per_pair, batch_format="pyarrow", batch_size=None
+        ),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
     )
     pair_tbl = pa.Table.from_pylist(
         cands.select_columns(["doc_a", "doc_b"]).take_all(),
