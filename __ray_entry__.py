@@ -299,6 +299,22 @@ def _q_approx_users(sf_dir: str):
     return pa.table({"approx_users": pa.array([approx_distinct(ds, "user_id")], pa.int64())})
 
 
+def _q_approx_users_by_type(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) per event_type — the grouped
+    HLL (register blobs merge per group through one group-key sort).
+    Hash-defined output: rows-only driver check; the error-bound oracle
+    lives in tests/test_sketches.py."""
+    import ray.data
+
+    from nifi_processors_ray.functions.sketches import grouped_approx_distinct
+    from nifi_processors_ray.sources.reader import read_parquet_exchange
+
+    ds = read_parquet_exchange(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return grouped_approx_distinct(ds, "event_type", "user_id")
+
+
 def _q_quantile_sketch(sf_dir: str):
     """Bottom-k-sample approximate value quantiles — the mergeable
     scale path next to the exact events_value_quantiles (histogram
@@ -610,6 +626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "all_actor_ids": _joins.all_actor_ids,
         "pricing_cube": _rel.pricing_cube,
         "events_approx_users": _q_approx_users,
+        # grouped HLL: approx distinct users per event type (sketch family)
+        "events_approx_users_by_type": _q_approx_users_by_type,
         # vector aggregation (embeddings table)
         "label_vector_sums": _vec.label_vector_sums,
         "label_centroids": _vec.label_centroid_rows,

@@ -81,6 +81,108 @@ def approx_distinct(ds, column: str, p: int = DEFAULT_P) -> int:
     return hll_estimate(hll_merge(partials))
 
 
+def grouped_approx_distinct(
+    ds, group_col: str, value_col: str, p: int = DEFAULT_P
+):
+    """Approximate COUNT(DISTINCT value) PER GROUP — the grouped form of
+    :func:`approx_distinct`.
+
+    Per batch: ONE 2-D scatter-max builds a register array per distinct
+    group (``group_code * m + idx``) — no per-group Python; the exchange
+    moves (group, 2^p-byte register blob) rows, bounded by
+    groups × blocks, never by row count.  Register blobs from different
+    batches merge by element-wise max in a per-run reduce after ONE
+    group-key sort.  Returns a Dataset of (group, approx) rows.
+
+    NULL group keys form one group (SQL GROUP BY); NULL values are
+    excluded (COUNT DISTINCT semantics).
+    """
+    import pyarrow.compute as pc
+
+    from .debug import checked_sort
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(group_col).combine_chunks()
+        vals = batch.column(value_col).combine_chunks()
+        keep = pc.is_valid(vals)
+        keys, vals = keys.filter(keep), vals.filter(keep)
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], batch.column(group_col).type),
+                    "regs": pa.array([], pa.binary()),
+                }
+            )
+        enc = keys.dictionary_encode()
+        codes = np.asarray(pc.fill_null(enc.indices, -1)).astype(np.int64)
+        n_groups = len(enc.dictionary) + 1  # slot 0 = the NULL group
+        codes += 1
+        h = _hash_column(vals)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rem = h & np.uint64((1 << (64 - p)) - 1)
+        with np.errstate(divide="ignore"):
+            msb = np.floor(np.log2(rem.astype(np.float64))).astype(np.int64)
+        rho = np.where(rem == 0, 64 - p + 1, (64 - p) - msb).astype(np.uint8)
+        regs = np.zeros(n_groups * m, dtype=np.uint8)
+        np.maximum.at(regs, codes * m + idx, rho)
+        present = np.unique(codes)
+        out_keys = []
+        blobs = []
+        for c in present:
+            out_keys.append(None if c == 0 else enc.dictionary[c - 1].as_py())
+            blobs.append(regs[c * m : (c + 1) * m].tobytes())
+        return pa.table(
+            {
+                group_col: pa.array(out_keys, batch.column(group_col).type),
+                "regs": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], block.column(group_col).type if block.num_columns else pa.string()),
+                    "approx": pa.array([], pa.int64()),
+                }
+            )
+        keys = block.column(group_col)
+        sort_keys = pc.fill_null(
+            keys.cast(pa.string()), "\x00__null__"
+        )  # one NULL run
+        order = pc.sort_indices(sort_keys)
+        block = block.take(order)
+        keys = block.column(group_col).combine_chunks()
+        sk = np.asarray(pc.fill_null(keys.cast(pa.string()), "\x00__null__"))
+        starts = np.nonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [block.num_rows]])
+        blobs = block.column("regs").to_pylist()
+        out_k, out_v = [], []
+        for s_, e_ in zip(starts, ends):
+            merged = np.maximum.reduce(
+                [np.frombuffer(b, dtype=np.uint8) for b in blobs[s_:e_]]
+            )
+            out_k.append(keys[int(s_)].as_py())
+            out_v.append(hll_estimate(merged))
+        return pa.table(
+            {
+                group_col: pa.array(out_k, keys.type),
+                "approx": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    from .debug import null_safe_sort
+
+    reduced = checked_sort(partials, group_col).map_batches(
+        reduce_block, batch_format="pyarrow", batch_size=None
+    )
+    return null_safe_sort(reduced, group_col)
+
+
 # ---------------------------------------------------------------------------
 # bottom-k quantile sketch: approximate quantiles at shuffle-free cost
 # ---------------------------------------------------------------------------

@@ -113,3 +113,26 @@ def test_mg_merge_matches_whole_stream_bound():
     d = dict(zip(keys.tolist(), est.tolist()))
     true0 = int((stream == 0).sum())
     assert 0 in d and true0 - len(stream) / 17 <= d[0] <= true0
+
+
+def test_grouped_hll_error_bound(ray_session):
+    """Per-group HLL estimate within 5% of the exact per-type distinct
+    user count (p=12 → σ ≈ 1.6%; 4σ headroom)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    df = entry.queries()["events_approx_users_by_type"](sf).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    exact = dict(
+        con.sql(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    con.close()
+    assert len(df) == len(exact)
+    for _, row in df.iterrows():
+        e = exact[row["event_type"]]
+        assert abs(row["approx"] - e) <= max(0.05 * e, 2), (row["event_type"], row["approx"], e)
