@@ -483,6 +483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_source_rollup": _text.corpus_source_rollup,
         # deduplication
         "exact_dedup": _dedup.exact_dedup,
+        # incremental exact dedup: new batch vs persistent corpus index
+        "dedup_incremental": _dedup.dedup_incremental,
         "minhash_dup_pairs": lambda sf: _dedup.minhash_dup_pairs(
             _dedup.augmented_documents(sf)
         ),
@@ -914,6 +916,7 @@ FROM _ch
         "token_counts_csv": _text.TOKEN_COUNTS_SQL,
         "lang_id": _text.LANG_ID_SQL,
         "exact_dedup": _dedup.EXACT_DEDUP_SQL,
+        "dedup_incremental": _dedup.DEDUP_INCREMENTAL_SQL,
         "knn_brute": _sim.KNN_BRUTE_SQL_TEMPLATE.format(n_queries=8, k=10),
         "knn_range": _sim.KNN_RANGE_SQL_TEMPLATE.format(
             n_queries=8, tau=_sim.KNN_RANGE_TAU

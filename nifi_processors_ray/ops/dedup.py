@@ -23,6 +23,8 @@ Scale notes (documented assumption per custom-operator rule):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -982,3 +984,226 @@ def embedding_dup_pairs(
         fn_kwargs={"pair_fn": _bucket_pairs_cosine, "threshold": threshold},
     )
     return _dedup_pairs(pairs, "cosine")
+
+
+# ---------------------------------------------------------------------------
+# incremental exact dedup: a NEW batch probed against a persistent
+# hash-bucketed corpus index (the daily-increment workflow)
+# ---------------------------------------------------------------------------
+
+_INCR_DUP_OFFSET = 20_000_000
+_INCR_FRESH_OFFSET = 30_000_000
+_INCR_INDEX_BUCKETS = 256
+
+# The "new batch" is derived deterministically from the corpus itself so
+# the twin can reproduce it: every 7th doc re-submitted verbatim (an
+# exact dup) and every 11th with a unique suffix (fresh content).
+DEDUP_INCREMENTAL_SQL = f"""
+WITH newdocs AS (
+  SELECT doc_id + {_INCR_DUP_OFFSET} AS new_id, text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + {_INCR_FRESH_OFFSET} AS new_id,
+         text || ' fresh ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT n.new_id, CAST(MIN(d.doc_id) AS BIGINT) AS dup_of
+FROM newdocs n LEFT JOIN documents d ON d.text = n.text
+GROUP BY n.new_id
+ORDER BY n.new_id
+"""
+
+
+def _index_row_partial(batch: pa.Table) -> pa.Table:
+    """Base-corpus index rows: (doc_id, text, __h) — the text travels so
+    the probe's equality check is EXACT (a hash can never merge
+    distinct documents)."""
+    batch = batch.filter(pc.is_valid(batch.column("doc_id")))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "text": batch.column("text"),
+            "__h": pa.array(
+                hash_strings_u64(batch.column("text")).astype(np.int64)
+            ),
+        }
+    )
+
+
+def build_dedup_index(docs: ray.data.Dataset, index_dir: str, *,
+                      num_buckets: int = _INCR_INDEX_BUCKETS) -> dict:
+    """ONE corpus pass → (doc_id, text, hash) rows hash-bucketed by the
+    text hash under ``index_dir`` (the resumable partitioned sink, so a
+    second call over a finished index is a no-op)."""
+    from ..sinks import write_partitioned_parquet
+
+    ds = docs.map_batches(_index_row_partial, batch_format="pyarrow")
+    return write_partitioned_parquet(
+        ds, index_dir, key="__h", num_partitions=num_buckets, assign="hash"
+    )
+
+
+def _derive_new_docs(batch: pa.Table) -> pa.Table:
+    """The deterministic new batch (dup resubmissions + fresh docs) —
+    mirrors the twin's newdocs CTE byte for byte."""
+    batch = batch.filter(pc.is_valid(batch.column("doc_id")))
+    ids = batch.column("doc_id").cast(pa.int64())
+    idv = np.asarray(ids)
+    dup = batch.filter(pa.array(idv % 7 == 0))
+    fresh = batch.filter(pa.array(idv % 11 == 0))
+    fresh_text = pc.binary_join_element_wise(
+        fresh.column("text").cast(pa.string()),
+        pc.cast(fresh.column("doc_id").cast(pa.int64()), pa.string()),
+        " fresh ",
+    )
+    return pa.table(
+        {
+            "new_id": pa.concat_arrays(
+                [
+                    pc.add(dup.column("doc_id").cast(pa.int64()), _INCR_DUP_OFFSET).combine_chunks(),
+                    pc.add(fresh.column("doc_id").cast(pa.int64()), _INCR_FRESH_OFFSET).combine_chunks(),
+                ]
+            ),
+            "text": pa.concat_arrays(
+                [dup.column("text").combine_chunks(), fresh_text.combine_chunks()]
+            ),
+        }
+    )
+
+
+def _probe_buckets(new_hashes: np.ndarray, num_buckets: int) -> list[int]:
+    """The buckets the new batch's hashes land in — asked of the sink's
+    own assign rule (never re-derive a placement formula)."""
+    from ..sinks import _PART_COL, _assign_partition
+
+    t = _assign_partition(
+        pa.table({"__h": pa.array(np.unique(new_hashes).astype(np.int64))}),
+        "__h",
+        num_buckets,
+        "hash",
+    )
+    return sorted(set(t.column(_PART_COL).to_pylist()))
+
+
+def _incr_match_block(block: pa.Table) -> pa.Table:
+    """Block-local exact match: equal texts share a hash, and the hash
+    sort co-located them — so a block-wide dictionary encode of the
+    text column resolves every probe row against the min base doc_id of
+    its text.  NULL text never matches (SQL equality)."""
+    empty = pa.table(
+        {"new_id": pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())}
+    )
+    if block.num_rows == 0:
+        return empty
+    side = np.asarray(block.column("side"))
+    is_new = side == 1
+    if not is_new.any():
+        return empty
+    enc = block.column("text").combine_chunks().dictionary_encode()
+    codes = np.asarray(pc.fill_null(enc.indices, -1)).astype(np.int64)
+    n_codes = len(enc.dictionary)
+    text_valid = codes >= 0
+    base_ids = np.asarray(pc.fill_null(block.column("base_id"), 0).combine_chunks())
+    min_base = np.full(n_codes + 1, np.iinfo(np.int64).max, dtype=np.int64)
+    base_mask = (~is_new) & text_valid
+    np.minimum.at(min_base, codes[base_mask], base_ids[base_mask])
+    new_codes = codes[is_new]
+    hit = text_valid[is_new] & (min_base[np.maximum(new_codes, 0)] < np.iinfo(np.int64).max)
+    dup = np.where(hit, min_base[np.maximum(new_codes, 0)], 0)
+    new_ids = np.asarray(pc.fill_null(block.column("new_id"), 0).combine_chunks())[is_new]
+    return pa.table(
+        {
+            "new_id": pa.array(new_ids.astype(np.int64)),
+            "dup_of": pa.array(dup.astype(np.int64), mask=~hit),
+        }
+    )
+
+
+def dedup_incremental(sf_dir: str, *, index_dir: str | None = None,
+                      num_buckets: int = _INCR_INDEX_BUCKETS,
+                      sort: bool = True) -> ray.data.Dataset:
+    """Exact dedup of a NEW document batch against the EXISTING corpus
+    via a persistent hash-bucketed index — the incremental workflow: at
+    100 TB you index the corpus ONCE and each increment reads only the
+    ≤|new-batch-hashes| buckets its texts can live in, never the corpus.
+
+    Build: one corpus pass through the resumable partitioned sink
+    (idempotent re-call).  Probe: the new batch's text hashes pick the
+    bucket files (the sink's own assign rule), the pruned read carries
+    a pushed ``__h IN`` filter, and ONE sort exchange on the hash
+    co-locates each text with its base candidates; matching is a
+    block-wide dictionary encode (exact text equality — the hash only
+    routes).  Returns (new_id, dup_of = min base doc_id | NULL).
+    """
+    import tempfile
+
+    from ..functions.filecache import source_tag
+
+    sf = sf_dir.rstrip("/")
+    src = f"{sf}/documents.parquet"
+    if index_dir is None:
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"npr_dedupidx_{source_tag(src)}_{num_buckets}"
+        )
+    docs = read_parquet_clean(src, columns=["doc_id", "text"])
+    build_dedup_index(docs, index_dir, num_buckets=num_buckets)
+
+    new_docs = docs.map_batches(_derive_new_docs, batch_format="pyarrow").materialize()
+    new_hashes = np.concatenate(
+        [
+            hash_strings_u64(b.column("text")).astype(np.int64)
+            for b in new_docs.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        or [np.array([], np.int64)]
+    )
+    buckets = _probe_buckets(new_hashes, num_buckets)
+    paths = []
+    for b in buckets:
+        d = os.path.join(index_dir, f"part={b:05d}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            )
+
+    def new_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "__h": pa.array(hash_strings_u64(b.column("text")).astype(np.int64)),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "base_id": pa.nulls(n, pa.int64()),
+                "new_id": b.column("new_id"),
+                "text": b.column("text").cast(pa.string()),
+            }
+        )
+
+    probe = new_docs.map_batches(new_side, batch_format="pyarrow")
+    if paths:
+        want = pa.array(np.unique(new_hashes).astype(np.int64))
+        base = ray.data.read_parquet(paths, filter=pc.field("__h").isin(want))
+
+        def base_side(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    "__h": b.column("__h"),
+                    "side": pa.array(np.zeros(n, dtype=np.int8)),
+                    "base_id": b.column("doc_id"),
+                    "new_id": pa.nulls(n, pa.int64()),
+                    "text": b.column("text").cast(pa.string()),
+                }
+            )
+
+        both = probe.union(base.map_batches(base_side, batch_format="pyarrow"))
+    else:
+        both = probe
+    out = checked_sort(both, "__h").map_batches(
+        _incr_match_block, batch_format="pyarrow", batch_size=None
+    )
+    from ..functions.blocks import compact_small_result
+    from ..functions.debug import null_safe_sort
+
+    out = compact_small_result(
+        out, pa.schema([("new_id", pa.int64()), ("dup_of", pa.int64())])
+    )
+    return null_safe_sort(out, "new_id") if sort else out

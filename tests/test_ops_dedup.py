@@ -205,3 +205,58 @@ def test_jaccard_distributed_verify_multipair_and_null_text():
     for (a, b), j in jac.items():
         texts = {0: base, 1: near1, 2: near2, 3: "", 4: ""}
         assert j == D.exact_jaccard(texts[a], texts[b])
+
+
+# ---------------------------------------------------------------------------
+# incremental exact dedup against the persistent hash-bucketed index
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_incremental_prunes_bucket_reads(ray_session, tmp_path):
+    """The probe must read only the new batch's hash buckets — the whole
+    point of the persistent index at 100 TB."""
+    import numpy as np
+
+    from nifi_processors_ray.functions.hashing import hash_strings_u64
+    from nifi_processors_ray.ops import dedup as D
+    from nifi_processors_ray.sources.reader import read_parquet_fanout
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx")
+    out = D.dedup_incremental(sf, index_dir=idx).to_pandas()
+    assert len(out) > 0
+    # dup resubmissions matched, fresh docs did not
+    assert out[out.new_id >= D._INCR_FRESH_OFFSET]["dup_of"].isna().all()
+    assert out[out.new_id < D._INCR_FRESH_OFFSET]["dup_of"].notna().all()
+
+    docs = read_parquet_fanout(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    new_docs = docs.map_batches(D._derive_new_docs, batch_format="pyarrow")
+    hashes = np.concatenate(
+        [
+            hash_strings_u64(b.column("text")).astype(np.int64)
+            for b in new_docs.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+    )
+    buckets = D._probe_buckets(hashes, D._INCR_INDEX_BUCKETS)
+    assert len(buckets) < 0.6 * D._INCR_INDEX_BUCKETS, (
+        f"probe touches {len(buckets)}/{D._INCR_INDEX_BUCKETS} buckets — no pruning"
+    )
+
+
+def test_dedup_incremental_index_rebuild_is_noop(ray_session, tmp_path):
+    import os
+
+    from nifi_processors_ray.ops import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx2")
+    a = D.dedup_incremental(sf, index_dir=idx).to_pandas()
+    mtimes = {}
+    for root, _, files in os.walk(idx):
+        for f in files:
+            p = os.path.join(root, f)
+            mtimes[p] = os.stat(p).st_mtime_ns
+    b = D.dedup_incremental(sf, index_dir=idx).to_pandas()
+    assert a.equals(b)
+    for p, t in mtimes.items():
+        assert os.stat(p).st_mtime_ns == t, f"index file rewritten on resume: {p}"
