@@ -48,6 +48,9 @@ ORDER BY priority
 
 
 def _orders_side(batch: pa.Table) -> pa.Table:
+    # null join keys never match (INNER semantics) and would degrade
+    # the kernel's numpy key view to float64+NaN — drop them here
+    batch = batch.filter(pc.is_valid(batch.column("o_orderkey")))
     n = batch.num_rows
     return pa.table(
         {
@@ -65,6 +68,7 @@ def _lineitem_side(batch: pa.Table) -> pa.Table:
     combiner-before-shuffle-join pattern): a TPC-H order has ~4 lineitems
     that usually share a batch, so the sort exchange moves ~4× fewer
     probe rows, each carrying its local (count, cents-sum) partial."""
+    batch = batch.filter(pc.is_valid(batch.column("l_orderkey")))
     t = pa.table(
         {
             "key": batch.column("l_orderkey").cast(pa.int64()),
@@ -124,22 +128,27 @@ def _join_block_partials(block: pa.Table) -> pa.Table:
     if not probe.any():
         return empty
     pr_codes_all = block.column("priority").combine_chunks().dictionary_encode()
-    pr_idx = np.asarray(pr_codes_all.indices.fill_null(-1))
+    # +1 shift: slot 0 is the NULL-priority group (SQL GROUP BY keeps
+    # it; an unshifted -1 code would crash np.bincount)
+    pr_idx = np.asarray(pr_codes_all.indices.fill_null(-1)) + 1
     matched_pr = pr_idx[build_idx[probe]]
     cents = np.asarray(pc.fill_null(block.column("cents"), 0).combine_chunks())[probe]
     # probe rows are per-batch PARTIALS: `n` lineitems folded per row
     n_rows = np.asarray(pc.fill_null(block.column("n"), 0).combine_chunks())[probe]
-    # partial agg by priority code
-    n_codes = len(pr_codes_all.dictionary)
+    # partial agg by (shifted) priority code
+    n_codes = len(pr_codes_all.dictionary) + 1
     cnt = np.bincount(matched_pr, weights=n_rows.astype(np.float64), minlength=n_codes)
     csum = np.bincount(matched_pr, weights=cents.astype(np.float64), minlength=n_codes)
     nz = cnt > 0
     # float64 bincount weights are exact for |sum| < 2^53 per (block,
     # priority) partial — block sums are bounded by block size × max
     # cents, far under 2^53; the global sum happens in int64 downstream.
+    labels = pa.concat_arrays(
+        [pa.array([None], pa.string()), pr_codes_all.dictionary.cast(pa.string())]
+    )
     return pa.table(
         {
-            "priority": pr_codes_all.dictionary.take(pa.array(np.nonzero(nz)[0], pa.int32())),
+            "priority": labels.take(pa.array(np.nonzero(nz)[0], pa.int32())),
             "n_items": pa.array(cnt[nz].astype(np.int64)),
             "revenue_cents": pa.array(csum[nz].astype(np.int64)),
         }
@@ -220,7 +229,15 @@ def _rank_block(block: pa.Table, n_top: int) -> pa.Table:
     block = block.sort_by(
         [("o_custkey", "ascending"), ("price_cents", "descending"), ("o_orderkey", "ascending")]
     )
-    cust = np.asarray(block.column("o_custkey"))
+    # fill BEFORE the numpy view: a null custkey surfaces as NaN where
+    # NaN != NaN makes every null row its own partition — SQL's
+    # PARTITION BY keeps ONE null partition (sort_by groups the nulls
+    # contiguously, so one filled value = one run)
+    cust = np.asarray(
+        pc.fill_null(
+            block.column("o_custkey").combine_chunks(), np.iinfo(np.int64).min
+        )
+    )
     new_run = np.concatenate([[True], cust[1:] != cust[:-1]])
     starts = np.nonzero(new_run)[0]
     run_len = np.diff(np.concatenate([starts, [n]]))

@@ -176,3 +176,74 @@ def test_null_safe_groupby_rejects_unmapped_key_type(ray_session):
     ds = ray.data.from_arrow(pa.table({"k": pa.array([True, False, None])}))
     with pytest.raises(Exception, match="unsupported key type"):
         D.null_safe_groupby_agg(ds, "k", Count(alias_name="n")).take_all()
+
+
+# ---------------------------------------------------------------------------
+# joins-family null injection: customer/order keys, names, priorities
+# (caught live: a null o_orderpriority crashed the join kernel's
+# bincount; a null o_custkey shredded the top-N partition into
+# per-row groups)
+# ---------------------------------------------------------------------------
+
+JOIN_NULL_TARGETS = [
+    "customers_without_orders", "customers_with_urgent_orders",
+    "top_orders_per_cust", "brand_revenue", "order_priority_revenue",
+    "quantity_band_counts", "shipping_priority",
+]
+
+
+@pytest.fixture(scope="module")
+def null_join_sf(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("nulljoin"))
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SRC, f), tmp)
+    rng = np.random.default_rng(11)
+
+    def inject(t, cols):
+        import pyarrow.compute as pc
+
+        for col in cols:
+            i = t.schema.get_field_index(col)
+            arr = t.column(col).combine_chunks()
+            mask = pa.array(rng.random(t.num_rows) < 0.05)
+            t = t.set_column(
+                i, col, pc.if_else(mask, pa.nulls(t.num_rows, arr.type), arr)
+            )
+        return t
+
+    cust = pq.read_table(os.path.join(SRC, "customer.parquet"))
+    pq.write_table(
+        inject(cust, ["c_custkey", "c_name", "c_mktsegment"]),
+        os.path.join(tmp, "customer.parquet"),
+    )
+    orders = pq.read_table(os.path.join(SRC, "orders.parquet"))
+    pq.write_table(
+        inject(orders, ["o_custkey", "o_orderkey", "o_orderpriority", "o_totalprice"]),
+        os.path.join(tmp, "orders.parquet"),
+    )
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def null_join_con(null_join_sf):
+    con = duckdb.connect()
+    for v in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{null_join_sf}/{v}.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", JOIN_NULL_TARGETS)
+def test_join_family_null_injected_parity(ray_session, null_join_sf, null_join_con, name):
+    res = entry.queries()[name](null_join_sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    ot = null_join_con.sql(entry.oracle_sql()[name]).df()
+    if len(df) == 0 and len(ot) == 0:
+        return
+    df = df.sort_index(axis=1)
+    ot = ot.sort_index(axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
+    assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
