@@ -247,3 +247,72 @@ def test_join_family_null_injected_parity(ray_session, null_join_sf, null_join_c
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
     ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
     assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
+
+
+# ---------------------------------------------------------------------------
+# part/supplier-dimension null injection (keys, labels, measures)
+# ---------------------------------------------------------------------------
+
+PART_NULL_TARGETS = [
+    "part_price_rank", "brand_revenue", "small_qty_part_revenue",
+    "promo_revenue_share", "disjunctive_band_revenue",
+    "nation_market_share", "supplier_nation_rollup",
+    "sole_returned_supplier", "ship_delay_profile",
+]
+
+
+@pytest.fixture(scope="module")
+def null_part_sf(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("nullpart"))
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SRC, f), tmp)
+    rng = np.random.default_rng(5)
+
+    def inject(t, cols):
+        import pyarrow.compute as pc
+
+        for col in cols:
+            i = t.schema.get_field_index(col)
+            arr = t.column(col).combine_chunks()
+            mask = pa.array(rng.random(t.num_rows) < 0.08)
+            t = t.set_column(
+                i, col, pc.if_else(mask, pa.nulls(t.num_rows, arr.type), arr)
+            )
+        return t
+
+    part = pq.read_table(os.path.join(SRC, "part.parquet"))
+    pq.write_table(
+        inject(part, ["p_partkey", "p_brand", "p_type", "p_size", "p_retailprice", "p_name"]),
+        os.path.join(tmp, "part.parquet"),
+    )
+    supp = pq.read_table(os.path.join(SRC, "supplier.parquet"))
+    pq.write_table(
+        inject(supp, ["s_suppkey", "s_name", "s_acctbal"]),
+        os.path.join(tmp, "supplier.parquet"),
+    )
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def null_part_con(null_part_sf):
+    con = duckdb.connect()
+    for v in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{null_part_sf}/{v}.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", PART_NULL_TARGETS)
+def test_part_dim_null_injected_parity(ray_session, null_part_sf, null_part_con, name):
+    res = entry.queries()[name](null_part_sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    ot = null_part_con.sql(entry.oracle_sql()[name]).df()
+    if len(df) == 0 and len(ot) == 0:
+        return
+    df = df.sort_index(axis=1)
+    ot = ot.sort_index(axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
+    assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
