@@ -71,7 +71,12 @@ def text_stats_batch(batch: pa.Table) -> pa.Table:
     ``coalesce(text, '')``) — without the fill, the null count_substring
     result turns into an undefined NaN→int64 cast."""
     text = pc.fill_null(batch.column("text"), "")
-    n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+    # n_chars comes from the TABLE (not recomputed): a null must stay
+    # null through to n_chars AND avg_token_len, like the twin — the
+    # raw to_numpy would surface it as NaN and NaN→int64 is undefined
+    nc_col = batch.column("n_chars").cast(pa.int64()).combine_chunks()
+    nc_null = np.asarray(pc.is_null(nc_col))
+    n_chars = np.asarray(pc.fill_null(nc_col, 0))
     n_tokens = (pc.count_substring(text, " ").to_numpy(zero_copy_only=False) + 1).astype(np.int64)
 
     values, offsets = _token_lists(text)
@@ -86,11 +91,11 @@ def text_stats_batch(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "n_chars": pa.array(n_chars),
+            "n_chars": pa.array(n_chars, mask=nc_null),
             "n_tokens": pa.array(n_tokens),
             "stop_count": pa.array(stop_count),
             "stopword_ratio": pa.array(stopword_ratio),
-            "avg_token_len": pa.array(avg_token_len),
+            "avg_token_len": pa.array(avg_token_len, mask=nc_null),
             "quality_score": pa.array(quality_score),
         }
     )

@@ -316,3 +316,69 @@ def test_part_dim_null_injected_parity(ray_session, null_part_sf, null_part_con,
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
     ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
     assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
+
+
+# ---------------------------------------------------------------------------
+# documents-table null injection over the text/dedup family (caught
+# live: a null table n_chars went through an undefined NaN->int64 cast
+# in text_stats instead of staying NULL like the twin)
+# ---------------------------------------------------------------------------
+
+DOCS_NULL_TARGETS = [
+    "doc_chunks", "corpus_shuffle_shards", "doc_top_terms", "top_ngrams",
+    "doc_repetition", "corpus_source_rollup", "text_stats", "lang_id",
+    "token_counts", "text_redact", "dedup_incremental", "exact_dedup",
+    "decontaminate",
+]
+
+
+@pytest.fixture(scope="module")
+def null_docs_sf(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("nulldocs"))
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SRC, f), tmp)
+    rng = np.random.default_rng(9)
+
+    def inject(t, cols, rate=0.06):
+        import pyarrow.compute as pc
+
+        for col in cols:
+            i = t.schema.get_field_index(col)
+            arr = t.column(col).combine_chunks()
+            mask = pa.array(rng.random(t.num_rows) < rate)
+            t = t.set_column(
+                i, col, pc.if_else(mask, pa.nulls(t.num_rows, arr.type), arr)
+            )
+        return t
+
+    docs = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    pq.write_table(
+        inject(docs, ["text", "lang", "source", "n_chars"]),
+        os.path.join(tmp, "documents.parquet"),
+    )
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def null_docs_con(null_docs_sf):
+    con = duckdb.connect()
+    for v in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{null_docs_sf}/{v}.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DOCS_NULL_TARGETS)
+def test_docs_family_null_injected_parity(ray_session, null_docs_sf, null_docs_con, name):
+    res = entry.queries()[name](null_docs_sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    ot = null_docs_con.sql(entry.oracle_sql()[name]).df()
+    if len(df) == 0 and len(ot) == 0:
+        return
+    df = df.sort_index(axis=1)
+    ot = ot.sort_index(axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
+    assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
