@@ -121,10 +121,15 @@ def _truncdiv(ts_us: np.ndarray, div: int) -> np.ndarray:
 
 
 def _add_window_and_cents(batch: pa.Table) -> pa.Table:
-    ts_us = np.asarray(batch.column("ts").cast(pa.int64()))
+    # a null ts is the twin's NULL window_hour GROUP (GROUP BY keeps
+    # it) — compute on a filled copy and restore the mask; the raw
+    # numpy view would go NaN and junk-split the group
+    ts_col = batch.column("ts").cast(pa.int64()).combine_chunks()
+    ts_null = np.asarray(pc.is_null(ts_col))
+    ts_us = np.asarray(pc.fill_null(ts_col, 0))
     return pa.table(
         {
-            "window_hour": pa.array(_truncdiv(ts_us, _US_PER_HOUR)),
+            "window_hour": pa.array(_truncdiv(ts_us, _US_PER_HOUR), mask=ts_null),
             "event_type": batch.column("event_type"),
             "value_cents": _cents(batch.column("value")),
             "user_id": batch.column("user_id"),
@@ -176,7 +181,10 @@ def _window_finalize(block: pa.Table) -> pa.Table:
     )
     if n == 0:
         return empty
-    wh = np.asarray(block.column("window_hour"))
+    # null window_hour (null ts) is ONE group — fill for run detection
+    # only; the emitted column below takes from the original (null kept)
+    wh_col = block.column("window_hour").combine_chunks()
+    wh = np.asarray(pc.fill_null(wh_col, np.iinfo(np.int64).min))
     # null event_type → code -1 (ONE run), not NaN (every null its own run)
     et = np.asarray(
         pc.fill_null(block.column("event_type").combine_chunks().dictionary_encode().indices, -1)
@@ -223,7 +231,7 @@ def _window_finalize(block: pa.Table) -> pa.Table:
 
     return pa.table(
         {
-            "window_hour": pa.array(wh[starts]),
+            "window_hour": wh_col.take(pa.array(starts.astype(np.int64))),
             "event_type": block.column("event_type").take(pa.array(starts)),
             "n_events": pa.array(n_events),
             "value_cents": value_cents,
@@ -330,7 +338,9 @@ def _sessionize_block(block: pa.Table) -> pa.Table:
     # null users form ONE partition, like SQL's PARTITION BY (a raw numpy
     # view would surface nulls as NaN where NaN != NaN splits every row)
     uid = np.asarray(pc.fill_null(uid_col.dictionary_encode().indices, -1))
-    ts = np.asarray(b.column("ts").cast(pa.int64()))
+    ts_col = b.column("ts").cast(pa.int64()).combine_chunks()
+    ts_null = np.asarray(pc.is_null(ts_col))
+    ts = np.asarray(pc.fill_null(ts_col, 0))
     n = len(uid)
     if n == 0:
         return pa.table(
@@ -341,7 +351,12 @@ def _sessionize_block(block: pa.Table) -> pa.Table:
             }
         )
     new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
-    gap = np.concatenate([[True], (ts[1:] - ts[:-1]) > _SESSION_GAP_US])
+    # twin semantics, null-calibrated: a NULL-NULL or x-NULL step's gap
+    # is NULL (no new session), but `lag(ts) IS NULL` fires when the
+    # PREVIOUS row's ts is null (nulls sort last, so every null-tail row
+    # after the first starts a session in the twin)
+    real_gap = (~ts_null[1:]) & (~ts_null[:-1]) & ((ts[1:] - ts[:-1]) > _SESSION_GAP_US)
+    gap = np.concatenate([[True], real_gap | ts_null[:-1]])
     new_session = (new_user | gap).astype(np.int64)
     # per-user reduction via boundary offsets
     starts = np.nonzero(new_user)[0]
@@ -404,6 +419,9 @@ def sample_events(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
 
     def pick(b: pa.Table) -> pa.Table:
+        # a null event_id fails the twin's WHERE (NULL hash < 10 is
+        # NULL) — drop before the numpy view, which would go NaN
+        b = b.filter(pc.is_valid(b.column("event_id")))
         eid = _hash_ids(b.column("event_id"))
         keep = (eid * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(100) < 10
         return b.filter(pa.array(keep))
@@ -418,6 +436,10 @@ def _hash_ids(col) -> np.ndarray:
     ``%`` keeps the dividend's sign, silently desynchronizing the
     sampled row sets (unreachable with the generated corpora, guarded
     for foreign data)."""
+    if hasattr(col, "null_count") and col.null_count:
+        # callers must drop nulls FIRST (SQL: a NULL hash predicate
+        # excludes the row); the numpy view would silently go NaN
+        raise ValueError("hash sampling requires non-null event_id")
     signed = np.asarray(col)
     if len(signed) and signed.min() < 0:
         raise ValueError("hash sampling requires non-negative event_id")
@@ -649,6 +671,8 @@ def stratified_sample(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
 
     def pick(b: pa.Table) -> pa.Table:
+        # null event_id: the twin's hash predicate is NULL → excluded
+        b = b.filter(pc.is_valid(b.column("event_id")))
         eid = _hash_ids(b.column("event_id"))
         bucket = (eid * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(100)
         t_idx = np.asarray(
@@ -1180,6 +1204,10 @@ def hourly_dense(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
 
     def partials(b: pa.Table) -> pa.Table:
+        # the twin's spine LEFT JOIN never matches h's NULL-hour row
+        # (null ts), so null-ts events are invisible in the output —
+        # drop them before the numpy view
+        b = b.filter(pc.is_valid(b.column("ts")))
         ts_us = np.asarray(b.column("ts").cast(pa.int64()))
         t = pa.table({"hour": pa.array(_truncdiv(ts_us, _US_PER_HOUR))})
         g = t.group_by(["hour"]).aggregate([([], "count_all")])
@@ -1799,6 +1827,9 @@ FROM events e
 LEFT JOIN mc ON e.ts IS NOT NULL
             AND mc.m BETWEEN CAST(epoch_us(e.ts) // {_US_PER_MINUTE} AS BIGINT) - 1
                          AND CAST(epoch_us(e.ts) // {_US_PER_MINUTE} AS BIGINT) + 1
+-- a NULL event_id is unaddressable in a per-event result (GROUP BY
+-- would collapse all null ids into one row) — excluded on both sides
+WHERE e.event_id IS NOT NULL
 GROUP BY e.event_id
 ORDER BY e.event_id
 """
@@ -1822,6 +1853,9 @@ def _density_lookup(batch: pa.Table, hist_ref) -> pa.Table:
     import ray as _ray
 
     keys, counts = _ray.get(hist_ref) if isinstance(hist_ref, _ray.ObjectRef) else hist_ref
+    # NULL event_id rows are excluded on both sides (the twin's GROUP BY
+    # event_id would collapse them into one row)
+    batch = batch.filter(pc.is_valid(batch.column("event_id")))
     ts = batch.column("ts").cast(pa.int64())
     if len(keys) == 0:  # all-null/empty ts stream: every neighborhood is 0
         return pa.table(

@@ -92,6 +92,9 @@ FROM (
          ) AS rn
   FROM events e
   LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+  -- NULL event_id rows are unaddressable in a per-event result (the
+  -- window PARTITION would collapse them) — excluded on both sides
+  WHERE e.event_id IS NOT NULL
 )
 WHERE rn = 1
 ORDER BY event_id
@@ -183,6 +186,12 @@ def events_asof_order(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     index_ref = ray.put(build_asof_index(orders))
     ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    # NULL event_id rows are unaddressable in a per-event result
+    # (excluded on both sides — see the twin's WHERE)
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("event_id"))),
+        batch_format="pyarrow",
     )
     out = ds.map_batches(
         _asof_batch, batch_format="pyarrow", fn_kwargs={"index_ref": index_ref}

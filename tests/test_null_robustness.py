@@ -382,3 +382,72 @@ def test_docs_family_null_injected_parity(ray_session, null_docs_sf, null_docs_c
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
     ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
     assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
+
+
+# ---------------------------------------------------------------------------
+# event_id / ts / props null injection (columns the original events
+# suite never corrupted; caught live: NaN hashes inflated the samples,
+# NaN hours junk-split window groups and crashed the dense spine, and
+# the asof/density twins' per-event GROUP BY collapsed null ids)
+# ---------------------------------------------------------------------------
+
+EVENT_KEY_NULL_TARGETS = [
+    "events_sample", "events_stratified_sample", "events_weighted_sample",
+    "events_window_agg", "events_sessionize", "events_moving_sum",
+    "events_first_last", "events_hourly_dense", "events_hopping_agg",
+    "events_props_extract", "events_funnel", "latest_event_per_user",
+    "events_rolling_users", "events_cohort_retention", "events_user_streaks",
+    "events_conversions_within", "events_local_density", "events_user_trend",
+    "events_asof_order", "events_user_enrich", "events_topk_users",
+]
+
+
+@pytest.fixture(scope="module")
+def null_evkey_sf(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("nullevkey"))
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SRC, f), tmp)
+    rng = np.random.default_rng(21)
+
+    def inject(t, cols, rate=0.05):
+        import pyarrow.compute as pc
+
+        for col in cols:
+            i = t.schema.get_field_index(col)
+            arr = t.column(col).combine_chunks()
+            mask = pa.array(rng.random(t.num_rows) < rate)
+            t = t.set_column(
+                i, col, pc.if_else(mask, pa.nulls(t.num_rows, arr.type), arr)
+            )
+        return t
+
+    ev = pq.read_table(os.path.join(SRC, "events.parquet"))
+    pq.write_table(
+        inject(ev, ["event_id", "ts", "props"]), os.path.join(tmp, "events.parquet")
+    )
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def null_evkey_con(null_evkey_sf):
+    con = duckdb.connect()
+    for v in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{null_evkey_sf}/{v}.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EVENT_KEY_NULL_TARGETS)
+def test_event_key_null_injected_parity(ray_session, null_evkey_sf, null_evkey_con, name):
+    res = entry.queries()[name](null_evkey_sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    ot = null_evkey_con.sql(entry.oracle_sql()[name]).df()
+    if len(df) == 0 and len(ot) == 0:
+        return
+    df = df.sort_index(axis=1)
+    ot = ot.sort_index(axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
+    assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
