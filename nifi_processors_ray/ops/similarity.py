@@ -18,6 +18,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -25,13 +26,15 @@ from ..sources.reader import read_parquet_fanout as read_parquet_clean
 
 KNN_BRUTE_SQL_TEMPLATE = """
 WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id < {n_queries} AND embedding IS NOT NULL
 ),
 s AS (
   SELECT q.qid, e.vec_id AS nid,
          list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS sim
   FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id <> q.qid
+  -- null embeddings are non-participants on both sides
+  WHERE e.vec_id <> q.qid AND e.embedding IS NOT NULL
 ),
 r AS (
   SELECT qid, nid, sim,
@@ -67,6 +70,9 @@ def load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     tbl = pads.dataset(f"{sf_dir.rstrip('/')}/embeddings.parquet").to_table(
         columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_queries
     )
+    # a null-embedding query is a non-participant (both sides of the
+    # twins exclude null embeddings)
+    tbl = tbl.filter(pc.is_valid(tbl.column("embedding")))
     tbl = tbl.sort_by("vec_id")
     return np.asarray(tbl.column("vec_id")), _normalize(_to_matrix(tbl))
 
@@ -78,6 +84,11 @@ def _partial_topk(batch: pa.Table, q_ref, k: int) -> pa.Table:
     oracle's DOUBLE[] cast).  Self-matches excluded.
     """
     qids, qm = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+    # null vec_id / null embedding rows are non-participants on both
+    # sides of the twin (NULL id never passes <>, NULL list has no sim)
+    batch = batch.filter(
+        pc.and_(pc.is_valid(batch.column("vec_id")), pc.is_valid(batch.column("embedding")))
+    )
     ids = np.asarray(batch.column("vec_id"))
     emb = _normalize(_to_matrix(batch))
     sims = emb @ qm.T  # (batch, Q); qm ships unit-norm from load_queries
@@ -336,11 +347,12 @@ KNN_RANGE_TAU = 0.35
 
 KNN_RANGE_SQL_TEMPLATE = """
 WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id < {n_queries} AND embedding IS NOT NULL
 )
 SELECT q.qid AS query_id, e.vec_id AS neighbor_id
 FROM embeddings e CROSS JOIN q
-WHERE e.vec_id <> q.qid
+WHERE e.vec_id <> q.qid AND e.embedding IS NOT NULL
   AND list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) >= {tau}
 ORDER BY query_id, neighbor_id
 """
@@ -356,6 +368,10 @@ def _partial_range(batch: pa.Table, q_ref, tau: float) -> pa.Table:
     (asserted ≥1e-5 in tests) is ~10 orders above the float64
     summation-order divergence between numpy and DuckDB."""
     qids, qm = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+    # non-participants, like the twin (NULL id / NULL embedding)
+    batch = batch.filter(
+        pc.and_(pc.is_valid(batch.column("vec_id")), pc.is_valid(batch.column("embedding")))
+    )
     ids = np.asarray(batch.column("vec_id"))
     emb = _normalize(_to_matrix(batch))
     sims = emb @ qm.T  # (batch, Q)

@@ -45,24 +45,46 @@ def _label_partials(batch: pa.Table) -> pa.Table:
     """One (labels × dim) partial matrix per batch — fully vectorized:
     labels are code-compressed once and ``np.add.at`` scatter-adds every
     row into its label's accumulator (no per-label Python loop)."""
+    import pyarrow.compute as pc
+
+    # a NULL embedding unnests to zero rows in the twin — invisible
+    batch = batch.filter(pc.is_valid(batch.column("embedding")))
     n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "comp_sum": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+            }
+        )
     emb = np.asarray(
         batch.column("embedding").combine_chunks().flatten(), dtype=np.float64
     ).reshape(n, -1)
     q = np.floor(emb * QUANT).astype(np.int64)
-    labels = np.asarray(batch.column("label"))
-    uniq, codes = np.unique(labels, return_inverse=True)
+    # dictionary codes, NOT np.unique: a null label would surface as NaN
+    # (every row its own group) where SQL GROUP BY keeps ONE null group
+    enc = batch.column("label").combine_chunks().dictionary_encode()
+    codes = np.asarray(pc.fill_null(enc.indices, len(enc.dictionary))).astype(np.int64)
+    n_groups = len(enc.dictionary) + 1  # last slot = the NULL label
     dim = q.shape[1]
-    sums = np.zeros((len(uniq), dim), dtype=np.int64)
+    sums = np.zeros((n_groups, dim), dtype=np.int64)
     np.add.at(sums, codes, q)
-    counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    counts = np.bincount(codes, minlength=n_groups).astype(np.int64)
+    present = np.nonzero(counts > 0)[0]
+    label_domain = pa.concat_arrays(
+        [enc.dictionary.cast(pa.int64()), pa.array([None], pa.int64())]
+    )
     return pa.table(
         {
-            "label": pa.array(np.repeat(uniq.astype(np.int64), dim)),
+            "label": label_domain.take(
+                pa.array(np.repeat(present, dim).astype(np.int64))
+            ),
             # 1-based like generate_subscripts
-            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uniq))),
-            "comp_sum": pa.array(sums.reshape(-1)),
-            "n_vecs": pa.array(np.repeat(counts, dim)),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), len(present))),
+            "comp_sum": pa.array(sums[present].reshape(-1)),
+            "n_vecs": pa.array(np.repeat(counts[present], dim)),
         }
     )
 
@@ -74,15 +96,20 @@ def label_vector_sums(sf_dir: str) -> ray.data.Dataset:
     ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["label", "embedding"]
     )
+    from ..functions.debug import null_safe_groupby_agg, null_safe_sort
+
     partials = ds.map_batches(_label_partials, batch_format="pyarrow")
-    return (
-        partials.groupby(["label", "dim"])
-        .aggregate(
-            Sum("comp_sum", alias_name="comp_sum"),
-            Sum("n_vecs", alias_name="n_vecs"),
-        )
-        .sort(["label", "dim"])
+    # null-safe: a NULL label is one SQL GROUP BY group (and Ray's raw
+    # sort-based groupby TypeErrors when a None hits its boundary
+    # sample); also rides the vectorized integer fast path
+    agg = null_safe_groupby_agg(
+        partials,
+        ["label", "dim"],
+        Sum("comp_sum", alias_name="comp_sum"),
+        Sum("n_vecs", alias_name="n_vecs"),
+        out_types={"comp_sum": pa.int64(), "n_vecs": pa.int64()},
     )
+    return null_safe_sort(agg, ["label", "dim"])
 
 
 LABEL_CENTROIDS_SQL = f"""

@@ -451,3 +451,67 @@ def test_event_key_null_injected_parity(ray_session, null_evkey_sf, null_evkey_c
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
     ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
     assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
+
+
+# ---------------------------------------------------------------------------
+# embeddings-table null injection (caught live: a null embedding list
+# crashed every matmul reshape; a null label TypeError'd the raw
+# sort-based groupby and np.unique shredded it into per-row groups)
+# ---------------------------------------------------------------------------
+
+EMB_NULL_TARGETS = ["knn_brute", "knn_range", "label_vector_sums", "label_centroids"]
+
+
+@pytest.fixture(scope="module")
+def null_emb_sf(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("nullemb"))
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SRC, f), tmp)
+    rng = np.random.default_rng(33)
+
+    def inject(t, cols, rate=0.05):
+        import pyarrow.compute as pc
+
+        for col in cols:
+            i = t.schema.get_field_index(col)
+            arr = t.column(col).combine_chunks()
+            mask = pa.array(rng.random(t.num_rows) < rate)
+            t = t.set_column(
+                i, col, pc.if_else(mask, pa.nulls(t.num_rows, arr.type), arr)
+            )
+        return t
+
+    emb = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    pq.write_table(
+        inject(emb, ["vec_id", "label", "embedding"]),
+        os.path.join(tmp, "embeddings.parquet"),
+    )
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def null_emb_con(null_emb_sf):
+    con = duckdb.connect()
+    for v in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{null_emb_sf}/{v}.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMB_NULL_TARGETS)
+def test_embeddings_null_injected_parity(ray_session, null_emb_sf, null_emb_con, name):
+    res = entry.queries()[name](null_emb_sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    ot = null_emb_con.sql(entry.oracle_sql()[name]).df()
+    df = df.sort_index(axis=1)
+    ot = ot.sort_index(axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
+    assert len(df) == len(ot), name
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            np.testing.assert_array_equal(df[c].to_numpy(), ot[c].to_numpy(), err_msg=f"{name}.{c}")
+        else:
+            assert (df[c].fillna(-9) == ot[c].fillna(-9)).all(), f"{name}.{c}"
