@@ -903,6 +903,11 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
 
 
 def _embedding_buckets(batch: pa.Table, planes: np.ndarray) -> pa.Table:
+    # null vectors / ids are non-participants (a null list would break
+    # the flatten/reshape alignment)
+    batch = batch.filter(
+        pc.and_(pc.is_valid(batch.column("vec_id")), pc.is_valid(batch.column("embedding")))
+    )
     n = batch.num_rows
     emb = np.asarray(batch.column("embedding").combine_chunks().flatten(), dtype=np.float64).reshape(n, -1)
     norms = np.linalg.norm(emb, axis=1, keepdims=True)

@@ -170,6 +170,7 @@ def train_centroids(
     tbl = pads.dataset(f"{sf_dir.rstrip('/')}/embeddings.parquet").to_table(
         columns=["vec_id", "embedding"], filter=pads.field("vec_id") < sample
     )
+    tbl = tbl.filter(pc.is_valid(tbl.column("embedding")))
     x = _normalize(_to_matrix(tbl.sort_by("vec_id")))
     n_cells = min(n_cells, len(x))
     cent = x[:n_cells].copy()  # deterministic init: first vectors
@@ -186,6 +187,10 @@ def train_centroids(
 
 def _assign_cells(batch: pa.Table, cent_ref) -> pa.Table:
     cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+    # null vectors / ids can never be neighbors — excluded at indexing
+    batch = batch.filter(
+        pc.and_(pc.is_valid(batch.column("vec_id")), pc.is_valid(batch.column("embedding")))
+    )
     emb = _normalize(_to_matrix(batch))
     cell = (emb @ cent.T).argmax(axis=1)
     return batch.append_column("cell", pa.array(cell.astype(np.int32)))

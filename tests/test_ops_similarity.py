@@ -112,3 +112,35 @@ def test_knn_range_margin_and_brute_equivalence():
     ]
     assert got == want
     assert len(got) > 0  # the radius actually captures pairs on this corpus
+
+
+def test_ivf_and_embedding_lsh_tolerate_null_vectors(ray_session, tmp_path):
+    """Null embeddings/ids are non-participants — the index build and
+    LSH bucketing must skip them instead of breaking the flatten/reshape
+    alignment (caught by the null probe)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), str(tmp_path))
+    emb = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    rng = np.random.default_rng(33)
+    for c in ["vec_id", "embedding"]:
+        i = emb.schema.get_field_index(c)
+        arr = emb.column(c).combine_chunks()
+        mask = pa.array(rng.random(emb.num_rows) < 0.05)
+        emb = emb.set_column(i, c, pc.if_else(mask, pa.nulls(emb.num_rows, arr.type), arr))
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+
+    import __ray_entry__ as entry
+
+    ivf = entry.queries()["knn_ivf"](str(tmp_path))
+    assert (ivf.num_rows if isinstance(ivf, pa.Table) else ivf.count()) > 0
+    r = entry.queries()["embedding_dup_pairs"](str(tmp_path))
+    assert (r.num_rows if isinstance(r, pa.Table) else r.count()) >= 0
