@@ -442,7 +442,153 @@ ORDER BY conv_id
 """
 
 
+# Driver-coverage rotation (round 4): the driver's oracle pass walks the
+# queries() dict IN ORDER under a budget cap (round 3's pass stopped after
+# the first 50 of 125 entries), so the registry is ordered for coverage:
+# (1) queries with no CORRECTNESS_r03 row yet, cheapest first (solo sf0.1
+# bench cost as the proxy — BENCH/FULL_r3_final.json); (2)
+# embedding_dup_pairs, whose SQL twin is new this round; (3) the
+# already-driver-green queries, cheapest first, the expensive dedup
+# family last (their green artifact already exists; results are
+# order-independent — every query is a pure function of sf_dir).
+_REGISTRY_ORDER = (
+    "supplier_nation_rollup",
+    "events_user_enrich",
+    "orders_yoy_growth",
+    "events_type_share",
+    "events_asof_order",
+    "events_props_extract",
+    "events_value_histogram",
+    "events_type_pivot",
+    "events_hourly_dense",
+    "customer_balance_pctile",
+    "quantity_band_counts",
+    "orders_dow_profile",
+    "top_orders_per_cust",
+    "revenue_forecast",
+    "events_hopping_agg",
+    "events_moving_sum",
+    "orders_monthly_volume",
+    "events_user_outliers",
+    "pricing_rollup",
+    "events_first_last",
+    "events_user_trend",
+    "part_price_rank",
+    "docs_corr",
+    "events_user_gaps",
+    "active_customer_ids",
+    "customers_without_orders",
+    "events_modal_type",
+    "events_user_streaks",
+    "events_median_cont",
+    "latest_event_per_user",
+    "customers_with_urgent_orders",
+    "lineitem_pricing_summary",
+    "events_hourly_retention",
+    "orders_running_total",
+    "pricing_cube",
+    "inactive_customer_ids",
+    "events_rolling_users",
+    "events_type_transitions",
+    "events_heavy_users",
+    "customer_activity_full",
+    "events_quantile_sketch",
+    "events_local_density",
+    "events_approx_users_by_type",
+    "events_cohort_retention",
+    "pricing_unpivot",
+    "events_funnel",
+    "customer_order_counts",
+    "all_actor_ids",
+    "promo_revenue_share",
+    "disjunctive_band_revenue",
+    "idle_rich_customers",
+    "customer_spend_deciles",
+    "events_approx_users",
+    "order_size_distribution",
+    "small_qty_part_revenue",
+    "token_pack",
+    "customer_rfm",
+    "brand_revenue",
+    "order_priority_revenue",
+    "decontaminate",
+    "ship_delay_profile",
+    "large_volume_customers",
+    "label_vector_sums",
+    "label_centroids",
+    "shipping_priority",
+    "corpus_shuffle_shards",
+    "doc_chunks",
+    "corpus_clean",
+    "training_mix",
+    "returned_item_revenue",
+    "sole_returned_supplier",
+    "nation_pair_volume",
+    "local_supplier_volume",
+    "events_profile",
+    "nation_market_share",
+    "embedding_dup_pairs",
+    "cdc_rejected",
+    "cdc_point_lookup",
+    "events_weighted_sample",
+    "events_sample",
+    "cdc_forget",
+    "cdc_replay_mor",
+    "cdc_replay_jsonl",
+    "cdc_time_travel",
+    "cdc_replay",
+    "events_distinct_types",
+    "events_stratified_sample",
+    "events_value_moments",
+    "knn_brute",
+    "events_conversions_within",
+    "conversation_token_stats",
+    "events_sessionize",
+    "events_topk_users",
+    "events_value_quantiles",
+    "conversation_search",
+    "cdc_lineage_totals",
+    "media_frame_sample",
+    "events_window_agg",
+    "knn_range",
+    "knn_ivf",
+    "cdc_epoch_changes",
+    "text_redact",
+    "doc_fingerprint",
+    "token_counts",
+    "text_stats",
+    "lang_id",
+    "doc_repetition",
+    "token_counts_csv",
+    "cdc_conversations",
+    "chat_training_mix",
+    "conversation_role_transitions",
+    "text_stats_jsonl",
+    "top_ngrams",
+    "conversation_search_indexed",
+    "exact_dedup",
+    "corpus_source_rollup",
+    "conversation_dedup",
+    "doc_top_terms",
+    "media_features",
+    "cdc_lineage_metrics",
+    "simhash_dup_pairs",
+    "minhash_dup_pairs",
+    "dedup_clusters",
+    "jaccard_dup_pairs",
+    "dedup_incremental",
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    base = _queries_by_family()
+    ordered = {name: base.pop(name) for name in _REGISTRY_ORDER}
+    if base:  # a query was added without a rotation slot — fail loud
+        raise AssertionError(f"queries missing from _REGISTRY_ORDER: {sorted(base)}")
+    return ordered
+
+
+def _queries_by_family() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC / incremental-ingest core
         "cdc_replay": _q_cdc_replay,
