@@ -637,9 +637,11 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": lambda sf: _dedup.simhash_dup_pairs(
             _dedup.augmented_documents(sf)
         ),
+        # integer pair ids only — the cosine value is a different IEEE op
+        # order than the twin's list_cosine_similarity (knn_brute convention)
         "embedding_dup_pairs": lambda sf: _dedup.embedding_dup_pairs(
             _dedup.augmented_embeddings(sf)
-        ),
+        ).select_columns(["doc_a", "doc_b"]),
         "jaccard_dup_pairs": lambda sf: _dedup.jaccard_dup_pairs(
             _dedup.augmented_documents(sf)
         ),
@@ -1041,13 +1043,15 @@ FROM _ch
 """,
         # Analysis operators with exact SQL twins.  Omitted on purpose
         # (rows-only check): doc_fingerprint / minhash / simhash /
-        # embedding_dup_pairs / knn_ivf / events_approx_users — hash-,
-        # sketch- or model-defined outputs SQL can't reproduce; their
-        # correctness oracles live in tests/ (crafted corpora vs
-        # brute-force references).  jaccard_dup_pairs IS oracled: its
-        # output is the exact shingle Jaccard, and the 32×2 candidate
-        # banding has measured recall 1.0 on this corpus.
+        # knn_ivf / events_approx_users — hash-, sketch- or model-defined
+        # outputs SQL can't reproduce; their correctness oracles live in
+        # tests/ (crafted corpora vs brute-force references).
+        # jaccard_dup_pairs and embedding_dup_pairs ARE oracled: their
+        # outputs are the exact verify results, and the candidate stages
+        # have measured recall 1.0 on this corpus (exact copies collide
+        # in every hyperplane bucket; 32×2 banding ≤1e-4 miss at j=0.5).
         "jaccard_dup_pairs": _dedup.JACCARD_DUP_PAIRS_SQL,
+        "embedding_dup_pairs": _dedup.EMBEDDING_DUP_PAIRS_SQL,
         "dedup_clusters": _dedup.DEDUP_CLUSTERS_SQL,
         "top_ngrams": _text.TOP_NGRAMS_SQL,
         "text_redact": _text.TEXT_REDACT_SQL,

@@ -961,6 +961,36 @@ def _bucket_pairs_cosine(group: pa.Table, threshold: float) -> pa.Table:
     )
 
 
+# SQL twin of the DRIVER's embedding_dup_pairs query (threshold 0.9 over
+# the augmented corpus): exact all-pairs cosine in DuckDB.  Like the
+# jaccard twin, engine == ground truth iff hyperplane-LSH recall is 1.0
+# at this threshold; the planted pairs are EXACT copies (cosine = 1.0 —
+# identical sign patterns collide in every bucket, recall 1.0 by
+# construction) and the densest natural pair measures cosine ≈ 0.51 at
+# sf0.001/sf0.01, so the 0.9 boundary has a ~0.4 margin on both sides —
+# the numpy-vs-DuckDB float64 ULP difference cannot flip a decision.
+# The compared columns are the integer pair ids only (the engine's
+# cosine value is a different IEEE op order than list_cosine_similarity,
+# same convention as knn_brute's rank-only output).
+EMBEDDING_DUP_PAIRS_SQL = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+  UNION ALL
+  SELECT vec_id + {AUG_ID_OFFSET} AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 25 = 0 AND embedding IS NOT NULL AND vec_id IS NOT NULL
+),
+p AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cosine
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b FROM p WHERE cosine >= 0.9
+ORDER BY doc_a, doc_b
+"""
+
+
 def embedding_dup_pairs(
     embeddings: ray.data.Dataset,
     *,
