@@ -91,3 +91,56 @@ def test_refresh_rejects_out_of_order_epochs(tmp_path):
     view.refresh(eng, 2)
     with pytest.raises(ValueError, match="strictly in order"):
         view.refresh(eng, 2)  # regression attempt
+
+
+def test_refresh_rewrites_only_dirty_partitions(tmp_path):
+    """The pruning contract: clean view partitions are carried forward
+    BY REFERENCE (same immutable file in the new manifest) — a refresh's
+    I/O is O(dirty partitions), never O(view)."""
+    import pyarrow as pa
+
+    from nifi_processors_ray.pipelines.views import _view_parts
+
+    from nifi_processors_ray.synth import write_generated_changelog
+
+    log = str(tmp_path / "log")
+    # many conversations, small epochs: each epoch touches a subset of
+    # the view's keys, so carry-forward partitions actually exist
+    write_generated_changelog(
+        log, 800, files=4, n_convs=2000, hot_frac=0.02, invalid_frac=0.0
+    )
+    eng = make_engine(str(tmp_path / "lake"), log, epoch_events=200)
+    eng.replay()
+    n_parts = 256
+    view = ConvStatsView(str(tmp_path / "view"), num_partitions=n_parts)
+    view.refresh(eng, 1)
+    files1 = view.files()
+    view.refresh(eng, 2)
+    files2 = view.files()
+    dirty = eng.touched_conversations(*eng._epoch_window(2))
+    dirty_parts = set(
+        _view_parts(pa.array(sorted(dirty), pa.string()), n_parts).tolist()
+    )
+    clean = [p for p in files2 if p not in dirty_parts]
+    assert clean, "fixture vacuous: every view partition was dirty"
+    for p in clean:  # carried forward by reference — zero I/O
+        assert files2[p] == files1[p]
+    for p in files2:
+        if p in dirty_parts:
+            assert files2[p].endswith("-e2.parquet")
+    # and the folded view still equals the full recompute
+    got = view.read().to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert got.equals(_full(eng, 2))
+
+
+def test_view_num_partitions_pinned(tmp_path):
+    """Partition placement is part of the on-disk contract — reopening
+    with a different modulus fails loud instead of mis-routing rows."""
+    log = str(tmp_path / "log")
+    write_changelog_from_events(SF_DIR, log, files=3)
+    eng = make_engine(str(tmp_path / "lake"), log, epoch_events=400)
+    eng.replay()
+    view = ConvStatsView(str(tmp_path / "view"), num_partitions=8)
+    view.refresh(eng, 1)
+    with pytest.raises(ValueError, match="num_partitions"):
+        ConvStatsView(str(tmp_path / "view"), num_partitions=16)
