@@ -189,14 +189,18 @@ def cmd_forget(args) -> int:
 def cmd_changes(args) -> int:
     """Emit one epoch's net-change feed as JSON lines (the CDC-consumer
     surface: downstreams follow the lake without rereading state)."""
+    from .functions.jsonl import encode_jsonl
+
     _ensure_ray()
     eng = _engine(args)
     feed = eng.epoch_changes(args.epoch)
-    for row in feed.iter_rows():
-        # JSON null for a delete row's null ts — str(None) would emit
-        # the bogus timestamp string "None"
-        row["ts"] = None if row["ts"] is None else str(row["ts"])
-        print(json.dumps(row))
+    # vectorized JSONL per Arrow batch — the feed can be large, so no
+    # per-row Python dict; output is byte-identical to json.dumps(row)
+    # (incl. JSON null for a delete row's null ts)
+    for batch in feed.iter_batches(batch_format="pyarrow"):
+        lines = encode_jsonl(batch).to_pylist()
+        if lines:
+            sys.stdout.write("\n".join(lines) + "\n")
     return 0
 
 

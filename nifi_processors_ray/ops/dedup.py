@@ -855,11 +855,16 @@ def _components_min_label(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.
     roots = np.fromiter((find(i) for i in range(len(ids))), dtype=np.int64, count=len(ids))
     # ids is sorted ascending, so the min index per root IS the min doc id;
     # unioning toward the smaller root makes root == min index already,
-    # but resolve through ids[] rather than assuming it
+    # but resolve through ids[] rather than assuming it.  One stable
+    # argsort by root; each group's ids stay ascending, so the group min
+    # is its first element — O(n log n), not O(components × ids).
+    order = np.argsort(roots, kind="stable")
+    sorted_roots = roots[order]
+    new_grp = np.concatenate([[True], sorted_roots[1:] != sorted_roots[:-1]])
+    starts = np.nonzero(new_grp)[0]
+    grp_of = np.cumsum(new_grp) - 1
     labels = np.empty(len(ids), dtype=np.int64)
-    for r in np.unique(roots):
-        m = roots == r
-        labels[m] = ids[m].min()
+    labels[order] = ids[order[starts]][grp_of]
     return ids, labels
 
 

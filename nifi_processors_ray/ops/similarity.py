@@ -161,17 +161,64 @@ def knn_brute(sf_dir: str, *, k: int = 10, n_queries: int = 8) -> pa.Table:
 # IVF (inverted-file) approximate variant — the scale path
 # ---------------------------------------------------------------------------
 
+def _sample_ids_partial(batch: pa.Table, sample: int) -> pa.Table:
+    """Per-block bottom-``sample`` vec_ids by stable hash (id column only
+    leaves the scan — the payload is read in pass 2, pruned to the
+    winners).  Null ids are non-participants."""
+    from ..functions.hashing import hash_ints_u64
+
+    ids = batch.column("vec_id").combine_chunks().drop_null()
+    if len(ids) == 0:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()), "h": pa.array([], pa.uint64())}
+        )
+    h = hash_ints_u64(ids)
+    vid = np.asarray(ids, dtype=np.int64)
+    if len(h) > sample:
+        keep = np.argpartition(h, sample - 1)[:sample]
+        h, vid = h[keep], vid[keep]
+    return pa.table({"vec_id": pa.array(vid), "h": pa.array(h, pa.uint64())})
+
+
 def train_centroids(
     sf_dir: str, *, n_cells: int = 16, sample: int = 4096, iters: int = 8
 ) -> np.ndarray:
-    """Deterministic k-means on a bounded head sample (unit sphere)."""
+    """Deterministic k-means on a bounded HASH-SPREAD sample (unit sphere).
+
+    The sample is the corpus-wide bottom-``sample`` vec_ids by stable
+    multiplicative hash — unbiased even when the corpus is ordered (a
+    head sample like ``vec_id < sample`` would train on whatever cluster
+    happens to be first), deterministic across block splits and cluster
+    sizes, and cheap: pass 1 scans ONLY the id column with per-block
+    bottom-k partials; pass 2 reads the payload of just the winners via
+    a pushed-down ``isin`` filter."""
     import pyarrow.dataset as pads
 
-    tbl = pads.dataset(f"{sf_dir.rstrip('/')}/embeddings.parquet").to_table(
-        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < sample
+    from ..functions.hashing import hash_ints_u64
+
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    partials_ds = read_parquet_clean(src, columns=["vec_id"]).map_batches(
+        _sample_ids_partial, batch_format="pyarrow", fn_kwargs={"sample": sample}
+    )
+    partials = pa.concat_tables([ray.get(r) for r in partials_ds.to_arrow_refs()])
+    h = np.asarray(partials.column("h"))
+    vid = np.asarray(partials.column("vec_id"))
+    order = np.lexsort((vid, h))[:sample]  # global bottom-k, id tie-break
+    chosen = vid[order]
+    tbl = pads.dataset(src).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(pa.array(chosen, pa.int64())),
     )
     tbl = tbl.filter(pc.is_valid(tbl.column("embedding")))
-    x = _normalize(_to_matrix(tbl.sort_by("vec_id")))
+    # hash order = deterministic pseudo-random order: the first n_cells
+    # rows are a spread k-means init, independent of storage order
+    rank = {int(v): i for i, v in enumerate(chosen)}
+    tbl = tbl.take(
+        pa.array(
+            np.argsort([rank[int(v)] for v in np.asarray(tbl.column("vec_id"))])
+        )
+    )
+    x = _normalize(_to_matrix(tbl))
     n_cells = min(n_cells, len(x))
     cent = x[:n_cells].copy()  # deterministic init: first vectors
     for _ in range(iters):
@@ -196,7 +243,7 @@ def _assign_cells(batch: pa.Table, cent_ref) -> pa.Table:
     return batch.append_column("cell", pa.array(cell.astype(np.int32)))
 
 
-IVF_INDEX_VERSION = 1
+IVF_INDEX_VERSION = 2  # v2: hash-spread training sample
 
 
 def build_ivf_index(

@@ -35,7 +35,9 @@ def _export_documents(sf_dir: str, fmt: str, files: int = 4) -> list[str]:
     a crashed half-write is rewritten from scratch."""
     assert fmt in ("jsonl", "csv")
     src = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
-    tag = source_tag(src, fmt, files)
+    # "v2": Arrow-native JSONL encoder (raw UTF-8, not \uXXXX) — the tag
+    # bump invalidates cached pandas-era exports
+    tag = source_tag(src, fmt, files, "v2")
     out = os.path.join(tempfile.gettempdir(), f"npr_docs_{fmt}_{tag}")
     paths = [os.path.join(out, f"part-{i:04d}.{fmt}") for i in range(files)]
     done = os.path.join(out, "_DONE")
@@ -57,9 +59,15 @@ def _export_documents(sf_dir: str, fmt: str, files: int = 4) -> list[str]:
 
             pa_csv.write_csv(part, tmp)
         else:
-            # records-per-line JSON via pandas (escaped unicode + \n, so
-            # every record stays one physical line)
-            part.to_pandas().to_json(tmp, orient="records", lines=True)
+            # records-per-line JSON straight from Arrow (escaped \n etc.
+            # via the vectorized encoder, so every record stays one
+            # physical line — no pandas on any data path)
+            from ..functions.jsonl import encode_jsonl
+
+            lines = encode_jsonl(part).to_pylist()
+            with open(tmp, "w", encoding="utf-8") as f:
+                if lines:
+                    f.write("\n".join(lines) + "\n")
         os.replace(tmp, path)
     with open(done, "w") as f:
         f.write(str(n))
