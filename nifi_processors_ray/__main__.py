@@ -225,7 +225,7 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--salt-factor", type=int, default=4)
         p.add_argument("--epoch-events", type=int, default=2_000_000)
         p.add_argument("--initial-position", default="TRIM_HORIZON")
-        p.add_argument("--merge-mode", default="cow", choices=["cow", "mor"])
+        p.add_argument("--merge-mode", default="cow", choices=["cow", "mor", "auto"])
         p.add_argument("--compact-threshold", type=int, default=8)
         p.add_argument("--merge-concurrency", type=int, default=None)
         p.add_argument("--max-epochs", type=int, default=None)

@@ -72,7 +72,13 @@ class EngineConfig:
     # per-epoch delta files and auto-compacts a partition when it
     # reaches `compact_threshold` files (write amplification ∝ change
     # volume — the 10^10-event setting).
+    # 'auto' picks PER PARTITION per epoch: delta-append (mor) when the
+    # epoch's change volume is a small fraction of the partition
+    # (< auto_mor_ratio), full rewrite (cow) when most of the partition
+    # changes anyway or it has no base yet — write amplification tracks
+    # the change ratio instead of being a global either/or.
     merge_mode: str = "cow"
+    auto_mor_ratio: float = 0.2
     compact_threshold: int = 8
     max_attempts: int = 3
     # COW data writes split into files of at most this many rows — the
@@ -125,8 +131,12 @@ class EngineConfig:
             raise ConfigError("salt_factor must be >= 1")
         if self.max_attempts < 1:
             raise ConfigError("max_attempts must be >= 1")
-        if self.merge_mode not in ("cow", "mor"):
-            raise ConfigError(f"merge_mode must be 'cow' or 'mor', got {self.merge_mode!r}")
+        if self.merge_mode not in ("cow", "mor", "auto"):
+            raise ConfigError(
+                f"merge_mode must be 'cow', 'mor' or 'auto', got {self.merge_mode!r}"
+            )
+        if not (0.0 < self.auto_mor_ratio <= 1.0):
+            raise ConfigError("auto_mor_ratio must be in (0, 1]")
         if self.compact_threshold < 1:
             raise ConfigError("compact_threshold must be >= 1")
         if self.target_rows_per_file < 1:

@@ -241,9 +241,15 @@ def _vector_agg_plan(aggs, out_types) -> list[tuple[str, str | None, str]] | Non
         if kind == "count":
             # Count(ignore_nulls=False) counts every row (the kernel's
             # run_len); Count(on, ignore_nulls=True) counts non-null —
-            # normalize so the kernel needn't know the flag
-            if on is not None and not ignore:
-                on = None
+            # normalize so the kernel needn't know the flag.  If the
+            # private _ignore_nulls attr is gone (a future Ray), fall
+            # back to Ray's operator rather than silently degrading a
+            # non-null count into a row count (round-3 ADVICE).
+            if on is not None:
+                if ignore is None:
+                    return None
+                if not ignore:
+                    on = None
         else:
             # the kernel always skips nulls; ignore_nulls=False (null
             # result if any input null) must keep Ray's operator
@@ -270,7 +276,14 @@ def _grouped_reduce_kernel(skeys: list[str], plan):
     def kernel(b: pa.Table) -> pa.Table:
         n = b.num_rows
         if n == 0:
-            return b
+            # plan-shaped empty table (skeys + int64 alias columns) — the
+            # raw input block's schema is the PRE-agg one (all columns),
+            # which would make restore() append a duplicate key column
+            # and drift schema unification (round-3 ADVICE)
+            out = {sk: b.column(sk).combine_chunks() for sk in skeys}
+            for _, _, alias in plan:
+                out[alias] = pa.array([], pa.int64())
+            return pa.table(out)
         change = np.zeros(n, dtype=bool)
         change[0] = True
         if n > 1:

@@ -106,8 +106,6 @@ def grouped_approx_distinct(
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch.column(group_col).combine_chunks()
         vals = batch.column(value_col).combine_chunks()
-        keep = pc.is_valid(vals)
-        keys, vals = keys.filter(keep), vals.filter(keep)
         if len(keys) == 0:
             return pa.table(
                 {
@@ -115,18 +113,23 @@ def grouped_approx_distinct(
                     "regs": pa.array([], pa.binary()),
                 }
             )
+        # group codes over ALL rows — a group whose values are entirely
+        # NULL still gets a (zero-register) row, like SQL GROUP BY
+        # emitting COUNT(DISTINCT)=0 (round-3 ADVICE); only the VALUES
+        # are null-filtered (COUNT DISTINCT skips nulls)
         enc = keys.dictionary_encode()
         codes = np.asarray(pc.fill_null(enc.indices, -1)).astype(np.int64)
         n_groups = len(enc.dictionary) + 1  # slot 0 = the NULL group
         codes += 1
-        h = _hash_column(vals)
+        keep = np.asarray(pc.is_valid(vals))
+        h = _hash_column(vals.filter(pa.array(keep)))
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         rem = h & np.uint64((1 << (64 - p)) - 1)
         with np.errstate(divide="ignore"):
             msb = np.floor(np.log2(rem.astype(np.float64))).astype(np.int64)
         rho = np.where(rem == 0, 64 - p + 1, (64 - p) - msb).astype(np.uint8)
         regs = np.zeros(n_groups * m, dtype=np.uint8)
-        np.maximum.at(regs, codes * m + idx, rho)
+        np.maximum.at(regs, codes[keep] * m + idx, rho)
         present = np.unique(codes)
         out_keys = []
         blobs = []
@@ -150,15 +153,21 @@ def grouped_approx_distinct(
                     "approx": pa.array([], pa.int64()),
                 }
             )
-        keys = block.column(group_col)
-        sort_keys = pc.fill_null(
-            keys.cast(pa.string()), "\x00__null__"
-        )  # one NULL run
-        order = pc.sort_indices(sort_keys)
-        block = block.take(order)
+        # group adjacent equal keys via DICTIONARY CODES (null = its own
+        # code) — no fill-string that a real key could collide with
+        # (round-3 ADVICE); the upstream checked_sort already co-located
+        # equal keys, the stable local argsort only re-groups them
         keys = block.column(group_col).combine_chunks()
-        sk = np.asarray(pc.fill_null(keys.cast(pa.string()), "\x00__null__"))
-        starts = np.nonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))[0]
+        codes = np.asarray(
+            pc.fill_null(keys.dictionary_encode().indices, -1)
+        ).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        block = block.take(pa.array(order))
+        keys = block.column(group_col).combine_chunks()
+        codes = codes[order]
+        starts = np.nonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1]])
+        )[0]
         ends = np.concatenate([starts[1:], [block.num_rows]])
         blobs = block.column("regs").to_pylist()
         out_k, out_v = [], []

@@ -762,6 +762,12 @@ def jaccard_dup_pairs(
     # B-duplicate cluster IS C(B,2); run exact_dedup first on corpora
     # with massive identical-text clusters.
     num_perms = int(minhash_kw.pop("num_perms", 64))
+    if minhash_kw:
+        # an unknown kwarg (e.g. a max_bucket or bands typo) used to fail
+        # loudly in minhash_dup_pairs — don't let it become a silent no-op
+        raise TypeError(
+            f"jaccard_dup_pairs: unexpected keyword arguments {sorted(minhash_kw)}"
+        )
     rows = num_perms // bands
     sigs = docs.map_batches(
         minhash_signatures,

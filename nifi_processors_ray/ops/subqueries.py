@@ -409,13 +409,29 @@ def sole_returned_supplier(sf_dir: str, n_top: int = Q21_TOP) -> ray.data.Datase
     named = checked_sort(supp.union(probe), "key").map_batches(
         _q21_name_block, batch_format="pyarrow", batch_size=None
     )
-    # null-safe: a NULL s_name in Ray's boundary sample would TypeError
-    # (caveat: the sentinel places a null name FIRST among ascending
-    # ties where DuckDB orders NULLS LAST — divergence only reachable
-    # with null supplier names at the top-k tie boundary)
-    out = null_safe_sort(
-        named, ["numwait", "s_name", "s_suppkey"], descending=[True, False, False]
-    ).limit(n_top)
+    # null-safe AND NULLS-LAST: null_safe_sort's min-sentinel would place
+    # a null name FIRST among ascending ties where DuckDB orders NULLS
+    # LAST — sort on a max-sentinel shadow instead so the engine and the
+    # twin agree even at a top-k tie boundary with null supplier names
+    _NAME_LAST = "\uffff\uffff"
+
+    def _name_nulls_last(b: pa.Table) -> pa.Table:
+        col = b.column("s_name")
+        if pc.any(pc.equal(col, _NAME_LAST)).as_py():
+            raise AssertionError("NULLS-LAST sentinel collides with a real s_name")
+        return b.append_column("__name_last", pc.fill_null(col, _NAME_LAST))
+
+    out = (
+        null_safe_sort(
+            named.map_batches(_name_nulls_last, batch_format="pyarrow"),
+            ["numwait", "__name_last", "s_suppkey"],
+            descending=[True, False, False],
+        )
+        .limit(n_top)
+        .map_batches(
+            lambda b: b.drop_columns(["__name_last"]), batch_format="pyarrow"
+        )
+    )
     return compact_small_result(
         out,
         pa.schema(

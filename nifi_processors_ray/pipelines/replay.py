@@ -258,6 +258,7 @@ class CdcEngine:
             "epoch": epoch,
             "manifest_ref": manifest_ref,
             "mode": self.cfg.merge_mode,
+            "auto_mor_ratio": self.cfg.auto_mor_ratio,
             "compact_threshold": self.cfg.compact_threshold,
             "policy": self.cfg.merge_policy,
             "max_attempts": self.cfg.max_attempts,
@@ -352,6 +353,7 @@ class CdcEngine:
                 "epoch": 1,
                 "manifest_ref": manifest_ref,
                 "mode": self.cfg.merge_mode,
+                "auto_mor_ratio": self.cfg.auto_mor_ratio,
                 "compact_threshold": self.cfg.compact_threshold,
                 "policy": self.cfg.merge_policy,
                 "max_attempts": self.cfg.max_attempts,
@@ -440,6 +442,7 @@ class CdcEngine:
                 "epoch": epoch,
                 "manifest_ref": manifest_ref,
                 "mode": self.cfg.merge_mode,
+                "auto_mor_ratio": self.cfg.auto_mor_ratio,
                 "compact_threshold": self.cfg.compact_threshold,
                 "policy": self.cfg.merge_policy,
                 "max_attempts": self.cfg.max_attempts,
@@ -548,6 +551,7 @@ class CdcEngine:
                 "epoch": epoch,
                 "manifest_ref": manifest_ref,
                 "mode": self.cfg.merge_mode,
+                "auto_mor_ratio": self.cfg.auto_mor_ratio,
                 "compact_threshold": self.cfg.compact_threshold,
                 "policy": self.cfg.merge_policy,
                 "max_attempts": self.cfg.max_attempts,

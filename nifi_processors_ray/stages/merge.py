@@ -203,6 +203,7 @@ def apply_merge_group(
     max_attempts: int = 3,
     target_rows_per_file: int | None = None,
     staging_dir: str | None = None,
+    auto_mor_ratio: float = 0.2,
 ) -> pa.Table:
     """Task-based entry point for ``groupby(__part).map_groups``.
 
@@ -220,6 +221,7 @@ def apply_merge_group(
         max_attempts,
         target_rows_per_file,
         staging_dir,
+        auto_mor_ratio,
     )(group)
 
 
@@ -257,10 +259,12 @@ class MergeApplier:
         max_attempts: int = 3,
         target_rows_per_file: int | None = None,
         staging_dir: str | None = None,
+        auto_mor_ratio: float = 0.2,
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.mode = mode
+        self.auto_mor_ratio = auto_mor_ratio
         self.compact_threshold = compact_threshold
         self.policy = policy
         self.max_attempts = max_attempts
@@ -341,7 +345,18 @@ class MergeApplier:
         while n_applied:
             try:
                 n_prior_files = len(self.part_files.get(part, []))
-                if self.mode == "mor" and n_prior_files + 1 <= self.compact_threshold:
+                use_mor = self.mode == "mor"
+                if self.mode == "auto":
+                    # per-partition change-ratio pick: delta-append only
+                    # when this epoch changes a small fraction of the
+                    # partition — otherwise the delta costs nearly a
+                    # rewrite in bytes but still adds a read-side file
+                    prior_rows = self.part_rows.get(part, 0)
+                    use_mor = (
+                        prior_rows > 0
+                        and n_applied < prior_rows * self.auto_mor_ratio
+                    )
+                if use_mor and n_prior_files + 1 <= self.compact_threshold:
                     # delta write: only this epoch's changes hit disk
                     delta = epoch_delta(valid, policy=self.policy)
                     n_rows_after = self.part_rows.get(part, 0) + delta.num_rows

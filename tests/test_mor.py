@@ -98,3 +98,45 @@ def test_mor_resume_midstream(tmp_path):
     want = apply_changelog(_full_changelog(tmp_path)).to_pandas()
     assert len(got) == len(want)
     assert (got["text"].values == want["text"].values).all()
+
+
+def test_auto_mode_oracle_and_mixed_file_modes(tmp_path):
+    """merge_mode='auto' picks per partition per epoch: early epochs
+    (change ratio high vs a small base) rewrite (cow), later epochs
+    (small change slice of a grown partition) delta-append (mor) —
+    and the converged state still equals the oracle."""
+    import pyarrow as pa
+
+    from nifi_processors_ray.schema import CHANGELOG_SCHEMA, align_to_schema
+
+    log = str(tmp_path / "log_auto")
+    write_generated_changelog(
+        log, 3000, files=2, n_convs=300, max_turns=32, invalid_frac=0.01
+    )
+    eng = CdcEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake_auto"),
+            changelog_paths=(log,),
+            num_partitions=8,
+            salt_factor=2,
+            epoch_events=300,
+            merge_mode="auto",
+        )
+    )
+    eng.replay()
+    got = eng.final_state(sort=True).to_pandas().reset_index(drop=True)
+    tables = [
+        pq.read_table(os.path.join(log, f))
+        for f in sorted(os.listdir(log))
+        if f.endswith(".parquet")
+    ]
+    want = apply_changelog(
+        pa.concat_tables([align_to_schema(t, CHANGELOG_SCHEMA) for t in tables])
+    ).to_pandas()
+    assert len(got) == len(want)
+    assert (got["conv_id"].values == want["conv_id"].values).all()
+    assert (got["text"].values == want["text"].values).all()
+    modes = set(
+        eng.lineage().to_pandas()["file_mode"].dropna().unique().tolist()
+    )
+    assert modes == {"append", "replace"}, f"auto never mixed: {modes}"
