@@ -1,0 +1,94 @@
+"""COW vs MOR vs AUTO crossover at a 16M-event lake (round-4 task).
+
+Protocol: bulk-load a 16M-event changelog as epoch 1 into a fresh lake,
+then apply ONE incremental epoch of D events (D = change volume) and
+time it, per merge mode.  The crossover is the change ratio where COW's
+full-partition rewrite stops losing to MOR's delta append.  AUTO should
+track min(cow, mor) by picking per partition.
+
+Run:  python BENCH/crossover_16m.py  (owns its Ray session; ~5 min)
+Writes BENCH/CROSSOVER_16M.json and prints one JSON line.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BULK = 16_000_000
+DELTAS = [160_000, 800_000, 1_600_000, 3_200_000, 6_400_000]
+MODES = ["cow", "mor", "auto"]
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from nifi_processors_ray.config import EngineConfig
+    from nifi_processors_ray.pipelines.replay import CdcEngine
+    from nifi_processors_ray.synth import write_generated_changelog
+
+    total = BULK + max(DELTAS)
+    log_dir = os.path.join(tempfile.gettempdir(), f"npr_xover_log_{total}")
+    write_generated_changelog(log_dir, total, files=64)
+
+    results = []
+    for delta in DELTAS:
+        for mode in MODES:
+            lake = tempfile.mkdtemp(prefix="npr_xover_lake_")
+            try:
+                base = dict(
+                    lake_dir=lake,
+                    changelog_paths=(log_dir,),
+                    num_partitions=64,
+                    salt_factor=4,
+                )
+                # epoch 1: bulk load (no prior base — every mode rewrites)
+                CdcEngine(EngineConfig(**base, epoch_events=BULK, merge_mode=mode)).replay(
+                    max_epochs=1
+                )
+                # epoch 2: the measured incremental apply of D events
+                eng = CdcEngine(
+                    EngineConfig(**base, epoch_events=delta, merge_mode=mode)
+                )
+                t0 = time.perf_counter()
+                res = eng.replay(max_epochs=1)
+                wall = time.perf_counter() - t0
+                lineage = eng.lineage().to_pandas()
+                ep2 = lineage[lineage["commit_epoch"] == 2]
+                row = {
+                    "delta_events": delta,
+                    "change_ratio": round(delta / BULK, 3),
+                    "mode": mode,
+                    "epoch2_sec": round(wall, 2),
+                    "epoch2_events_per_sec": round(delta / wall),
+                    "applied": int(res[0].n_applied),
+                    "append_parts": int((ep2["file_mode"] == "append").sum()),
+                    "replace_parts": int((ep2["file_mode"] == "replace").sum()),
+                }
+                results.append(row)
+                print(json.dumps(row), flush=True)
+            finally:
+                shutil.rmtree(lake, ignore_errors=True)
+    out = {"bulk_events": BULK, "num_partitions": 64, "results": results}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "CROSSOVER_16M.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"done": True, "rows": len(results)}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

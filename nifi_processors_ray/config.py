@@ -72,12 +72,18 @@ class EngineConfig:
     # per-epoch delta files and auto-compacts a partition when it
     # reaches `compact_threshold` files (write amplification ∝ change
     # volume — the 10^10-event setting).
-    # 'auto' picks PER PARTITION per epoch: delta-append (mor) when the
-    # epoch's change volume is a small fraction of the partition
-    # (< auto_mor_ratio), full rewrite (cow) when most of the partition
-    # changes anyway or it has no base yet — write amplification tracks
-    # the change ratio instead of being a global either/or.
-    merge_mode: str = "cow"
+    # 'auto' (the default) picks PER PARTITION per epoch: delta-append
+    # (mor) when the epoch's change volume is a small fraction of the
+    # partition (< auto_mor_ratio), full rewrite (cow) when most of the
+    # partition changes anyway or it has no base yet — write
+    # amplification tracks the change ratio instead of being a global
+    # either/or.  At 10^10-event scale (key cardinality >> epoch size)
+    # this is the MOR regime, where the measured crossover
+    # (BENCH/CROSSOVER_16M.json) shows delta-append 1.5x faster per
+    # epoch at a 1% change ratio and never slower; on small-cardinality
+    # update-heavy streams it degrades gracefully to COW's read-optimal
+    # single file.  Explicit 'cow'/'mor' force one strategy.
+    merge_mode: str = "auto"
     auto_mor_ratio: float = 0.2
     compact_threshold: int = 8
     max_attempts: int = 3

@@ -18,6 +18,22 @@ paths); crash after → the epoch is fully visible.  That single atomic
 point is the exactly-once upgrade over the reference's
 checkpoint-then-commit gap (``consumer/GetKinesisStream.java:283-295``).
 
+FAILOVER MODEL (deliberate divergence from the reference): the
+reference scales out via KCL's lease table — many workers each lease
+shards, and a dead worker's leases MIGRATE to the survivors
+(``consumer/AbstractKinesisConsumerProcessor.java:97-104``).  This
+engine is single-writer by design, like every manifest-committed lake
+(Delta/Iceberg): parallelism lives INSIDE the epoch (hundreds of merge
+tasks, Ray retries cover worker death transparently), and the one
+driver is the only lease.  Driver death is handled by RESTART, not
+lease migration — the 2PC manifest makes the restarted replay resume
+from the last committed epoch exactly-once (pinned by
+``tests/test_crash_stress.py``), so failover is "run the job again"
+(`ray job submit` with restarts, or any supervisor).  The flock in
+``ManifestStore.writer_lock`` enforces the contract on one host;
+cross-host mutual exclusion is the scheduler's job (one driver per
+lake), because flock over NFS/object stores is unreliable.
+
 NOTE: never calls ``ray.init``/``ray.shutdown`` — the session is owned
 by the caller (driver contract).
 """
