@@ -365,6 +365,25 @@ def _q_conversation_token_stats(sf_dir: str):
     return token_stats(eng.final_state())
 
 
+def _q_conv_stats_view_incremental(sf_dir: str):
+    """Incremental materialized view under the driver gate: a multi-epoch
+    replay folds each epoch's dirty conversations into the PARTITIONED
+    ``ConvStatsView`` (clean partitions carry forward by reference, only
+    dirty ones rewrite), and the converged view must equal the one-shot
+    ``conversation_token_stats`` twin — the dirty-group algorithm's
+    correctness proven by the same strict compare as every other query."""
+    from nifi_processors_ray.pipelines.views import ConvStatsView
+
+    # the shared multi-epoch MOR engine (~4 epochs at any sf) provides
+    # the incremental folds without a private replay; the view lives
+    # next to its engine's lake so the cached-engine fast path finds it
+    # already at head (refresh_to_head is then a no-op)
+    eng = _mor_engine(sf_dir)
+    view = ConvStatsView(eng.cfg.lake_dir.rstrip("/") + "_view")
+    view.refresh_to_head(eng)
+    return view.read_dataset().sort("conv_id")
+
+
 def _q_conversation_search(sf_dir: str):
     """Keyword retrieval over the converged lake: conversations whose
     turns mention any query term, with match counts — CDC state feeding
@@ -528,6 +547,7 @@ _REGISTRY_ORDER = (
     "events_profile",
     "nation_market_share",
     "embedding_dup_pairs",
+    "conv_stats_view_incremental",
     "cdc_rejected",
     "cdc_point_lookup",
     "events_weighted_sample",
@@ -603,6 +623,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "cdc_lineage_totals": _q_cdc_lineage_totals,
         "cdc_conversations": _q_cdc_conversations,
         "conversation_token_stats": _q_conversation_token_stats,
+        # incremental view maintenance (dirty-partition folds) == twin
+        "conv_stats_view_incremental": _q_conv_stats_view_incremental,
         "conversation_role_transitions": _q_role_transitions,
         "conversation_search": _q_conversation_search,
         "conversation_search_indexed": _q_conversation_search_indexed,
@@ -790,6 +812,14 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_by_family()
+    # the incremental view's converged contents ARE conversation_token_stats
+    # (the whole point: dirty-group folds == one-shot recompute)
+    sql["conv_stats_view_incremental"] = sql["conversation_token_stats"]
+    return sql
+
+
+def _oracle_sql_by_family() -> dict[str, str]:
     return {
         "cdc_replay": f"""
 WITH {CHANGELOG_FROM_EVENTS_CTE},

@@ -246,10 +246,18 @@ class ConvStatsView:
             # the recomputed rows are dirty-scale (one row per changed
             # conversation this epoch) — metadata-sized by the same
             # argument as the dirty-key set; collected as Arrow, never
-            # through pandas, then broadcast to the rewrite tasks
-            fresh_tbl = pa.concat_tables(
-                [ray.get(r) for r in stats.to_arrow_refs()]
-            ).cast(VIEW_SCHEMA)
+            # through pandas, then broadcast to the rewrite tasks.
+            # Ray emits SCHEMA-LESS empty blocks from sort/groupby
+            # stages — drop them before the concat or it fails on the
+            # zero-column schema.
+            parts = [
+                t.select(VIEW_SCHEMA.names).cast(VIEW_SCHEMA)
+                for t in (ray.get(r) for r in stats.to_arrow_refs())
+                if t.num_columns
+            ]
+            fresh_tbl = (
+                pa.concat_tables(parts) if parts else VIEW_SCHEMA.empty_table()
+            )
         else:  # every dirty conversation was deleted
             fresh_tbl = VIEW_SCHEMA.empty_table()
 
