@@ -602,6 +602,9 @@ _REGISTRY_ORDER = (
 
 def queries() -> dict[str, Callable[[str], Any]]:
     base = _queries_by_family()
+    stale = [n for n in _REGISTRY_ORDER if n not in base]
+    if stale:  # renamed/removed without updating the rotation — fail loud
+        raise AssertionError(f"_REGISTRY_ORDER names unknown queries: {stale}")
     ordered = {name: base.pop(name) for name in _REGISTRY_ORDER}
     if base:  # a query was added without a rotation slot — fail loud
         raise AssertionError(f"queries missing from _REGISTRY_ORDER: {sorted(base)}")

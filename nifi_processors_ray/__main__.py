@@ -38,6 +38,7 @@ def _engine(args):
             epoch_events=args.epoch_events,
             initial_position=args.initial_position,
             merge_mode=args.merge_mode,
+            auto_mor_ratio=args.auto_mor_ratio,
             compact_threshold=args.compact_threshold,
             merge_concurrency=args.merge_concurrency,
         )
@@ -225,7 +226,8 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--salt-factor", type=int, default=4)
         p.add_argument("--epoch-events", type=int, default=2_000_000)
         p.add_argument("--initial-position", default="TRIM_HORIZON")
-        p.add_argument("--merge-mode", default="cow", choices=["cow", "mor", "auto"])
+        p.add_argument("--merge-mode", default="auto", choices=["cow", "mor", "auto"])
+        p.add_argument("--auto-mor-ratio", type=float, default=0.2)
         p.add_argument("--compact-threshold", type=int, default=8)
         p.add_argument("--merge-concurrency", type=int, default=None)
         p.add_argument("--max-epochs", type=int, default=None)

@@ -30,12 +30,25 @@ _ESCAPES = [
     ("\f", "\\f"),
 ]
 
+# the remaining 27 control characters get json.dumps' \u00XX escapes;
+# they are applied only when a cheap regex probe finds one in the column
+_CTRL_ESCAPES = [
+    (chr(c), f"\\u{c:04x}")
+    for c in range(0x20)
+    if chr(c) not in {"\n", "\r", "\t", "\b", "\f"}
+]
+
 
 def _json_string_values(col: pa.ChunkedArray) -> pa.ChunkedArray:
     """UTF-8 column → JSON string literals (quoted, escaped); null → null."""
     s = col
     for old, new in _ESCAPES:
         s = pc.replace_substring(s, pattern=old, replacement=new)
+    # rare path: other control chars (0x00-0x1F) must be \u-escaped or
+    # the line is invalid JSON; one regex scan gates the 27 fixed passes
+    if pc.any(pc.match_substring_regex(s, r"[\x00-\x1f]")).as_py():
+        for old, new in _CTRL_ESCAPES:
+            s = pc.replace_substring(s, pattern=old, replacement=new)
     return pc.binary_join_element_wise('"', s, '"', "")
 
 
@@ -43,6 +56,14 @@ def _json_timestamp_values(col: pa.ChunkedArray) -> pa.ChunkedArray:
     """timestamp[us] → JSON strings matching ``str(datetime)`` exactly:
     the ``.%f`` fraction is omitted when the microsecond part is zero."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if col.type.tz is not None:
+        # str(aware datetime) carries a "+HH:MM" suffix the fixed-width
+        # slice below would corrupt — fail loud rather than emit garbage
+        raise TypeError(f"encode_jsonl: tz-aware timestamps unsupported ({col.type})")
+    if col.type.unit != "us":
+        # the %S fraction below is precision-wide: normalize to us first.
+        # Arrow's default safe cast raises on lossy ns→us, as it must.
+        col = pc.cast(col, pa.timestamp("us"))
     # Arrow's %S already includes the (precision-wide) fraction, so this
     # is "....SS.ffffff"; str(datetime) drops the fraction when it is 0
     frac = pc.strftime(col, format="%Y-%m-%d %H:%M:%S")

@@ -950,24 +950,35 @@ def _bucket_pairs_cosine(group: pa.Table, threshold: float) -> pa.Table:
     )
     if n < 2:
         return empty
-    if n > MAX_BUCKET * 4:
-        group = _cap_bucket(group, "vec_id", MAX_BUCKET * 4)
-        n = MAX_BUCKET * 4
+    # No bucket cap: this op is SQL-oracled as EXACT output (same rule
+    # as the jaccard verify) — a cap would silently drop true pairs in
+    # >cap-sized duplicate clusters.  The matmul is chunked so peak
+    # memory is O(chunk × n), not O(n²); a degenerate bucket still pays
+    # quadratic COMPUTE, which is the true cost of its exact pair set.
     ids = np.asarray(group.column("vec_id"))
     emb = np.asarray(group.column("embedding").combine_chunks().flatten()).reshape(n, -1)
-    sims = emb @ emb.T  # rows already unit-norm
-    ia, ib = np.triu_indices(n, k=1)
-    s = sims[ia, ib]
-    keep = s >= threshold
-    if not keep.any():
+    chunk = 2048
+    las, lbs, lss = [], [], []
+    for s0 in range(0, n - 1, chunk):
+        s1 = min(s0 + chunk, n)
+        sims = emb[s0:s1] @ emb.T  # rows already unit-norm
+        ia, ib = np.nonzero(sims >= threshold)
+        upper = ib > (ia + s0)  # strict upper triangle in global indices
+        if not upper.any():
+            continue
+        ia, ib = ia[upper], ib[upper]
+        las.append(ids[ia + s0])
+        lbs.append(ids[ib])
+        lss.append(sims[ia, ib])
+    if not las:
         return empty
-    a, b = ids[ia[keep]], ids[ib[keep]]
+    a, b = np.concatenate(las), np.concatenate(lbs)
     lo, hi = np.minimum(a, b), np.maximum(a, b)
     return pa.table(
         {
             "doc_a": pa.array(lo.astype(np.int64)),
             "doc_b": pa.array(hi.astype(np.int64)),
-            "cosine": pa.array(s[keep]),
+            "cosine": pa.array(np.concatenate(lss)),
         }
     )
 

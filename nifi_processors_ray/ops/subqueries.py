@@ -411,25 +411,25 @@ def sole_returned_supplier(sf_dir: str, n_top: int = Q21_TOP) -> ray.data.Datase
     )
     # null-safe AND NULLS-LAST: null_safe_sort's min-sentinel would place
     # a null name FIRST among ascending ties where DuckDB orders NULLS
-    # LAST — sort on a max-sentinel shadow instead so the engine and the
-    # twin agree even at a top-k tie boundary with null supplier names
-    _NAME_LAST = "\uffff\uffff"
-
-    def _name_nulls_last(b: pa.Table) -> pa.Table:
-        col = b.column("s_name")
-        if pc.any(pc.equal(col, _NAME_LAST)).as_py():
-            raise AssertionError("NULLS-LAST sentinel collides with a real s_name")
-        return b.append_column("__name_last", pc.fill_null(col, _NAME_LAST))
+    # LAST.  No string sentinel can sort after EVERY possible name (an
+    # astral-plane char sorts past U+FFFF in UTF-8 order), so the null
+    # placement is its own integer key: is_null ascending BEFORE the name
+    # puts null names last among ties, exactly DuckDB's default —
+    # collision-free by construction.
+    def _name_null_flag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__name_null", pc.is_null(b.column("s_name")).cast(pa.int8())
+        )
 
     out = (
         null_safe_sort(
-            named.map_batches(_name_nulls_last, batch_format="pyarrow"),
-            ["numwait", "__name_last", "s_suppkey"],
-            descending=[True, False, False],
+            named.map_batches(_name_null_flag, batch_format="pyarrow"),
+            ["numwait", "__name_null", "s_name", "s_suppkey"],
+            descending=[True, False, False, False],
         )
         .limit(n_top)
         .map_batches(
-            lambda b: b.drop_columns(["__name_last"]), batch_format="pyarrow"
+            lambda b: b.drop_columns(["__name_null"]), batch_format="pyarrow"
         )
     )
     return compact_small_result(

@@ -179,14 +179,17 @@ class ConvStatsView:
         os.rename(tmp, os.path.join(self.dir, "CURRENT"))
 
     # -- refresh -----------------------------------------------------
-    def refresh(self, engine: CdcEngine, epoch: int | None = None) -> pa.Table:
+    def refresh(self, engine: CdcEngine, epoch: int | None = None) -> dict:
         """Fold one committed epoch into the view (default: the next
-        unprocessed one).  Returns the refreshed view table (small-view
-        convenience; the on-disk partitions are the real product)."""
+        unprocessed one).  Returns a metadata-sized receipt — the
+        on-disk partitions are the product; read them via
+        :meth:`read_dataset` (streaming) or :meth:`read` (small views).
+        Never materializes the view on the driver."""
         latest = engine.store.latest()
         target = epoch if epoch is not None else self.last_refreshed_epoch() + 1
-        if target > latest.epoch:
-            return self.read()  # nothing new committed
+        if target > latest.epoch:  # nothing new committed
+            return {"epoch": self.last_refreshed_epoch(), "dirty_convs": 0,
+                    "partitions_rewritten": 0}
         done = self.last_refreshed_epoch()
         if target != done + 1:
             # skipping an epoch would silently lose its changes forever
@@ -214,7 +217,7 @@ class ConvStatsView:
         prior_files = self.files()
         if not dirty:
             self._commit(prior_files, target)
-            return self.read()
+            return {"epoch": target, "dirty_convs": 0, "partitions_rewritten": 0}
 
         # 2. pruned re-read: only LAKE partitions a dirty conversation
         #    can hash to — the point-lookup rule, via the ONE shared
@@ -270,18 +273,18 @@ class ConvStatsView:
         dirty_parts = sorted(
             set(_view_parts(dirty_arr, self.num_partitions).tolist())
         )
-        work = pa.table(
-            {
-                "part": pa.array(dirty_parts, pa.int32()),
-                "prior_file": pa.array(
-                    [prior_files.get(p, "") for p in dirty_parts], pa.string()
-                ),
-            }
-        )
-        receipts_ds = ray.data.from_arrow(work).map_batches(
+        # one item (= one block = one task) per dirty partition: Ray's
+        # parallelism unit is the block, so a single-block from_arrow
+        # would run every rewrite serially in one task
+        work = [
+            {"part": p, "prior_file": prior_files.get(p, "")} for p in dirty_parts
+        ]
+        receipts_ds = ray.data.from_items(
+            work, override_num_blocks=len(work)
+        ).map_batches(
             _rewrite_partition,
             batch_format="pyarrow",
-            batch_size=1,
+            batch_size=None,
             fn_kwargs={
                 "view_dir": self.dir,
                 "epoch": target,
@@ -290,7 +293,9 @@ class ConvStatsView:
             },
         )
         new_files = dict(prior_files)
+        rewritten = 0
         for r in receipts_ds.take_all():
+            rewritten += 1
             if r["file"]:
                 new_files[int(r["part"])] = r["file"]
             else:
@@ -298,12 +303,15 @@ class ConvStatsView:
 
         # 4. commit atomically
         self._commit(new_files, target)
-        return self.read()
+        return {"epoch": target, "dirty_convs": len(dirty),
+                "partitions_rewritten": rewritten}
 
-    def refresh_to_head(self, engine: CdcEngine) -> pa.Table:
-        """Fold every unprocessed committed epoch, in order."""
-        view = self.read()
+    def refresh_to_head(self, engine: CdcEngine) -> dict:
+        """Fold every unprocessed committed epoch, in order; returns the
+        last epoch's receipt (or a no-op receipt when already caught up)."""
+        receipt = {"epoch": self.last_refreshed_epoch(), "dirty_convs": 0,
+                   "partitions_rewritten": 0}
         man = engine.store.latest()
         for epoch in range(self.last_refreshed_epoch() + 1, man.epoch + 1):
-            view = self.refresh(engine, epoch)
-        return view
+            receipt = self.refresh(engine, epoch)
+        return receipt

@@ -27,12 +27,9 @@ def test_incremental_view_tracks_every_epoch(tmp_path):
     n_epochs = len(eng.replay())
     assert n_epochs == 4
     for epoch in range(1, n_epochs + 1):
-        got = (
-            view.refresh(eng, epoch)
-            .to_pandas()
-            .sort_values("conv_id")
-            .reset_index(drop=True)
-        )
+        receipt = view.refresh(eng, epoch)
+        assert receipt["epoch"] == epoch
+        got = view.read().to_pandas().sort_values("conv_id").reset_index(drop=True)
         want = _full(eng, epoch)
         assert got.equals(want), f"incremental view diverged at epoch {epoch}"
     assert view.last_refreshed_epoch() == n_epochs
@@ -44,7 +41,8 @@ def test_refresh_to_head_and_idempotent_noop(tmp_path):
     eng = make_engine(str(tmp_path / "lake"), log, epoch_events=400)
     eng.replay()
     view = ConvStatsView(str(tmp_path / "view"))
-    got = view.refresh_to_head(eng).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    view.refresh_to_head(eng)
+    got = view.read().to_pandas().sort_values("conv_id").reset_index(drop=True)
     want = (
         token_stats(eng.final_state())
         .to_pandas()
@@ -52,8 +50,10 @@ def test_refresh_to_head_and_idempotent_noop(tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want)
-    # caught up: another refresh is a no-op returning the same view
-    again = view.refresh_to_head(eng).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    # caught up: another refresh is a no-op leaving the same view
+    noop = view.refresh_to_head(eng)
+    assert noop["partitions_rewritten"] == 0
+    again = view.read().to_pandas().sort_values("conv_id").reset_index(drop=True)
     assert again.equals(want)
 
 
@@ -65,7 +65,8 @@ def test_crash_between_commits_keeps_previous_view(tmp_path):
     eng = make_engine(str(tmp_path / "lake"), log, epoch_events=500)
     eng.replay()
     view = ConvStatsView(str(tmp_path / "view"))
-    t1 = view.refresh(eng, 1)
+    view.refresh(eng, 1)
+    t1 = view.read()
     # simulate a crash mid-refresh(2): snapshot written, CURRENT not swapped
     import pyarrow.parquet as pq
     import os
