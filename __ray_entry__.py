@@ -33,6 +33,7 @@ from nifi_processors_ray.ops import multimodal as _mm
 from nifi_processors_ray.ops import similarity as _sim
 from nifi_processors_ray.ops import text as _text
 from nifi_processors_ray.ops import vectors as _vec
+from nifi_processors_ray.ops import warehouse as _wh
 from nifi_processors_ray.pipelines import corpus as _corpus
 from nifi_processors_ray.pipelines.replay import CdcEngine
 from nifi_processors_ray.synth import (
@@ -471,6 +472,16 @@ ORDER BY conv_id
 # family last (their green artifact already exists; results are
 # order-independent — every query is a pure function of sf_dir).
 _REGISTRY_ORDER = (
+    # round-4 additions lead so the driver's capped oracle pass reaches
+    # them first (already-green queries rotate to the back)
+    "cheapest_part_supplier",
+    "priority_with_large_items",
+    "nation_profit",
+    "customer_order_distribution",
+    "top_revenue_suppliers",
+    "brand_supplier_counts",
+    "embedding_dup_pairs",
+    "conv_stats_view_incremental",
     "supplier_nation_rollup",
     "events_user_enrich",
     "orders_yoy_growth",
@@ -546,8 +557,6 @@ _REGISTRY_ORDER = (
     "local_supplier_volume",
     "events_profile",
     "nation_market_share",
-    "embedding_dup_pairs",
-    "conv_stats_view_incremental",
     "cdc_rejected",
     "cdc_point_lookup",
     "events_weighted_sample",
@@ -788,6 +797,19 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "corpus_shuffle_shards": _corpus.corpus_shuffle_shards,
         # share-of-total within group over a 6-table chain (Q8)
         "nation_market_share": _subq.nation_market_share,
+        # remaining classic warehouse shapes (ops/warehouse.py):
+        # per-group argmin join-back (Q2)
+        "cheapest_part_supplier": _wh.cheapest_part_supplier,
+        # EXISTS folded into a grouped count (Q4)
+        "priority_with_large_items": _wh.priority_with_large_items,
+        # 4-table chain grouped by (nation, ship year) (Q9)
+        "nation_profit": _wh.nation_profit,
+        # LEFT-JOIN count distribution incl. the zero bucket (Q13)
+        "customer_order_distribution": _wh.customer_order_distribution,
+        # HAVING against a global scalar — distributed argmax (Q15)
+        "top_revenue_suppliers": _wh.top_revenue_suppliers,
+        # COUNT DISTINCT after join with a NOT-IN exclusion (Q16)
+        "brand_supplier_counts": _wh.brand_supplier_counts,
         # benchmark decontamination (broadcast eval n-gram set, pure map)
         "decontaminate": _text.decontaminate,
         # ordered conversion funnel (the self-join-free chain evaluation)
@@ -1163,6 +1185,12 @@ FROM _ch
         "doc_chunks": _text.DOC_CHUNKS_SQL,
         "corpus_shuffle_shards": _corpus.SHUFFLE_SHARDS_SQL,
         "nation_market_share": _subq.NATION_MARKET_SHARE_SQL,
+        "cheapest_part_supplier": _wh.CHEAPEST_PART_SUPPLIER_SQL,
+        "priority_with_large_items": _wh.PRIORITY_WITH_LARGE_ITEMS_SQL,
+        "nation_profit": _wh.NATION_PROFIT_SQL,
+        "customer_order_distribution": _wh.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        "top_revenue_suppliers": _wh.TOP_REVENUE_SUPPLIERS_SQL,
+        "brand_supplier_counts": _wh.BRAND_SUPPLIER_COUNTS_SQL,
         "decontaminate": _text.DECONTAMINATE_SQL,
         "events_funnel": _ev.FUNNEL_SQL,
         "customer_spend_deciles": _rel.SPEND_DECILES_SQL,

@@ -189,6 +189,7 @@ JOIN_NULL_TARGETS = [
     "customers_without_orders", "customers_with_urgent_orders",
     "top_orders_per_cust", "brand_revenue", "order_priority_revenue",
     "quantity_band_counts", "shipping_priority",
+    "customer_order_distribution", "priority_with_large_items",
 ]
 
 
@@ -258,6 +259,8 @@ PART_NULL_TARGETS = [
     "promo_revenue_share", "disjunctive_band_revenue",
     "nation_market_share", "supplier_nation_rollup",
     "sole_returned_supplier", "ship_delay_profile",
+    "cheapest_part_supplier", "brand_supplier_counts",
+    "nation_profit", "top_revenue_suppliers",
 ]
 
 
