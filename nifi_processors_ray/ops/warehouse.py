@@ -22,9 +22,10 @@ the SHAPES are faithful, the predicates are adapted):
 Scale rules, same as ``ops/chains.py``: fact legs never broadcast
 (every hop is ONE co-partitioned sort exchange via ``checked_sort``,
 whose run repair guarantees whole key runs per block); genuinely tiny
-dims (nation) are driver-read; bounded sets (Q15's tie-set, Q16's
-exclusion set) broadcast via ``ray.put`` with the boundedness argument
-documented at the call site.  Money is floored integer cents in the
+dims (nation) are driver-read; Q15's tie-set broadcasts via ``ray.put``
+(bounded by the argmax argument), while Q16's supplier-proportional
+exclusion set runs as a distributed anti-join exchange — the
+boundedness argument is documented at each call site.  Money is floored integer cents in the
 identical IEEE op order as the DuckDB twins; every SUM is CAST back to
 BIGINT.
 
@@ -466,15 +467,21 @@ def nation_profit(sf_dir: str) -> ray.data.Dataset:
         idx = pc.index_in(
             b.column("nat").cast(pa.int32()), value_set=nm.column("n_nationkey")
         )
-        b = b.append_column("n_name", nm.column("n_name").take(idx))
-        # INNER join to nation: dangling nationkeys drop here
-        b = b.filter(pc.is_valid(b.column("n_name")))
+        # INNER join to nation: DANGLING nationkeys drop here — but a
+        # matched nation whose n_name is NULL keeps its group (SQL emits
+        # it with a NULL name), so the drop tests the index_in HIT, not
+        # the name's validity
+        hit = pc.is_valid(idx)
+        b = b.filter(hit)
+        b = b.append_column("n_name", nm.column("n_name").take(idx.filter(hit)))
         return b.select(["n_name", "year", "profit_cents"]).rename_columns(
             ["n_name", "l_year", "profit_cents"]
         )
 
-    out = agg.map_batches(label, batch_format="pyarrow").sort(
-        ["n_name", "l_year"], descending=[False, True]
+    out = null_safe_sort(  # n_name may be NULL (kept group, see label)
+        agg.map_batches(label, batch_format="pyarrow"),
+        ["n_name", "l_year"],
+        descending=[False, True],
     )
     return compact_small_result(
         out,
@@ -635,21 +642,14 @@ def _q16_part_side(batch: pa.Table) -> pa.Table:
     )
 
 
-def _q16_item_side(batch: pa.Table, excl_ref) -> pa.Table:
-    """(partkey, suppkey) pairs, deduped per batch, minus the excluded
-    suppliers (broadcast sorted array + searchsorted — the NOT IN)."""
-    excl = ray.get(excl_ref) if isinstance(excl_ref, ray.ObjectRef) else excl_ref
+def _q16_item_side(batch: pa.Table) -> pa.Table:
+    """(partkey, suppkey) pairs, deduped per batch."""
     batch = batch.filter(
         pc.and_(
             pc.is_valid(batch.column("l_partkey")),
             pc.is_valid(batch.column("l_suppkey")),
         )
     )
-    sk = np.asarray(batch.column("l_suppkey").cast(pa.int64()).combine_chunks())
-    if len(excl) and len(sk):
-        idx = np.searchsorted(excl, sk)
-        hit = (idx < len(excl)) & (excl[np.minimum(idx, len(excl) - 1)] == sk)
-        batch = batch.filter(pa.array(~hit))
     g = (
         pa.table(
             {
@@ -704,35 +704,63 @@ def _q16_block(block: pa.Table) -> pa.Table:
     return g.drop_columns(["count_all"])
 
 
+def _q16_excl_side(batch: pa.Table) -> pa.Table:
+    batch = batch.filter(pc.is_valid(batch.column("s_suppkey")))
+    g = (
+        pa.table({"key": batch.column("s_suppkey").cast(pa.int64())})
+        .group_by(["key"])
+        .aggregate([([], "count_all")])
+    )
+    n = g.num_rows
+    return pa.table(
+        {
+            "key": g.column("key"),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "p_brand": pa.nulls(n, pa.string()),
+            "p_size": pa.nulls(n, pa.int64()),
+        }
+    )
+
+
+def _q16_anti_block(block: pa.Table) -> pa.Table:
+    """Per suppkey run: distinct (brand, size, supplier) rows survive
+    iff the run has NO excluded-supplier build row (the NOT IN)."""
+    empty = pa.table(
+        {
+            "p_brand": pa.array([], pa.string()),
+            "p_size": pa.array([], pa.int64()),
+            "supp": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    block, key, side, starts, run_len, build_idx = sorted_build_probe_runs(block)
+    keep = (side == 1) & (build_idx < 0)
+    if not keep.any():
+        return empty
+    return pa.table(
+        {
+            "p_brand": block.column("p_brand").filter(pa.array(keep)),
+            "p_size": block.column("p_size").filter(pa.array(keep)),
+            "supp": pa.array(key[keep].astype(np.int64)),
+        }
+    )
+
+
 def brand_supplier_counts(sf_dir: str) -> ray.data.Dataset:
     """Distinct suppliers per (brand, size) for selected part sizes,
     excluding low-balance suppliers (the TPC-H Q16 shape: COUNT
     DISTINCT after a join with a NOT-IN exclusion).  The exclusion set
-    (bounded by the balance-floor selectivity — documented broadcast
-    assumption, Q18's pattern) ships as a sorted array; one partkey
-    exchange tags pairs, one grouped exchange dedupes globally, and a
-    final per-(brand, size) count is exact because each (brand, size,
-    supplier) survives exactly once."""
+    is supplier-cardinality-proportional, so it is NOT broadcast: the
+    NOT IN runs as a distributed ANTI-JOIN exchange on suppkey against
+    the already-distinct (brand, size, supplier) rows.  Three grouped/
+    sort exchanges total — partkey tag, (brand, size, supplier)
+    distinct, suppkey anti-join — each moving only deduped partials;
+    the final per-(brand, size) count is exact because each surviving
+    (brand, size, supplier) occurs exactly once."""
     from ray.data.aggregate import Count
 
     sf = sf_dir.rstrip("/")
-    excl_rows = (
-        read_parquet_clean(
-            f"{sf}/supplier.parquet",
-            columns=["s_suppkey", "s_acctbal"],
-            filter=pc.field("s_acctbal") < Q16_ACCTBAL_FLOOR,
-        )
-        .map_batches(
-            lambda b: pa.table(
-                {"k": pc.drop_null(b.column("s_suppkey").cast(pa.int64()).combine_chunks())}
-            ),
-            batch_format="pyarrow",
-        )
-        .take_all()
-    )
-    excl = np.sort(np.array([r["k"] for r in excl_rows], dtype=np.int64))
-    excl_ref = ray.put(excl)
-
     part = read_parquet_clean(
         f"{sf}/part.parquet",
         columns=["p_partkey", "p_brand", "p_size"],
@@ -740,7 +768,7 @@ def brand_supplier_counts(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(_q16_part_side, batch_format="pyarrow")
     items = read_parquet_clean(
         f"{sf}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
-    ).map_batches(_q16_item_side, batch_format="pyarrow", fn_kwargs={"excl_ref": excl_ref})
+    ).map_batches(_q16_item_side, batch_format="pyarrow")
     tagged = checked_sort(part.union(items), "key").map_batches(
         _q16_block, batch_format="pyarrow", batch_size=None
     )
@@ -750,8 +778,33 @@ def brand_supplier_counts(sf_dir: str) -> ray.data.Dataset:
         Count(alias_name="__n"),
         out_types={"__n": pa.int64()},
     )
+
+    def _distinct_probe(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": b.column("supp").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "p_brand": b.column("p_brand"),
+                "p_size": b.column("p_size"),
+            }
+        )
+
+    excl = read_parquet_clean(
+        f"{sf}/supplier.parquet",
+        columns=["s_suppkey", "s_acctbal"],
+        filter=pc.field("s_acctbal") < Q16_ACCTBAL_FLOOR,
+    ).map_batches(_q16_excl_side, batch_format="pyarrow")
+    surviving = checked_sort(
+        excl.union(
+            distinct.drop_columns(["__n"]).map_batches(
+                _distinct_probe, batch_format="pyarrow"
+            )
+        ),
+        "key",
+    ).map_batches(_q16_anti_block, batch_format="pyarrow", batch_size=None)
     out = null_safe_groupby_agg(
-        distinct.drop_columns(["__n"]),
+        surviving,
         ["p_brand", "p_size"],
         Count(alias_name="supplier_cnt"),
         out_types={"supplier_cnt": pa.int64()},
