@@ -42,8 +42,13 @@ def main() -> None:
     from nifi_processors_ray.synth import write_generated_changelog
 
     total = BULK + max(DELTAS)
-    log_dir = os.path.join(tempfile.gettempdir(), f"npr_xover_log_{total}")
-    write_generated_changelog(log_dir, total, files=64)
+    log_dir = os.path.join(tempfile.gettempdir(), f"npr_xover_log_{total}_v2")
+    # keyspace proportional to events (~6 events/key): the generator's
+    # default 1,000 conversations (~32k keys) makes EVERY epoch touch
+    # nearly every key at these delta sizes, so no change-fraction rule
+    # could ever pick MOR — a measurement artifact of the synthetic
+    # keyspace, not a property of the engine
+    write_generated_changelog(log_dir, total, files=64, n_convs=max(BULK // 200, 1000))
 
     results = []
     for delta in DELTAS:

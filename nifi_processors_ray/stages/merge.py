@@ -348,13 +348,30 @@ class MergeApplier:
                 use_mor = self.mode == "mor"
                 if self.mode == "auto":
                     # per-partition change-ratio pick: delta-append only
-                    # when this epoch changes a small fraction of the
-                    # partition — otherwise the delta costs nearly a
-                    # rewrite in bytes but still adds a read-side file
+                    # when this epoch changes a small FRACTION OF THE
+                    # PARTITION'S KEYS — otherwise the delta costs
+                    # nearly a rewrite in bytes but still adds a
+                    # read-side file.  The numerator must be DISTINCT
+                    # keys, not applied events: prior_rows counts live
+                    # keys, and an update-heavy stream (many events per
+                    # key) would otherwise overstate the changed
+                    # fraction by the events-per-key factor and push
+                    # auto to COW on epochs MOR handles best.
                     prior_rows = self.part_rows.get(part, 0)
+                    n_keys = (
+                        pa.table(
+                            {
+                                "c": valid.column("conv_id"),
+                                "t": valid.column("turn_idx"),
+                            }
+                        )
+                        .group_by(["c", "t"])
+                        .aggregate([])
+                        .num_rows
+                    )
                     use_mor = (
                         prior_rows > 0
-                        and n_applied < prior_rows * self.auto_mor_ratio
+                        and n_keys < prior_rows * self.auto_mor_ratio
                     )
                 if use_mor and n_prior_files + 1 <= self.compact_threshold:
                     # delta write: only this epoch's changes hit disk

@@ -140,3 +140,63 @@ def test_auto_mode_oracle_and_mixed_file_modes(tmp_path):
         eng.lineage().to_pandas()["file_mode"].dropna().unique().tolist()
     )
     assert modes == {"append", "replace"}, f"auto never mixed: {modes}"
+
+
+def test_auto_mode_measures_distinct_keys_not_events(tmp_path):
+    """The auto change-ratio numerator is DISTINCT keys, not applied
+    events: an update-heavy epoch (many events hammering few keys)
+    changes a tiny fraction of the partition and must delta-append —
+    an events-based numerator would overstate the changed fraction by
+    the events-per-key factor and wrongly rewrite (the round-4
+    crossover harness caught exactly this on the generated stream)."""
+    import datetime
+
+    import pyarrow as pa
+
+    from nifi_processors_ray.schema import CHANGELOG_SCHEMA
+
+    log = tmp_path / "log_upd"
+    log.mkdir()
+    ts = datetime.datetime(2024, 1, 1)
+    n_base, n_hot_keys, n_updates = 4000, 20, 2000
+
+    def rows(seq0, ops):
+        return pa.table(
+            {
+                "seq": pa.array([seq0 + i for i in range(len(ops))], pa.int64()),
+                "op": pa.array([o for o, c, t in ops], pa.string()),
+                "conv_id": pa.array([c for o, c, t in ops], pa.string()),
+                "turn_idx": pa.array([t for o, c, t in ops], pa.int32()),
+                "role": pa.array(["user"] * len(ops), pa.string()),
+                "text": pa.array([f"s{seq0 + i}" for i in range(len(ops))], pa.string()),
+                "tool": pa.array([""] * len(ops), pa.string()),
+                "ts": pa.array([ts] * len(ops), pa.timestamp("us")),
+                "batch_id": pa.array(["b"] * len(ops), pa.string()),
+            },
+            schema=CHANGELOG_SCHEMA,
+        )
+
+    base_ops = [("I", f"c{i}", 0) for i in range(n_base)]
+    upd_ops = [("U", f"c{i % n_hot_keys}", 0) for i in range(n_updates)]
+    pq.write_table(rows(1, base_ops), str(log / "chunk-000.parquet"))
+    pq.write_table(rows(1 + n_base, upd_ops), str(log / "chunk-001.parquet"))
+
+    eng = CdcEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake_upd"),
+            changelog_paths=(str(log),),
+            num_partitions=8,
+            salt_factor=1,
+            epoch_events=n_base,
+            merge_mode="auto",
+            auto_mor_ratio=0.2,
+        )
+    )
+    eng.replay()
+    lin = eng.lineage().to_pandas()
+    ep2 = lin[(lin["commit_epoch"] == 2) & (lin["n_applied"] > 0)]
+    assert len(ep2) > 0
+    # ~250 update EVENTS per partition vs ~500 prior rows (ratio 0.5
+    # by events) but only ~2-3 distinct KEYS (ratio < 0.01) — every
+    # touched partition must append
+    assert set(ep2["file_mode"]) == {"append"}, ep2[["partition", "file_mode"]]
