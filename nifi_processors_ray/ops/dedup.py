@@ -875,7 +875,12 @@ def _components_min_label(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.
 
 
 def dedup_clusters(
-    docs: ray.data.Dataset, *, threshold: float = 0.5, k: int = 3, **jaccard_kw
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    k: int = 3,
+    pairs: ray.data.Dataset | None = None,
+    **jaccard_kw,
 ) -> ray.data.Dataset:
     """Near-duplicate CLUSTERS: connected components of the exact-Jaccard
     pair graph, labelled with the component's min doc id — the step that
@@ -887,8 +892,14 @@ def dedup_clusters(
     jaccard membership index; document text never leaves the cluster
     machines.  Documented scale assumption: the near-dup PAIR set is
     small by LSH construction (candidates ≈ near-dups).
+
+    ``pairs`` (the :func:`jaccard_dup_pairs` output) can be passed in to
+    reuse an already-computed pair set — a pipeline that wants both the
+    pair list and the clusters should pay the signature+verify chain
+    once, not twice.
     """
-    pairs = jaccard_dup_pairs(docs, threshold=threshold, k=k, **jaccard_kw)
+    if pairs is None:
+        pairs = jaccard_dup_pairs(docs, threshold=threshold, k=k, **jaccard_kw)
     tbl = pa.Table.from_pylist(
         pairs.select_columns(["doc_a", "doc_b"]).take_all(),
         schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
