@@ -205,15 +205,24 @@ FORGET_IDS = ("c0", "c1")
 # the exact-jaccard pair set feeds two queries (the pair list and the
 # cluster fold); the signature+verify chain is the whole cost, so it is
 # computed once per sf and the MATERIALIZED (deterministic) pair set is
-# reused — repeat calls stay identical by construction
+# reused — repeat calls stay identical by construction.  Keyed on
+# (path, mtime, size) of the source parquet like every other derived
+# artifact (functions/filecache contract) — a path-only key would
+# silently serve pairs from a regenerated corpus — and bounded (the
+# per-test tmp dirs of a pytest session would otherwise accumulate).
 _JACCARD_PAIRS_CACHE: dict[str, Any] = {}
+_JACCARD_PAIRS_CACHE_MAX = 8
 
 
 def _jaccard_pairs_cached(sf_dir: str):
-    key = os.path.abspath(sf_dir)
+    from nifi_processors_ray.functions.filecache import source_tag
+
+    key = source_tag(os.path.join(sf_dir, "documents.parquet"))
     ds = _JACCARD_PAIRS_CACHE.get(key)
     if ds is None:
         ds = _dedup.jaccard_dup_pairs(_dedup.augmented_documents(sf_dir)).materialize()
+        while len(_JACCARD_PAIRS_CACHE) >= _JACCARD_PAIRS_CACHE_MAX:
+            _JACCARD_PAIRS_CACHE.pop(next(iter(_JACCARD_PAIRS_CACHE)))
         _JACCARD_PAIRS_CACHE[key] = ds
     return ds
 
@@ -697,7 +706,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         # reuses the cached jaccard pair set (the signature+verify chain
         # is the cost — pay it once per sf, not once per query)
         "dedup_clusters": lambda sf: _dedup.dedup_clusters(
-            _dedup.augmented_documents(sf), pairs=_jaccard_pairs_cached(sf)
+            pairs=_jaccard_pairs_cached(sf)
         ),
         # similarity search (embeddings table)
         "knn_brute": _sim.knn_brute,

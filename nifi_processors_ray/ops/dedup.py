@@ -875,7 +875,7 @@ def _components_min_label(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.
 
 
 def dedup_clusters(
-    docs: ray.data.Dataset,
+    docs: ray.data.Dataset | None = None,
     *,
     threshold: float = 0.5,
     k: int = 3,
@@ -896,9 +896,12 @@ def dedup_clusters(
     ``pairs`` (the :func:`jaccard_dup_pairs` output) can be passed in to
     reuse an already-computed pair set — a pipeline that wants both the
     pair list and the clusters should pay the signature+verify chain
-    once, not twice.
+    once, not twice.  ``docs`` is only consulted when ``pairs`` is not
+    given (exactly one of the two is required).
     """
     if pairs is None:
+        if docs is None:
+            raise ValueError("dedup_clusters needs docs or a precomputed pairs set")
         pairs = jaccard_dup_pairs(docs, threshold=threshold, k=k, **jaccard_kw)
     tbl = pa.Table.from_pylist(
         pairs.select_columns(["doc_a", "doc_b"]).take_all(),

@@ -346,36 +346,36 @@ class MergeApplier:
             try:
                 n_prior_files = len(self.part_files.get(part, []))
                 use_mor = self.mode == "mor"
+                delta = None
+                if self.mode in ("mor", "auto"):
+                    # one per-key reduce, shared by the auto numerator
+                    # AND the delta write — not a separate aggregation
+                    delta = epoch_delta(valid, policy=self.policy)
                 if self.mode == "auto":
                     # per-partition change-ratio pick: delta-append only
                     # when this epoch changes a small FRACTION OF THE
-                    # PARTITION'S KEYS — otherwise the delta costs
-                    # nearly a rewrite in bytes but still adds a
-                    # read-side file.  The numerator must be DISTINCT
-                    # keys, not applied events: prior_rows counts live
-                    # keys, and an update-heavy stream (many events per
-                    # key) would otherwise overstate the changed
-                    # fraction by the events-per-key factor and push
-                    # auto to COW on epochs MOR handles best.
+                    # PARTITION — otherwise the delta costs nearly a
+                    # rewrite in bytes but still adds a read-side file.
+                    # Numerator: DISTINCT keys changed (delta rows), not
+                    # applied events — an update-heavy stream (many
+                    # events per key) would otherwise overstate the
+                    # fraction by the events-per-key factor.
+                    # Denominator: STORED rows.  Exact live keys after
+                    # every COW/compaction fold; between folds, delta
+                    # appends inflate it by superseded versions and
+                    # tombstones (≤ compact_threshold × ratio relative
+                    # drift, biasing auto toward MOR), and the next fold
+                    # — forced at compact_threshold files — resets it
+                    # to exact.  A live-key denominator would need the
+                    # prior deltas read back, which is the exact cost
+                    # MOR exists to skip.
                     prior_rows = self.part_rows.get(part, 0)
-                    n_keys = (
-                        pa.table(
-                            {
-                                "c": valid.column("conv_id"),
-                                "t": valid.column("turn_idx"),
-                            }
-                        )
-                        .group_by(["c", "t"])
-                        .aggregate([])
-                        .num_rows
-                    )
                     use_mor = (
                         prior_rows > 0
-                        and n_keys < prior_rows * self.auto_mor_ratio
+                        and delta.num_rows < prior_rows * self.auto_mor_ratio
                     )
                 if use_mor and n_prior_files + 1 <= self.compact_threshold:
                     # delta write: only this epoch's changes hit disk
-                    delta = epoch_delta(valid, policy=self.policy)
                     n_rows_after = self.part_rows.get(part, 0) + delta.num_rows
                     rel = f"data/epoch={self.epoch}/part-{part:05d}.delta.parquet"
                     self._write(delta, rel)
