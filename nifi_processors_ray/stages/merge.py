@@ -347,9 +347,7 @@ class MergeApplier:
                 n_prior_files = len(self.part_files.get(part, []))
                 use_mor = self.mode == "mor"
                 delta = None
-                if self.mode in ("mor", "auto"):
-                    # one per-key reduce, shared by the auto numerator
-                    # AND the delta write — not a separate aggregation
+                if self.mode == "mor":
                     delta = epoch_delta(valid, policy=self.policy)
                 if self.mode == "auto":
                     # per-partition change-ratio pick: delta-append only
@@ -370,10 +368,14 @@ class MergeApplier:
                     # prior deltas read back, which is the exact cost
                     # MOR exists to skip.
                     prior_rows = self.part_rows.get(part, 0)
-                    use_mor = (
-                        prior_rows > 0
-                        and delta.num_rows < prior_rows * self.auto_mor_ratio
-                    )
+                    use_mor = False
+                    if prior_rows > 0:
+                        # one per-key reduce, shared by the numerator
+                        # AND the delta write; the bulk/first epoch
+                        # (no prior base) skips it entirely — COW is
+                        # the only possible pick there
+                        delta = epoch_delta(valid, policy=self.policy)
+                        use_mor = delta.num_rows < prior_rows * self.auto_mor_ratio
                 if use_mor and n_prior_files + 1 <= self.compact_threshold:
                     # delta write: only this epoch's changes hit disk
                     n_rows_after = self.part_rows.get(part, 0) + delta.num_rows
