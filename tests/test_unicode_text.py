@@ -81,3 +81,36 @@ def test_text_family_unicode_parity(ray_session, unicode_sf, unicode_con, name):
     df = df.sort_index(axis=1).sort_values(list(sorted(df.columns))).reset_index(drop=True)
     ot = ot.sort_index(axis=1).sort_values(list(sorted(ot.columns))).reset_index(drop=True)
     assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
+
+
+def test_props_extract_malformed_json_parity(ray_session, tmp_path):
+    """events_props_extract == its DuckDB twin when the props column
+    carries malformed/unexpected JSON (truncated objects, bare strings,
+    arrays, wrong value types, empties, nulls) — both sides must agree
+    on what counts as extractable."""
+    import pyarrow.parquet as pq2
+
+    src = pq2.read_table(os.path.join(SRC, "events.parquet"))
+    props = src.column("props").to_pylist()
+    bad = ['{"k": }', 'not json', '', '{"k": "str"}', '{"K": 5}', '[1,2,3]',
+           '{"k": 1.5}', '{"k": null}', '{"k": 87, "extra": 1}', '{ }',
+           '{"k":-3}', None]
+    for i in range(len(props)):
+        if i % 9 == 0:
+            props[i] = bad[i % len(bad)]
+    i = src.schema.get_field_index("props")
+    src = src.set_column(i, "props", pa.array(props, pa.string()))
+    tmp = str(tmp_path)
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SRC, f), tmp)
+    pq2.write_table(src, os.path.join(tmp, "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp}/events.parquet')")
+    got = entry.queries()["events_props_extract"](tmp)
+    df = got.to_pandas() if hasattr(got, "to_pandas") else pd.DataFrame(got)
+    ot = con.sql(entry.oracle_sql()["events_props_extract"]).df()
+    con.close()
+    df = df.sort_index(axis=1).sort_values(list(sorted(df.columns))).reset_index(drop=True)
+    ot = ot.sort_index(axis=1).sort_values(list(sorted(ot.columns))).reset_index(drop=True)
+    assert df.equals(ot)
