@@ -187,6 +187,17 @@ def cmd_forget(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Fold multi-file (MOR delta) partitions back to one COW file set
+    per partition without consuming stream events — run before a heavy
+    read window to bound read amplification; state is unchanged
+    (`state_at(new) == state_at(prior)`)."""
+    _ensure_ray()
+    eng = _engine(args)
+    print(json.dumps(eng.compact_partitions()))
+    return 0
+
+
 def cmd_changes(args) -> int:
     """Emit one epoch's net-change feed as JSON lines (the CDC-consumer
     surface: downstreams follow the lake without rereading state)."""
@@ -216,6 +227,7 @@ def main(argv: list[str] | None = None) -> int:
         ("bootstrap", cmd_bootstrap),
         ("reprocess", cmd_reprocess),
         ("expire", cmd_expire),
+        ("compact", cmd_compact),
         ("changes", cmd_changes),
         ("forget", cmd_forget),
     ):

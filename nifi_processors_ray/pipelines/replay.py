@@ -64,6 +64,47 @@ from ..stages.validate import validate_batch
 from ..state.manifest import Manifest, ManifestStore
 
 
+def _compact_partition_task(
+    batch: pa.Table, lake_dir: str, epoch: int, policy, cap
+) -> pa.Table:
+    """Fold ONE partition's base+delta files into fresh COW files under
+    ``epoch`` (one distributed task per partition; deterministic paths,
+    so a retried task rewrites the same files).  Returns a receipt row
+    per partition; the driver swaps references in one manifest commit."""
+    from ..stages.merge import merge_deltas
+
+    out_p, out_rels, out_rows = [], [], []
+    for i in range(batch.num_rows):
+        part = int(batch.column("part")[i].as_py())
+        rels = batch.column("rels")[i].as_py()
+        tables = [pq.read_table(os.path.join(lake_dir, f)) for f in rels]
+        merged = merge_deltas(tables, policy=policy)
+        new_rels = []
+        if merged.num_rows:
+            slices = (
+                [(0, merged.num_rows)]
+                if not cap or merged.num_rows <= cap
+                else [(lo, cap) for lo in range(0, merged.num_rows, cap)]
+            )
+            for k, (lo, ln) in enumerate(slices):
+                suffix = "" if len(slices) == 1 else f"-{k:04d}"
+                rel = f"data/epoch={epoch}/part-{part:05d}{suffix}.parquet"
+                path = os.path.join(lake_dir, rel)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                pq.write_table(merged.slice(lo, ln), path)
+                new_rels.append(rel)
+        out_p.append(part)
+        out_rels.append(new_rels)
+        out_rows.append(merged.num_rows)
+    return pa.table(
+        {
+            "part": pa.array(out_p, pa.int32()),
+            "rels": pa.array(out_rels, pa.list_(pa.string())),
+            "rows": pa.array(out_rows, pa.int64()),
+        }
+    )
+
+
 def _resolve_partition(batch: pa.Table, policy=None, filters=None) -> pa.Table:
     """Read + policy-resolve (default LWW) one or a few partitions' file
     sets.  All columns except the internal ``seq`` survive — including
@@ -919,6 +960,12 @@ class CdcEngine:
         swaps the references; a crash in between leaves the previous
         manifest (and the old files) fully intact.
         """
+        with self.store.writer_lock():
+            return self._compact_metadata_locked()
+
+    def _compact_metadata_locked(self) -> Manifest | None:
+        # read-modify-commit MUST hold the writer lock: racing a replay
+        # commit would overwrite its manifest references (lost update)
         man = self.store.latest()
         if man is None:
             return None
@@ -954,6 +1001,86 @@ class CdcEngine:
         )
         self.store.commit(new_man)
         return new_man
+
+    def compact_partitions(self, parts=None) -> dict:
+        """Fold every multi-file (MOR delta) partition back to COW form
+        WITHOUT consuming stream events — the Iceberg
+        ``rewrite_data_files`` analog, for bounding read amplification
+        before a heavy read window instead of waiting for
+        ``compact_threshold`` to force it mid-ingest.
+
+        One distributed task per multi-file partition reads its base +
+        deltas, resolves winners (winning tombstones compact away), and
+        writes fresh files under the NEW epoch; one manifest commit
+        swaps all references with WATERMARKS UNCHANGED — the epoch
+        advances but the logical state does not (``state_at(new) ==
+        state_at(prior)``, ``epoch_changes(new)`` is empty).  Runs under
+        the writer lock; a crash before the commit leaves the prior
+        manifest intact and the orphan files vacuumable.
+
+        ``parts`` optionally restricts to specific partition ids.
+        Returns a receipt ``{epoch, partitions_compacted, files_before,
+        files_after}``.
+        """
+        with self.store.writer_lock():
+            man = self.store.latest()
+            targets = sorted(
+                p
+                for p, fs in man.files.items()
+                if len(fs) > 1 and (parts is None or p in set(parts))
+            )
+            if not targets:
+                return {
+                    "epoch": man.epoch,
+                    "partitions_compacted": 0,
+                    "files_before": sum(len(f) for f in man.files.values()),
+                    "files_after": sum(len(f) for f in man.files.values()),
+                }
+            epoch = man.epoch + 1
+            items = [{"part": p, "rels": list(man.files[p])} for p in targets]
+            receipts = (
+                ray.data.from_items(items, override_num_blocks=len(items))
+                .map_batches(
+                    _compact_partition_task,
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    fn_kwargs={
+                        "lake_dir": self.cfg.lake_dir,
+                        "epoch": epoch,
+                        "policy": self.cfg.merge_policy,
+                        "cap": self.cfg.target_rows_per_file,
+                    },
+                )
+                .take_all()
+            )  # ≤ P receipt rows — tiny
+            files = dict(man.files)
+            rows = dict(man.rows)
+            for r in receipts:
+                p = int(r["part"])
+                if r["rels"]:
+                    files[p] = list(r["rels"])
+                else:  # every key tombstoned away
+                    files.pop(p, None)
+                rows[p] = int(r["rows"])
+            new_man = Manifest(
+                epoch=epoch,
+                num_partitions=man.num_partitions,
+                salt_factor=man.salt_factor,
+                hash_fingerprint=man.hash_fingerprint,
+                watermarks=dict(man.watermarks),  # no events consumed
+                files=files,
+                rows=rows,
+                lineage_files=list(man.lineage_files),
+                rejected_files=list(man.rejected_files),
+                deadletter_files=list(man.deadletter_files),
+            )
+            self.store.commit(new_man)
+            return {
+                "epoch": epoch,
+                "partitions_compacted": len(targets),
+                "files_before": sum(len(f) for f in man.files.values()),
+                "files_after": sum(len(f) for f in files.values()),
+            }
 
     def expire_snapshots(self, keep_last: int) -> int:
         """Bound manifest history: keep only the newest ``keep_last``

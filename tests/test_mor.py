@@ -200,3 +200,42 @@ def test_auto_mode_measures_distinct_keys_not_events(tmp_path):
     # by events) but only ~2-3 distinct KEYS (ratio < 0.01) — every
     # touched partition must append
     assert set(ep2["file_mode"]) == {"append"}, ep2[["partition", "file_mode"]]
+
+
+def test_compact_partitions_is_a_stateless_epoch(tmp_path):
+    """Standalone compaction folds every multi-file partition to ONE
+    file set, advances the epoch WITHOUT consuming events (watermarks
+    unchanged, changefeed empty, time travel to the prior epoch still
+    exact), leaves state identical to the oracle, and a subsequent
+    replay resumes normally."""
+    eng = _engine(tmp_path, "lake_compact", merge_mode="mor", epoch_events=500)
+    eng.replay(max_epochs=2)  # partial stream → multi-file partitions
+    man_before = eng.store.latest()
+    assert any(len(fs) > 1 for fs in man_before.files.values()), "fixture vacuous"
+    state_before = eng.final_state(sort=True).to_pandas().reset_index(drop=True)
+
+    receipt = eng.compact_partitions()
+    assert receipt["epoch"] == man_before.epoch + 1
+    assert receipt["partitions_compacted"] > 0
+    assert receipt["files_after"] < receipt["files_before"]
+    man_after = eng.store.latest()
+    assert man_after.watermarks == man_before.watermarks  # no events consumed
+    # every partition folded to a single (possibly split) COW file set
+    for p, fs in man_after.files.items():
+        assert all(f"epoch={receipt['epoch']}" in f for f in fs) or len(fs) == 1
+    state_after = eng.final_state(sort=True).to_pandas().reset_index(drop=True)
+    assert state_after.equals(state_before)
+    # time travel across the compaction boundary + empty changefeed
+    tt = eng.state_at(man_before.epoch).to_pandas()
+    assert len(tt) == len(state_before)
+    assert eng.epoch_changes(receipt["epoch"]).count() == 0
+    # idempotent: nothing left to fold
+    again = eng.compact_partitions()
+    assert again["partitions_compacted"] == 0
+    # the stream resumes exactly-once after the maintenance commit
+    eng2 = _engine(tmp_path, "lake_compact", merge_mode="mor", epoch_events=500)
+    eng2.replay()
+    got = eng2.final_state(sort=True).to_pandas().reset_index(drop=True)
+    want = apply_changelog(_full_changelog(tmp_path)).to_pandas()
+    assert len(got) == len(want)
+    assert (got["text"].values == want["text"].values).all()
