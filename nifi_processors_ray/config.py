@@ -43,7 +43,12 @@ class EngineConfig:
       here it is rows per Arrow batch, so the bound is much higher.
     - ``epoch_events``: the consumer's max-records-per-request
       (``consumer/AbstractKinesisConsumerProcessor.java:109-116``)
-      generalized to the replay window size.
+      generalized to the replay window size.  The window is a SEQ
+      RANGE, not an event count: on a stream with sequence gaps
+      (compaction upstream, per-shard interleaves) an epoch carries
+      fewer events than the nominal size — correct (exactly-once holds,
+      pinned by the seq-gap probe) but worth sizing for if the stream's
+      seq density is far below 1.
     - ``initial_position``: LATEST / TRIM_HORIZON.
     - ``num_partitions`` (P): number of hash partitions of the lake —
       the shard-count analog.  At cluster scale, P should be ≥ 4× total
