@@ -198,6 +198,30 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export the converged lake state as partitioned Parquet through
+    the RESUMABLE sink (per-partition _DONE markers: a crashed export
+    re-run writes only unfinished partitions) — the hand-off surface to
+    downstream training-data readers that should not read lake
+    internals."""
+    if not args.output:
+        print("export requires --output", file=sys.stderr)
+        return 2
+    from .sinks import write_partitioned_parquet
+
+    _ensure_ray()
+    eng = _engine(args)
+    receipt = write_partitioned_parquet(
+        eng.final_state(),
+        args.output,
+        key="conv_id",
+        num_partitions=args.export_partitions,
+        sort_key="turn_idx",
+    )
+    print(json.dumps(receipt))
+    return 0
+
+
 def cmd_changes(args) -> int:
     """Emit one epoch's net-change feed as JSON lines (the CDC-consumer
     surface: downstreams follow the lake without rereading state)."""
@@ -228,6 +252,7 @@ def main(argv: list[str] | None = None) -> int:
         ("reprocess", cmd_reprocess),
         ("expire", cmd_expire),
         ("compact", cmd_compact),
+        ("export", cmd_export),
         ("changes", cmd_changes),
         ("forget", cmd_forget),
     ):
@@ -261,6 +286,11 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--epoch", type=int, default=None, help="changes: epoch (default latest)")
         p.add_argument(
             "--conv", action="append", default=[], help="forget: conversation id (repeatable)"
+        )
+        p.add_argument("--output", default=None, help="export: output directory")
+        p.add_argument(
+            "--export-partitions", type=int, default=64,
+            help="export: partition count of the output layout",
         )
         p.set_defaults(fn=fn)
     args = ap.parse_args(argv)

@@ -204,3 +204,39 @@ def test_cli_forget(tmp_path):
     bad = [a if a != "replay" else "forget" for a in base]
     r4 = subprocess.run(bad, capture_output=True, text=True, cwd="/root/repo")
     assert r4.returncode == 2
+
+
+def test_cli_compact_and_export(tmp_path):
+    """The maintenance + hand-off surface: `compact` folds MOR deltas
+    with state unchanged; `export` writes the converged state through
+    the resumable partitioned sink (re-run skips finished partitions)."""
+    log = str(tmp_path / "log")
+    write_generated_changelog(log, 1500, files=2, n_convs=20)
+    lake = str(tmp_path / "lake")
+    base = [
+        sys.executable, "-m", "nifi_processors_ray", "replay",
+        "--lake", lake, "--log", log, "--partitions", "4",
+        "--epoch-events", "300", "--merge-mode", "mor",
+    ]
+    r = subprocess.run(base, capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-1500:]
+
+    argv = [a if a != "replay" else "compact" for a in base]
+    r2 = subprocess.run(argv, capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    rec = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rec["partitions_compacted"] > 0
+    assert rec["files_after"] < rec["files_before"]
+
+    out_dir = str(tmp_path / "export")
+    argv = [a if a != "replay" else "export" for a in base] + [
+        "--output", out_dir, "--export-partitions", "4",
+    ]
+    r3 = subprocess.run(argv, capture_output=True, text=True, cwd="/root/repo")
+    assert r3.returncode == 0, r3.stderr[-1500:]
+    rec3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert rec3["written"] == 4 and rec3["rows_written"] > 0
+    # resumable: the re-run skips every finished partition
+    r4 = subprocess.run(argv, capture_output=True, text=True, cwd="/root/repo")
+    rec4 = json.loads(r4.stdout.strip().splitlines()[-1])
+    assert rec4 == {"written": 0, "skipped": 4, "rows_written": 0}
