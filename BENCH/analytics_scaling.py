@@ -5,8 +5,8 @@ scale the same way).
 Workload: one trial = three representative pipelines run back to back —
 `lineitem_pricing_summary` (wide aggregation), `events_window_agg`
 (windowed aggregate with partial combine), and `corpus_clean` (dedup +
-quality gate, one shuffle) — over an 8×-amplified sf0.1 (16M events /
-4.8M lineitems / 40k documents, ids offset and texts suffixed per copy
+quality gate, one shuffle) — over a 64×-amplified sf0.1 (128M events /
+38M lineitems / 320k documents, ids offset and texts suffixed per copy
 so keys stay distinct and dedup behavior stays realistic).  sf0.1
 itself is too small to scale: a ~1.2 s trial is fixed overhead at any
 core count (measured 4-core 1.23 s vs 16-core 1.28 s), which says

@@ -57,7 +57,6 @@ def main() -> None:
             )
         )
         walls = []
-        modes = []
         while True:
             t0 = time.perf_counter()
             res = eng.replay(max_epochs=1)
@@ -70,6 +69,8 @@ def main() -> None:
         # is everything after
         steady = sorted(walls[1:])
         n = len(steady)
+        if n == 0:
+            raise SystemExit("need >= 2 epochs for steady-state stats; raise TOTAL/EPOCH")
         out = {
             "metric": "per-epoch ingest latency (follow-mode steady state)",
             "events_total": TOTAL,

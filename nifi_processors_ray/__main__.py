@@ -207,17 +207,38 @@ def cmd_export(args) -> int:
     if not args.output:
         print("export requires --output", file=sys.stderr)
         return 2
+    import os
+
     from .sinks import write_partitioned_parquet
 
     _ensure_ray()
     eng = _engine(args)
+    # an export captures ONE committed epoch; the resumable sink's _DONE
+    # markers would otherwise make a re-run against an ADVANCED lake
+    # silently keep the stale state with a success receipt — pin the
+    # epoch and fail loud (exports are immutable; new epoch → new dir)
+    epoch = eng.store.latest().epoch if eng.store.latest() else 0
+    marker = os.path.join(args.output, "_export_epoch.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prior = json.load(f)["epoch"]
+        if prior != epoch:
+            print(
+                f"output dir holds an export of epoch {prior}, lake is at "
+                f"{epoch}; exports are immutable — use a new --output",
+                file=sys.stderr,
+            )
+            return 2
     receipt = write_partitioned_parquet(
         eng.final_state(),
         args.output,
         key="conv_id",
         num_partitions=args.export_partitions,
-        sort_key="turn_idx",
+        sort_key=["conv_id", "turn_idx"],
     )
+    with open(marker, "w") as f:
+        json.dump({"epoch": epoch}, f)
+    receipt["epoch"] = epoch
     print(json.dumps(receipt))
     return 0
 

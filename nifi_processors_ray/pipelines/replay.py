@@ -71,8 +71,6 @@ def _compact_partition_task(
     ``epoch`` (one distributed task per partition; deterministic paths,
     so a retried task rewrites the same files).  Returns a receipt row
     per partition; the driver swaps references in one manifest commit."""
-    from ..stages.merge import merge_deltas
-
     out_p, out_rels, out_rows = [], [], []
     for i in range(batch.num_rows):
         part = int(batch.column("part")[i].as_py())
@@ -1021,13 +1019,26 @@ class CdcEngine:
         ``parts`` optionally restricts to specific partition ids.
         Returns a receipt ``{epoch, partitions_compacted, files_before,
         files_after}``.
+
+        Winner resolution uses THIS engine's configured
+        ``merge_policy`` — a lake written under a custom policy must be
+        compacted through an engine configured with the same policy
+        (the bare CLI cannot inject one), or conflicting versions would
+        be re-decided by default LWW and baked in.
         """
         with self.store.writer_lock():
-            man = self.store.latest()
+            # current_manifest (not raw latest): runs the fingerprint /
+            # partition-param drift guards every write path runs, and
+            # handles the empty-lake case (epoch-0 manifest, no files)
+            man = self.current_manifest()
+            # only MOR DELTA sets need folding — a COW set split across
+            # multiple files by target_rows_per_file is already compact,
+            # and rewriting it every run would never reach idempotence
             targets = sorted(
                 p
                 for p, fs in man.files.items()
-                if len(fs) > 1 and (parts is None or p in set(parts))
+                if any(f.endswith(".delta.parquet") for f in fs)
+                and (parts is None or p in set(parts))
             )
             if not targets:
                 return {
@@ -1059,9 +1070,10 @@ class CdcEngine:
                 p = int(r["part"])
                 if r["rels"]:
                     files[p] = list(r["rels"])
-                else:  # every key tombstoned away
+                    rows[p] = int(r["rows"])
+                else:  # every key tombstoned away — drop BOTH entries
                     files.pop(p, None)
-                rows[p] = int(r["rows"])
+                    rows.pop(p, None)
             new_man = Manifest(
                 epoch=epoch,
                 num_partitions=man.num_partitions,

@@ -69,11 +69,13 @@ def _partition_dir(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, f"part={part:05d}")
 
 
-def _write_group(group: pa.Table, out_dir: str, sort_key: str | None) -> pa.Table:
+def _write_group(group: pa.Table, out_dir: str, sort_key) -> pa.Table:
     part = int(group.column(_PART_COL)[0].as_py())
     group = group.drop_columns([_PART_COL])
     if sort_key:
-        group = group.sort_by(sort_key)
+        if isinstance(sort_key, str):
+            sort_key = [sort_key]
+        group = group.sort_by([(k, "ascending") for k in sort_key])
     d = _partition_dir(out_dir, part)
     os.makedirs(d, exist_ok=True)
     pq.write_table(group, os.path.join(d, "data.parquet"))
@@ -90,7 +92,7 @@ def write_partitioned_parquet(
     key: str,
     *,
     num_partitions: int = 64,
-    sort_key: str | None = None,
+    sort_key: "str | list[str] | None" = None,
     assign: str = "hash",
 ) -> dict:
     """Export ``ds`` as partitioned Parquet, resumably.

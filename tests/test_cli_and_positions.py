@@ -236,7 +236,22 @@ def test_cli_compact_and_export(tmp_path):
     assert r3.returncode == 0, r3.stderr[-1500:]
     rec3 = json.loads(r3.stdout.strip().splitlines()[-1])
     assert rec3["written"] == 4 and rec3["rows_written"] > 0
-    # resumable: the re-run skips every finished partition
+    # per-partition files are (conv_id, turn_idx)-ordered for readers
+    import glob
+
+    f0 = sorted(glob.glob(out_dir + "/part=*/data.parquet"))[0]
+    t0 = pq.read_table(f0)
+    assert t0.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")]).equals(t0)
+    # resumable: the same-epoch re-run skips every finished partition
     r4 = subprocess.run(argv, capture_output=True, text=True, cwd="/root/repo")
     rec4 = json.loads(r4.stdout.strip().splitlines()[-1])
-    assert rec4 == {"written": 0, "skipped": 4, "rows_written": 0}
+    assert (rec4["written"], rec4["skipped"], rec4["rows_written"]) == (0, 4, 0)
+    # the lake advances (a stateless compaction epoch counts) → the
+    # stale-export guard refuses rather than hand back old state
+    subprocess.run(
+        [a if a != "replay" else "forget" for a in base] + ["--conv", "conv-0"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    r5 = subprocess.run(argv, capture_output=True, text=True, cwd="/root/repo")
+    assert r5.returncode == 2
+    assert "immutable" in r5.stderr
