@@ -48,8 +48,14 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def _lookup_batch(batch: pa.Table, dim_ref, key: str, cols: list[str]) -> pa.Table:
-    """LEFT-join ``batch`` against the broadcast dimension table."""
+    """LEFT-join ``batch`` against the broadcast dimension table.
+
+    The dim's null-key rows are dropped first: ``pc.index_in`` MATCHES
+    a null input to a null in the value_set (verified), where SQL join
+    equality never matches NULL — without the drop, a null fact key
+    would silently pick up the null-keyed dim row's attributes."""
     dim = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
+    dim = dim.filter(pc.is_valid(dim.column(0)))
     idx = pc.index_in(batch.column(key), value_set=dim.column(0))  # null = miss
     out = batch
     for c in cols:
@@ -283,19 +289,25 @@ def _rollup_partials(batch: pa.Table, dim_ref) -> pa.Table:
     kernel (``_lookup_batch``), drop unmatched suppliers (the SQL twin is
     an INNER join — a dangling s_nationkey must not surface as a null
     group), then pre-aggregate per (region, nation) within the batch."""
-    joined = _lookup_batch(batch, dim_ref, key="s_nationkey", cols=["nation", "region"])
-    # BOTH hops are INNER joins in the twin: a matched nation whose
-    # n_regionkey dangles must drop the supplier too, not emit a
-    # NULL-region group (round-2 ADVICE; not triggered by TPC-H data)
-    joined = joined.filter(
-        pc.and_(pc.is_valid(joined.column("nation")), pc.is_valid(joined.column("region")))
+    joined = _lookup_batch(
+        batch, dim_ref, key="s_nationkey", cols=["nation", "region", "__hit"]
     )
-    bal = np.asarray(joined.column("s_acctbal"), dtype=np.float64)
+    # BOTH hops are INNER joins in the twin: drop suppliers whose chain
+    # did NOT resolve — tested on the MATCH flag, not the labels: a
+    # matched nation/region whose NAME is NULL keeps its group in SQL
+    # (GROUP BY emits it with a NULL label), so label validity must not
+    # decide survival (the nation_profit review finding, same class)
+    joined = joined.filter(pc.is_valid(joined.column("__hit")))
+    from ..functions.money import floored_cents
+
+    # null-preserving Arrow cents (a numpy view would surface NaN and
+    # NaN→int64 is undefined); SQL's SUM skips the null, so does the
+    # Arrow sum kernel — COUNT(*) still counts the row on both sides
     t = pa.table(
         {
             "region": joined.column("region"),
             "nation": joined.column("nation"),
-            "acctbal_cents": pa.array(np.floor(bal * 100).astype(np.int64)),
+            "acctbal_cents": floored_cents(joined.column("s_acctbal")),
         }
     )
     g = t.group_by(["region", "nation"]).aggregate(
@@ -324,12 +336,21 @@ def supplier_nation_rollup(sf_dir: str) -> ray.data.Dataset:
     sf = sf_dir.rstrip("/")
     nation = pq.read_table(f"{sf}/nation.parquet")
     region = pq.read_table(f"{sf}/region.parquet")
+    # INNER-chain compose with SQL null-join semantics: a null
+    # r_regionkey can never be joined (filter it from the value set or
+    # index_in would match it to a null n_regionkey), and only nations
+    # whose region HOP RESOLVED stay in the dim — their labels may
+    # still be NULL (SQL keeps those groups, labeled NULL)
+    region = region.filter(pc.is_valid(region.column("r_regionkey")))
     r_idx = pc.index_in(nation.column("n_regionkey"), value_set=region.column("r_regionkey"))
+    hit = pc.is_valid(r_idx)
+    nation = nation.filter(hit)
     dim = pa.table(
         {
             "n_nationkey": nation.column("n_nationkey"),
             "nation": nation.column("n_name"),
-            "region": region.column("r_name").take(r_idx),
+            "region": region.column("r_name").take(r_idx.filter(hit)),
+            "__hit": pa.array(np.ones(nation.num_rows, dtype=np.int8)),
         }
     )
     dim_ref = ray.put(dim)
@@ -339,14 +360,18 @@ def supplier_nation_rollup(sf_dir: str) -> ray.data.Dataset:
     partials = ds.map_batches(
         _rollup_partials, batch_format="pyarrow", fn_kwargs={"dim_ref": dim_ref}
     )
-    return (
-        partials.groupby(["region", "nation"])
-        .aggregate(
-            Sum("n_suppliers", alias_name="n_suppliers"),
-            Sum("acctbal_cents", alias_name="acctbal_cents"),
-        )
-        .sort(["region", "nation"])
+    from ..functions.debug import null_safe_groupby_agg, null_safe_sort
+
+    # labels may be NULL (a matched dim row with a null name keeps its
+    # group) — group and sort through the null-safe exchanges
+    agg = null_safe_groupby_agg(
+        partials,
+        ["region", "nation"],
+        Sum("n_suppliers", alias_name="n_suppliers"),
+        Sum("acctbal_cents", alias_name="acctbal_cents"),
+        out_types={"n_suppliers": pa.int64(), "acctbal_cents": pa.int64()},
     )
+    return null_safe_sort(agg, ["region", "nation"])
 
 
 # ---------------------------------------------------------------------------

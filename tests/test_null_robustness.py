@@ -518,3 +518,68 @@ def test_embeddings_null_injected_parity(ray_session, null_emb_sf, null_emb_con,
             np.testing.assert_array_equal(df[c].to_numpy(), ot[c].to_numpy(), err_msg=f"{name}.{c}")
         else:
             assert (df[c].fillna(-9) == ot[c].fillna(-9)).all(), f"{name}.{c}"
+
+
+# ---------------------------------------------------------------------------
+# nation/region (tiny driver-read dims) null injection — keys AND labels
+# ---------------------------------------------------------------------------
+
+NATION_NULL_TARGETS = [
+    "supplier_nation_rollup", "events_user_enrich", "nation_profit",
+    "local_supplier_volume", "nation_market_share", "nation_pair_volume",
+]
+
+
+@pytest.fixture(scope="module")
+def null_nation_dim_sf(tmp_path_factory):
+    """Nulls in the composed-on-the-driver dims: a null n_nationkey /
+    n_regionkey can never join (and pc.index_in would otherwise MATCH a
+    null fact key to it — verified Arrow behavior the lookup kernel now
+    guards); a null n_name / r_name is a MATCHED group SQL keeps with a
+    NULL label (the nation_profit / rollup review-finding class)."""
+    tmp = str(tmp_path_factory.mktemp("nullnatdim"))
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SRC, f), tmp)
+    rng = np.random.default_rng(47)
+
+    def inject(name, cols, frac):
+        import pyarrow.compute as pc
+
+        t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        for col in cols:
+            i = t.schema.get_field_index(col)
+            arr = t.column(col).combine_chunks()
+            mask = pa.array(rng.random(t.num_rows) < frac)
+            t = t.set_column(i, col, pc.if_else(mask, pa.nulls(t.num_rows, arr.type), arr))
+        pq.write_table(t, os.path.join(tmp, f"{name}.parquet"))
+
+    inject("nation", ["n_nationkey", "n_regionkey", "n_name"], 0.12)
+    inject("region", ["r_name"], 0.25)
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def null_nation_dim_con(null_nation_dim_sf):
+    con = duckdb.connect()
+    for v in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{null_nation_dim_sf}/{v}.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NATION_NULL_TARGETS)
+def test_nation_dim_null_injected_parity(
+    ray_session, null_nation_dim_sf, null_nation_dim_con, name
+):
+    res = entry.queries()[name](null_nation_dim_sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    ot = null_nation_dim_con.sql(entry.oracle_sql()[name]).df()
+    if len(df) == 0 and len(ot) == 0:
+        return
+    df = df.sort_index(axis=1)
+    ot = ot.sort_index(axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
+    assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
