@@ -74,6 +74,9 @@ def _region_nation_keys(sf_dir: str, region: str) -> tuple[list[int], pa.Table]:
         "r_regionkey"
     )
     in_region = nation.filter(pc.is_in(nation.column("n_regionkey"), value_set=rkey))
+    # a null n_nationkey can never be joined (SQL NULL equality), and
+    # in an index_in value_set it would MATCH null probe keys — drop it
+    in_region = in_region.filter(pc.is_valid(in_region.column("n_nationkey")))
     keys = in_region.column("n_nationkey").cast(pa.int64())
     names = pa.table(
         {"n_nationkey": keys, "n_name": in_region.column("n_name")}
@@ -561,6 +564,8 @@ def returned_item_revenue(sf_dir: str, n_top: int = Q10_TOP, *, use_bloom: bool 
     nation = pq.read_table(
         f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
+    # null keys can never join; in the value_set they'd match null c_nat
+    nation = nation.filter(pc.is_valid(nation.column("n_nationkey")))
     nation = nation.set_column(
         0, "n_nationkey", nation.column("n_nationkey").cast(pa.int64())
     )
@@ -569,11 +574,15 @@ def returned_item_revenue(sf_dir: str, n_top: int = Q10_TOP, *, use_bloom: bool 
     def label(b: pa.Table) -> pa.Table:
         nm = ray.get(nation_ref) if isinstance(nation_ref, ray.ObjectRef) else nation_ref
         idx = pc.index_in(b.column("c_nat"), value_set=nm.column("n_nationkey"))
+        # INNER join to nation: a null or dangling c_nationkey drops the
+        # CUSTOMER ROW (SQL), not just its label — filter on the match
+        hit = pc.is_valid(idx)
+        b = b.filter(hit)
         return pa.table(
             {
                 "c_custkey": b.column("c_custkey"),
                 "c_name": b.column("c_name"),
-                "n_name": nm.column("n_name").take(idx),
+                "n_name": nm.column("n_name").take(idx.filter(hit)),
                 "revenue_cents": b.column("revenue_cents"),
             }
         )

@@ -653,6 +653,9 @@ def _pair_nation_keys(sf_dir: str) -> tuple[list[int], pa.Table]:
             nation.column("n_name"), value_set=pa.array([Q7_NATION_A, Q7_NATION_B])
         )
     )
+    # null keys can never join; in an index_in value_set they'd match
+    # null probe keys (SQL NULL equality never does)
+    pair = pair.filter(pc.is_valid(pair.column("n_nationkey")))
     keys = pair.column("n_nationkey").cast(pa.int64())
     names = pa.table({"n_nationkey": keys, "n_name": pair.column("n_name")})
     return keys.to_pylist(), names

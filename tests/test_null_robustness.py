@@ -527,6 +527,7 @@ def test_embeddings_null_injected_parity(ray_session, null_emb_sf, null_emb_con,
 NATION_NULL_TARGETS = [
     "supplier_nation_rollup", "events_user_enrich", "nation_profit",
     "local_supplier_volume", "nation_market_share", "nation_pair_volume",
+    "returned_item_revenue",
 ]
 
 
@@ -556,6 +557,10 @@ def null_nation_dim_sf(tmp_path_factory):
 
     inject("nation", ["n_nationkey", "n_regionkey", "n_name"], 0.12)
     inject("region", ["r_name"], 0.25)
+    # fact-side nation FKs: a null c_nationkey must drop the customer
+    # ROW through an INNER nation join (Q10), not survive null-labeled
+    inject("customer", ["c_nationkey"], 0.08)
+    inject("supplier", ["s_nationkey"], 0.08)
     return tmp
 
 
