@@ -73,6 +73,9 @@ def _region_nation_keys(sf_dir: str, region: str) -> tuple[list[int], pa.Table]:
     rkey = region_t.filter(pc.equal(region_t.column("r_name"), region)).column(
         "r_regionkey"
     )
+    # pc.is_in matches a null probe to a null IN the value set (verified
+    # Arrow behavior); SQL join equality never does — drop null r keys
+    rkey = pc.drop_null(rkey)
     in_region = nation.filter(pc.is_in(nation.column("n_regionkey"), value_set=rkey))
     # a null n_nationkey can never be joined (SQL NULL equality), and
     # in an index_in value_set it would MATCH null probe keys — drop it

@@ -556,7 +556,7 @@ def null_nation_dim_sf(tmp_path_factory):
         pq.write_table(t, os.path.join(tmp, f"{name}.parquet"))
 
     inject("nation", ["n_nationkey", "n_regionkey", "n_name"], 0.12)
-    inject("region", ["r_name"], 0.25)
+    inject("region", ["r_name", "r_regionkey"], 0.25)
     # fact-side nation FKs: a null c_nationkey must drop the customer
     # ROW through an INNER nation join (Q10), not survive null-labeled
     inject("customer", ["c_nationkey"], 0.08)
