@@ -239,3 +239,42 @@ def test_compact_partitions_is_a_stateless_epoch(tmp_path):
     want = apply_changelog(_full_changelog(tmp_path)).to_pandas()
     assert len(got) == len(want)
     assert (got["text"].values == want["text"].values).all()
+
+
+def test_compact_crash_before_commit_leaves_lake_intact(tmp_path):
+    """A compaction that dies after writing files but BEFORE the
+    manifest commit changes nothing: the prior manifest still governs,
+    reads are unaffected, the orphans are vacuumable, and a retried
+    compact converges."""
+    eng = _engine(tmp_path, "lake_ccrash", merge_mode="mor", epoch_events=500)
+    eng.replay(max_epochs=2)
+    man_before = eng.store.latest()
+    state_before = eng.final_state(sort=True).to_pandas().reset_index(drop=True)
+
+    real_commit = eng.store.commit
+
+    def boom(man):
+        raise OSError("simulated crash at the commit point")
+
+    eng.store.commit = boom
+    with pytest.raises(OSError, match="simulated crash"):
+        eng.compact_partitions()
+    eng.store.commit = real_commit
+
+    # prior manifest still current; state unchanged
+    assert eng.store.latest().epoch == man_before.epoch
+    state_mid = eng.final_state(sort=True).to_pandas().reset_index(drop=True)
+    assert state_mid.equals(state_before)
+    # the retried compact succeeds and converges to the same state
+    receipt = eng.compact_partitions()
+    assert receipt["partitions_compacted"] > 0
+    state_after = eng.final_state(sort=True).to_pandas().reset_index(drop=True)
+    assert state_after.equals(state_before)
+    # the crashed attempt's orphans (same epoch number as the retry's
+    # files) are either reused byte-identically or removed by vacuum
+    eng.vacuum()
+    man = eng.store.latest()
+    live = {os.path.join(eng.cfg.lake_dir, f) for fs in man.files.values() for f in fs}
+    for root, _, files in os.walk(os.path.join(eng.cfg.lake_dir, "data")):
+        for f in files:
+            assert os.path.join(root, f) in live, f"orphan survived vacuum: {f}"
