@@ -220,7 +220,15 @@ def _shingle_hashes(batch: pa.Table, k: int = 3) -> tuple[np.ndarray, np.ndarray
 def minhash_signatures(
     batch: pa.Table, num_perms: int = 64, shingle_k: int = 3
 ) -> pa.Table:
-    """doc_id → MinHash signature (FixedSizeList<uint64>[num_perms])."""
+    """doc_id → MinHash signature (FixedSizeList<uint64>[num_perms]).
+
+    Null DOC IDS are non-participants: a NULL id can never appear in a
+    pair (the twins' ``a.doc_id < b.doc_id`` is never true for NULL)
+    and would NaN-degrade the id views downstream.  Null TEXT stays —
+    the family contract is ``coalesce(text, '')`` on both sides (two
+    null-text docs are exact duplicates), pinned by the null-text
+    parity suite."""
+    batch = batch.filter(pc.is_valid(batch.column("doc_id")))
     flat, off = _shingle_hashes(batch, k=shingle_k)
     rng = np.random.default_rng(0xD5DD)  # fixed seed: signatures are stable
     a = (rng.integers(1, 2**63, size=num_perms, dtype=np.int64).astype(np.uint64) << np.uint64(1)) | np.uint64(1)

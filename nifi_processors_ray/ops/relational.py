@@ -1050,26 +1050,35 @@ def orders_yoy_growth(sf_dir: str) -> pa.Table:
         )
         return pa.table({"yr": g.column("yr"), "rev_cents": g.column("rev_cents_sum")})
 
-    rows = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("yr")
-        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
-        .take_all()
-    )
-    rows.sort(key=lambda r: r["yr"])
-    yr = np.array([r["yr"] for r in rows], dtype=np.int64)
-    rev = np.array([r["rev_cents"] for r in rows], dtype=np.int64)
-    prev_valid = np.ones(len(rows), dtype=bool)
-    prev_valid[0:1] = False
-    prev = np.concatenate([[0], rev[:-1]])
-    with np.errstate(divide="ignore", invalid="ignore"):
-        ratio = rev.astype(np.float64) / prev.astype(np.float64)
+    from ..functions.debug import null_safe_groupby_agg
+
+    rows = null_safe_groupby_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "yr",
+        Sum("rev_cents", alias_name="rev_cents"),
+        out_types={"rev_cents": pa.int64()},
+    ).take_all()
+    # SQL GROUP BY keeps a NULL year (null o_orderdate) as one group and
+    # the twin's LAG window orders it NULLS LAST (DuckDB default); the
+    # driver fold mirrors both, in Python over the handful of year rows
+    rows.sort(key=lambda r: (r["yr"] is None, r["yr"] if r["yr"] is not None else 0))
+    yr = [r["yr"] for r in rows]
+    rev = [r["rev_cents"] for r in rows]
+    yoy, ratio = [], []
+    for i in range(len(rows)):
+        prev = rev[i - 1] if i > 0 else None
+        if prev is None or rev[i] is None:
+            yoy.append(None)
+            ratio.append(None)
+        else:
+            yoy.append(rev[i] - prev)
+            ratio.append(float(rev[i]) / float(prev))
     return pa.table(
         {
-            "yr": pa.array(yr),
-            "rev_cents": pa.array(rev),
-            "yoy_cents": pa.array(rev - prev, pa.int64(), mask=~prev_valid),
-            "yoy_ratio": pa.array(ratio, pa.float64(), mask=~prev_valid),
+            "yr": pa.array(yr, pa.int64()),
+            "rev_cents": pa.array(rev, pa.int64()),
+            "yoy_cents": pa.array(yoy, pa.int64()),
+            "yoy_ratio": pa.array(ratio, pa.float64()),
         }
     )
 

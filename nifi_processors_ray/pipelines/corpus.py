@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..sources.reader import read_parquet_fanout as read_parquet_clean
@@ -160,6 +161,10 @@ def training_mix(
     cleaned = corpus_clean(sf_dir, sort=False)
 
     def add_lang(batch: pa.Table) -> pa.Table:
+        # id-keyed curation: the twin composes clean ⋈ lang ON doc_id,
+        # so a NULL doc_id never joins — mirror the drop here (the
+        # fused engine pipeline would otherwise carry it through)
+        batch = batch.filter(pc.is_valid(batch.column("doc_id")))
         lang = lang_id_batch(batch.select(["doc_id", "text"]))
         return batch.append_column("lang_pred", lang.column("lang_pred"))
 

@@ -588,3 +588,75 @@ def test_nation_dim_null_injected_parity(
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
     ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
     assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
+
+
+# ---------------------------------------------------------------------------
+# doc_id / date-column null injection (the last uninjected key columns)
+# ---------------------------------------------------------------------------
+
+DOCID_DATE_NULL_TARGETS = [
+    "exact_dedup", "corpus_source_rollup", "doc_top_terms", "corpus_clean",
+    "training_mix", "token_pack", "corpus_shuffle_shards", "doc_chunks",
+    "jaccard_dup_pairs", "dedup_clusters", "dedup_incremental",
+    "orders_monthly_volume", "orders_yoy_growth", "orders_dow_profile",
+    "orders_running_total", "lineitem_pricing_summary", "revenue_forecast",
+    "shipping_priority", "priority_with_large_items", "top_revenue_suppliers",
+    "nation_profit", "promo_revenue_share",
+]
+
+
+@pytest.fixture(scope="module")
+def null_docid_date_sf(tmp_path_factory):
+    """Null doc ids (id-keyed curation: the minhash/jaccard chain and
+    the training-mix doc_id join treat them as non-participants — found
+    live: a null doc_id crashed the pair kernel's int cast and leaked
+    through the fused training-mix pipeline its twin's JOIN drops) and
+    null dates (NULL-year groups order NULLS LAST in the yoy LAG —
+    found live: the driver fold crashed sorting None years)."""
+    tmp = str(tmp_path_factory.mktemp("nulldociddate"))
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SRC, f), tmp)
+    rng = np.random.default_rng(53)
+
+    def inject(name, cols, frac=0.05):
+        import pyarrow.compute as pc
+
+        t = pq.read_table(os.path.join(tmp, f"{name}.parquet"))
+        for col in cols:
+            i = t.schema.get_field_index(col)
+            arr = t.column(col).combine_chunks()
+            mask = pa.array(rng.random(t.num_rows) < frac)
+            t = t.set_column(i, col, pc.if_else(mask, pa.nulls(t.num_rows, arr.type), arr))
+        pq.write_table(t, os.path.join(tmp, f"{name}.parquet"))
+
+    inject("documents", ["doc_id", "source", "n_chars"])
+    inject("orders", ["o_orderdate"])
+    inject("lineitem", ["l_shipdate", "l_returnflag", "l_linestatus"])
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def null_docid_date_con(null_docid_date_sf):
+    con = duckdb.connect()
+    for v in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{null_docid_date_sf}/{v}.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DOCID_DATE_NULL_TARGETS)
+def test_docid_date_null_injected_parity(
+    ray_session, null_docid_date_sf, null_docid_date_con, name
+):
+    res = entry.queries()[name](null_docid_date_sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    ot = null_docid_date_con.sql(entry.oracle_sql()[name]).df()
+    if len(df) == 0 and len(ot) == 0:
+        return
+    df = df.sort_index(axis=1)
+    ot = ot.sort_index(axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    ot = ot.sort_values(list(ot.columns)).reset_index(drop=True)
+    assert df.equals(ot), f"{name}:\n{df.head()}\nvs oracle\n{ot.head()}"
