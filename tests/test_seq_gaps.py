@@ -62,3 +62,40 @@ def test_seq_gap_replay_matches_oracle(ray_session, tmp_path):
     assert (got["conv_id"].values == want["conv_id"].values).all()
     assert (got["text"].values == want["text"].values).all()
     assert make().replay() == []  # resume finds nothing — idempotent
+
+
+def test_duplicate_seq_retry_files_converge_to_oracle(ray_session, tmp_path):
+    """At-least-once upstream delivery: a producer retry re-appends a
+    whole file's rows verbatim (same seqs, same payloads).  The
+    converged state must equal the UNDUPLICATED oracle — duplicate
+    upserts are idempotent under LWW (same key, same seq, same text),
+    and the watermark guard absorbs cross-epoch replays."""
+    dense = str(tmp_path / "log0")
+    write_generated_changelog(dense, 2400, files=3, n_convs=50)
+    log = tmp_path / "log"
+    log.mkdir()
+    files = sorted(f for f in os.listdir(dense) if f.endswith(".parquet"))
+    for f in files:
+        pq.write_table(pq.read_table(os.path.join(dense, f)), str(log / f))
+    t = pq.read_table(os.path.join(dense, files[1]))
+    pq.write_table(t, str(log / "zz-retry-dup.parquet"))
+
+    eng = CdcEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake"),
+            changelog_paths=(str(log),),
+            num_partitions=8,
+            salt_factor=2,
+            epoch_events=500,
+        )
+    )
+    eng.replay()
+    got = eng.final_state(sort=True).to_pandas().reset_index(drop=True)
+    want = apply_changelog(
+        pa.concat_tables(
+            [align_to_schema(pq.read_table(os.path.join(dense, f)), CHANGELOG_SCHEMA) for f in files]
+        )
+    ).to_pandas()
+    assert len(got) == len(want)
+    assert (got["conv_id"].values == want["conv_id"].values).all()
+    assert (got["text"].values == want["text"].values).all()
