@@ -487,18 +487,43 @@ ORDER BY conv_id
 """
 
 
-# Driver-coverage rotation (round 4): the driver's oracle pass walks the
-# queries() dict IN ORDER under a budget cap (round 3's pass stopped after
-# the first 50 of 125 entries), so the registry is ordered for coverage:
-# (1) queries with no CORRECTNESS_r03 row yet, cheapest first (solo sf0.1
-# bench cost as the proxy — BENCH/FULL_r3_final.json); (2)
-# embedding_dup_pairs, whose SQL twin is new this round; (3) the
-# already-driver-green queries, cheapest first, the expensive dedup
-# family last (their green artifact already exists; results are
-# order-independent — every query is a pure function of sf_dir).
+# Driver-coverage rotation (round 5): the driver's oracle pass walks the
+# queries() dict IN ORDER under a budget cap (~50 entries per round), so
+# the registry is ordered for coverage, not for topic.
 _REGISTRY_ORDER = (
-    # round-4 additions lead so the driver's capped oracle pass reaches
-    # them first (already-green queries rotate to the back)
+    # round-5 rotation: the 28 queries with no driver CORRECTNESS row in
+    # any of rounds 1-4 lead, so the driver's 50-query cap reaches them;
+    # already-driver-green queries rotate behind (results are order-
+    # independent -- every query is a pure function of sf_dir)
+    "events_approx_users_by_type",
+    "events_cohort_retention",
+    "pricing_unpivot",
+    "events_funnel",
+    "customer_order_counts",
+    "all_actor_ids",
+    "promo_revenue_share",
+    "disjunctive_band_revenue",
+    "idle_rich_customers",
+    "customer_spend_deciles",
+    "order_size_distribution",
+    "small_qty_part_revenue",
+    "token_pack",
+    "customer_rfm",
+    "brand_revenue",
+    "decontaminate",
+    "ship_delay_profile",
+    "large_volume_customers",
+    "label_centroids",
+    "shipping_priority",
+    "corpus_shuffle_shards",
+    "doc_chunks",
+    "returned_item_revenue",
+    "sole_returned_supplier",
+    "nation_pair_volume",
+    "local_supplier_volume",
+    "events_profile",
+    "nation_market_share",
+    # driver-green in some earlier round (union r1-r4):
     "cheapest_part_supplier",
     "priority_with_large_items",
     "nation_profit",
@@ -549,39 +574,11 @@ _REGISTRY_ORDER = (
     "customer_activity_full",
     "events_quantile_sketch",
     "events_local_density",
-    "events_approx_users_by_type",
-    "events_cohort_retention",
-    "pricing_unpivot",
-    "events_funnel",
-    "customer_order_counts",
-    "all_actor_ids",
-    "promo_revenue_share",
-    "disjunctive_band_revenue",
-    "idle_rich_customers",
-    "customer_spend_deciles",
     "events_approx_users",
-    "order_size_distribution",
-    "small_qty_part_revenue",
-    "token_pack",
-    "customer_rfm",
-    "brand_revenue",
     "order_priority_revenue",
-    "decontaminate",
-    "ship_delay_profile",
-    "large_volume_customers",
     "label_vector_sums",
-    "label_centroids",
-    "shipping_priority",
-    "corpus_shuffle_shards",
-    "doc_chunks",
     "corpus_clean",
     "training_mix",
-    "returned_item_revenue",
-    "sole_returned_supplier",
-    "nation_pair_volume",
-    "local_supplier_volume",
-    "events_profile",
-    "nation_market_share",
     "cdc_rejected",
     "cdc_point_lookup",
     "events_weighted_sample",
