@@ -216,7 +216,10 @@ def cmd_export(args) -> int:
     # an export captures ONE committed epoch; the resumable sink's _DONE
     # markers would otherwise make a re-run against an ADVANCED lake
     # silently keep the stale state with a success receipt — pin the
-    # epoch and fail loud (exports are immutable; new epoch → new dir)
+    # epoch BEFORE any partition is written, so even a crash-resume
+    # (some _DONE markers present, run incomplete) compares against the
+    # epoch the finished partitions came from and fails loud on a moved
+    # lake (exports are immutable; new epoch → new dir)
     epoch = eng.store.latest().epoch if eng.store.latest() else 0
     marker = os.path.join(args.output, "_export_epoch.json")
     if os.path.exists(marker):
@@ -229,6 +232,10 @@ def cmd_export(args) -> int:
                 file=sys.stderr,
             )
             return 2
+    else:
+        os.makedirs(args.output, exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump({"epoch": epoch}, f)
     receipt = write_partitioned_parquet(
         eng.final_state(),
         args.output,
@@ -236,8 +243,6 @@ def cmd_export(args) -> int:
         num_partitions=args.export_partitions,
         sort_key=["conv_id", "turn_idx"],
     )
-    with open(marker, "w") as f:
-        json.dump({"epoch": epoch}, f)
     receipt["epoch"] = epoch
     print(json.dumps(receipt))
     return 0

@@ -1072,7 +1072,10 @@ def orders_yoy_growth(sf_dir: str) -> pa.Table:
             ratio.append(None)
         else:
             yoy.append(rev[i] - prev)
-            ratio.append(float(rev[i]) / float(prev))
+            # DuckDB DOUBLE division by zero yields NULL (verified:
+            # CAST(5 AS DOUBLE)/CAST(0 AS DOUBLE) -> NULL), not inf or
+            # an error — mirror it for a year whose revenue sums to 0
+            ratio.append(float(rev[i]) / float(prev) if prev != 0 else None)
     return pa.table(
         {
             "yr": pa.array(yr, pa.int64()),

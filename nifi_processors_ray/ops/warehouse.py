@@ -460,13 +460,22 @@ def nation_profit(sf_dir: str) -> ray.data.Dataset:
     names = pq.read_table(
         f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"]
     )  # 25 rows — driver-read tiny dim
+    # cast the dim key UP to int64 once at read time and probe with the
+    # int64 group key (the convention in ops/chains.py) — casting the
+    # probe DOWN to the dim's physical type would error if the dim were
+    # ever written with int64 keys; a null dim key can never match (SQL
+    # join equality), so drop it from the value_set
+    names = names.filter(pc.is_valid(names.column("n_nationkey")))
+    names = names.set_column(
+        names.schema.get_field_index("n_nationkey"),
+        "n_nationkey",
+        names.column("n_nationkey").cast(pa.int64()),
+    )
     names_ref = ray.put(names)
 
     def label(b: pa.Table) -> pa.Table:
         nm = ray.get(names_ref) if isinstance(names_ref, ray.ObjectRef) else names_ref
-        idx = pc.index_in(
-            b.column("nat").cast(pa.int32()), value_set=nm.column("n_nationkey")
-        )
+        idx = pc.index_in(b.column("nat"), value_set=nm.column("n_nationkey"))
         # INNER join to nation: DANGLING nationkeys drop here — but a
         # matched nation whose n_name is NULL keeps its group (SQL emits
         # it with a NULL name), so the drop tests the index_in HIT, not

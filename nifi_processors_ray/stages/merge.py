@@ -347,8 +347,6 @@ class MergeApplier:
                 n_prior_files = len(self.part_files.get(part, []))
                 use_mor = self.mode == "mor"
                 delta = None
-                if self.mode == "mor":
-                    delta = epoch_delta(valid, policy=self.policy)
                 if self.mode == "auto":
                     # per-partition change-ratio pick: delta-append only
                     # when this epoch changes a small FRACTION OF THE
@@ -377,6 +375,12 @@ class MergeApplier:
                         delta = epoch_delta(valid, policy=self.policy)
                         use_mor = delta.num_rows < prior_rows * self.auto_mor_ratio
                 if use_mor and n_prior_files + 1 <= self.compact_threshold:
+                    if delta is None:
+                        # mode='mor': the delta reduce runs only once the
+                        # file-count gate passes — a compaction epoch
+                        # takes the COW fold below and must not pay (and
+                        # discard) the per-key reduce first
+                        delta = epoch_delta(valid, policy=self.policy)
                     # delta write: only this epoch's changes hit disk
                     n_rows_after = self.part_rows.get(part, 0) + delta.num_rows
                     rel = f"data/epoch={self.epoch}/part-{part:05d}.delta.parquet"
