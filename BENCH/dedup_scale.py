@@ -59,13 +59,36 @@ def _build_10x(src_dir: str) -> str:
     return out_dir
 
 
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return round(int(line.split()[1]) / 1024, 1)
+    return -1.0
+
+
 def _time(fn, trials: int = TRIALS) -> float:
+    import tracemalloc
+
     walls = []
+    peak = 0
     for _ in range(trials):
+        # driver PYTHON-HEAP peak is the clean distributed-fold signal:
+        # VmRSS on a Ray driver also counts plasma pages the process
+        # mmap-touched, which grow with ANY larger dataset; a driver-side
+        # pair materialization would show up here instead
+        tracemalloc.start()
         t0 = time.perf_counter()
         n = fn().count()
         walls.append(time.perf_counter() - t0)
-    return (min(walls[1:]) if len(walls) > 1 else walls[0]), n, [round(w, 2) for w in walls]
+        peak = max(peak, tracemalloc.get_traced_memory()[1])
+        tracemalloc.stop()
+    return (
+        (min(walls[1:]) if len(walls) > 1 else walls[0]),
+        n,
+        [round(w, 2) for w in walls],
+        round(peak / 1e6, 1),
+    )
 
 
 def main() -> None:
@@ -86,19 +109,26 @@ def main() -> None:
     big_dir = _build_10x(SF_DIR)
     results = {}
     for label, d in (("1x", SF_DIR), ("10x", big_dir)):
-        for op in ("minhash_dup_pairs", "jaccard_dup_pairs"):
+        for op in ("minhash_dup_pairs", "jaccard_dup_pairs", "dedup_clusters"):
             fn = getattr(D, op)
-            wall, n_pairs, walls = _time(lambda: fn(D.augmented_documents(d)))
+            wall, n_pairs, walls, py_peak = _time(lambda: fn(D.augmented_documents(d)))
             row = {
                 "corpus": label,
                 "op": op,
                 "steady_sec": round(wall, 2),
                 "pairs": int(n_pairs),
                 "trials": walls,
+                # the jaccard/clusters 10x cells cross DRIVER_PAIR_LIMIT
+                # and run the distributed membership join / label
+                # propagation — the driver Python heap must NOT grow
+                # with the pair graph (the round-4 `weak`)
+                "driver_py_heap_peak_mb": py_peak,
+                "driver_rss_mb_after": _rss_mb(),
             }
             results[f"{op}_{label}"] = row
             print(json.dumps(row), flush=True)
-    for op in ("minhash_dup_pairs", "jaccard_dup_pairs"):
+    results["driver_pair_limit"] = D.DRIVER_PAIR_LIMIT
+    for op in ("minhash_dup_pairs", "jaccard_dup_pairs", "dedup_clusters"):
         r = results[f"{op}_10x"]["steady_sec"] / max(results[f"{op}_1x"]["steady_sec"], 1e-9)
         results[f"{op}_blowup"] = round(r, 2)
         print(json.dumps({"op": op, "wall_blowup_at_10x_docs": round(r, 2)}), flush=True)

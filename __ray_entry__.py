@@ -213,6 +213,16 @@ FORGET_IDS = ("c0", "c1")
 _JACCARD_PAIRS_CACHE: dict[str, Any] = {}
 _JACCARD_PAIRS_CACHE_MAX = 8
 
+# observable cache traffic so a bench/driver can LABEL which timed call
+# was served from a shared cache (a 0.0 s row without a cache marker
+# reads as a miracle, not as legitimate reuse) — see bench.run_queries
+_CACHE_EVENTS = {"jaccard_pairs_hits": 0, "jaccard_pairs_misses": 0}
+
+
+def cache_events() -> dict[str, int]:
+    """Snapshot of shared-cache hit/miss counters (monotonic)."""
+    return dict(_CACHE_EVENTS)
+
 
 def _jaccard_pairs_cached(sf_dir: str):
     from nifi_processors_ray.functions.filecache import source_tag
@@ -220,10 +230,13 @@ def _jaccard_pairs_cached(sf_dir: str):
     key = source_tag(os.path.join(sf_dir, "documents.parquet"))
     ds = _JACCARD_PAIRS_CACHE.get(key)
     if ds is None:
+        _CACHE_EVENTS["jaccard_pairs_misses"] += 1
         ds = _dedup.jaccard_dup_pairs(_dedup.augmented_documents(sf_dir)).materialize()
         while len(_JACCARD_PAIRS_CACHE) >= _JACCARD_PAIRS_CACHE_MAX:
             _JACCARD_PAIRS_CACHE.pop(next(iter(_JACCARD_PAIRS_CACHE)))
         _JACCARD_PAIRS_CACHE[key] = ds
+    else:
+        _CACHE_EVENTS["jaccard_pairs_hits"] += 1
     return ds
 
 

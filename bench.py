@@ -114,8 +114,10 @@ def run_queries(sf_dir: str, trials: int = 3) -> tuple[dict[str, float], dict[st
 
     steady: dict[str, float] = {}
     cold: dict[str, float] = {}
+    cached: dict[str, bool] = {}
     for name, fn in e.queries().items():
         times = []
+        ev0 = e.cache_events()
         for _ in range(max(1, trials)):
             t0 = time.perf_counter()
             res = fn(sf_dir)
@@ -123,10 +125,17 @@ def run_queries(sf_dir: str, trials: int = 3) -> tuple[dict[str, float], dict[st
             if hasattr(res, "count"):
                 res.count()
             times.append(time.perf_counter() - t0)
+        ev1 = e.cache_events()
+        # label shared-cache reuse so a near-0 s row is self-explaining:
+        # a query whose COLD trial already hit a shared cache was timed
+        # against work another query paid for
+        if any(ev1[k] > ev0[k] for k in ev1 if k.endswith("_hits")):
+            cached[name] = True
         cold[name] = round(times[0], 3)
         steady[name] = round(min(times[1:]) if len(times) > 1 else times[0], 3)
-        _log(f"  query {name}: steady {steady[name]}s (cold {cold[name]}s)")
-    return steady, cold
+        tag = " [shared-cache hit]" if cached.get(name) else ""
+        _log(f"  query {name}: steady {steady[name]}s (cold {cold[name]}s){tag}")
+    return steady, cold, cached
 
 
 def main_bench(args) -> dict:
@@ -155,9 +164,12 @@ def main_bench(args) -> dict:
         _log(f"  {rep['events_per_sec']} events/s ({rep['replay_sec']}s, trials={rep['trial_secs']})")
         queries = {}
         queries_cold = {}
+        queries_cached = {}
         if args.queries:
             sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-            queries, queries_cold = run_queries(sf_dir, trials=args.query_trials)
+            queries, queries_cold, queries_cached = run_queries(
+                sf_dir, trials=args.query_trials
+            )
         # loadavg before/after makes a contaminated run self-identifying:
         # this box carries 7-11 cores of ambient tenant load and numbers
         # taken at loadavg ≳ num_cpus are not comparable across rounds
@@ -168,6 +180,9 @@ def main_bench(args) -> dict:
             "unit": "sec",
             "queries": queries,
             "queries_cold": queries_cold,
+            # steady times served from a shared in-process cache (e.g. the
+            # jaccard pair chain feeding both the pair and cluster query)
+            "queries_cached": queries_cached,
             "sf": os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/").rsplit("sf", 1)[-1],
             "num_cpus": num_cpus,
             "events": rep["events"],

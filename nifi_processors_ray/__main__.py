@@ -25,10 +25,37 @@ def _ensure_ray() -> None:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
 
 
+def _import_hook(spec: str, flag: str):
+    """Resolve a ``module:function`` CLI value to the callable — the
+    deployment-surface injection point for the user-extension seam (the
+    reference injects a RecordsHandler the same way,
+    consumer/RecordsHandler.java:29-52).  The module must be importable
+    on the workers (ship it via ``ray job submit --working-dir``)."""
+    import importlib
+
+    mod_name, sep, fn_name = spec.partition(":")
+    if not sep or not mod_name or not fn_name:
+        raise SystemExit(f"{flag} must look like 'package.module:function', got {spec!r}")
+    try:
+        mod = importlib.import_module(mod_name)
+    except ImportError as ex:
+        raise SystemExit(f"{flag}: cannot import module {mod_name!r}: {ex}")
+    fn = getattr(mod, fn_name, None)
+    if fn is None:
+        raise SystemExit(f"{flag}: module {mod_name!r} has no attribute {fn_name!r}")
+    return fn
+
+
 def _engine(args):
     from .config import EngineConfig
     from .pipelines.replay import CdcEngine
 
+    enrich = _import_hook(args.enrich, "--enrich") if getattr(args, "enrich", None) else None
+    merge_policy = (
+        _import_hook(args.merge_policy, "--merge-policy")
+        if getattr(args, "merge_policy", None)
+        else None
+    )
     return CdcEngine(
         EngineConfig(
             lake_dir=args.lake,
@@ -41,6 +68,8 @@ def _engine(args):
             auto_mor_ratio=args.auto_mor_ratio,
             compact_threshold=args.compact_threshold,
             merge_concurrency=args.merge_concurrency,
+            enrich=enrich,
+            merge_policy=merge_policy,
         )
     )
 
@@ -191,10 +220,20 @@ def cmd_compact(args) -> int:
     """Fold multi-file (MOR delta) partitions back to one COW file set
     per partition without consuming stream events — run before a heavy
     read window to bound read amplification; state is unchanged
-    (`state_at(new) == state_at(prior)`)."""
+    (`state_at(new) == state_at(prior)`).  Also folds per-epoch
+    lineage/rejected metadata into one file each when they have
+    accumulated — the lineage-metrics read then touches one file
+    instead of one per epoch."""
     _ensure_ray()
     eng = _engine(args)
-    print(json.dumps(eng.compact_partitions()))
+    rec = eng.compact_partitions()
+    man = eng.store.latest()
+    n_meta = (len(man.lineage_files) + len(man.rejected_files)) if man else 0
+    if man and (len(man.lineage_files) > 1 or len(man.rejected_files) > 1):
+        man2 = eng.compact_metadata()
+        rec["metadata_files_before"] = n_meta
+        rec["metadata_files_after"] = len(man2.lineage_files) + len(man2.rejected_files)
+    print(json.dumps(rec))
     return 0
 
 
@@ -312,6 +351,16 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--epoch", type=int, default=None, help="changes: epoch (default latest)")
         p.add_argument(
             "--conv", action="append", default=[], help="forget: conversation id (repeatable)"
+        )
+        p.add_argument(
+            "--enrich", default=None, metavar="MODULE:FN",
+            help="user-extension seam: per-batch enrich callable "
+                 "(pa.Table -> pa.Table), imported as module:function",
+        )
+        p.add_argument(
+            "--merge-policy", default=None, metavar="MODULE:FN",
+            help="user-extension seam: custom per-key merge callable, "
+                 "imported as module:function",
         )
         p.add_argument("--output", default=None, help="export: output directory")
         p.add_argument(

@@ -59,10 +59,14 @@ def build_key_bloom(ds: ray.data.Dataset, col: str) -> "ray.ObjectRef":
                 np.bitwise_or.at(bits, h >> 3, (1 << (h & 7)).astype(np.uint8))
         return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
 
-    blobs = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
+    # stream the fold: take_all would hold every per-block 1 MiB blob on
+    # the driver at once (block-count × 1 MiB transient); iter_batches
+    # keeps exactly one batch of blobs alive while OR-folding
     folded = np.zeros(_BLOOM_BYTES, dtype=np.uint8)
-    for r in blobs:
-        folded |= np.frombuffer(r["bloom"], dtype=np.uint8)
+    blobs = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    for b in blobs.iter_batches(batch_format="pyarrow", batch_size=8):
+        for blob in b.column("bloom"):
+            folded |= np.frombuffer(blob.as_buffer(), dtype=np.uint8)
     return ray.put(folded)
 
 

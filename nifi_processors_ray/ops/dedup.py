@@ -598,6 +598,14 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / union if union else 1.0
 
 
+# Above this many candidate pairs the driver-side folds (membership
+# index broadcast, union-find) switch to fully distributed exchanges:
+# the driver then holds only scalars, never the pair graph.  Below it,
+# the pair set costs <~2 MB on the driver and the broadcast/union-find
+# fast path wins on latency (no extra sort exchanges).
+DRIVER_PAIR_LIMIT = int(os.environ.get("NPR_DEDUP_DRIVER_PAIR_LIMIT", "100000"))
+
+
 def _membership_index(pair_tbl: pa.Table):
     """Pair-id membership index, sorted by member doc id.
 
@@ -691,6 +699,109 @@ def _verify_pair_runs(block: pa.Table, threshold: float, k: int) -> pa.Table:
     )
 
 
+def _explode_membership(batch: pa.Table) -> pa.Table:
+    """(doc_a, doc_b) candidate rows → two membership rows per pair,
+    keyed by the member doc id — the distributed twin of
+    :func:`_membership_index` (same 2-rows-per-pair layout, but as a
+    Dataset that joins docs via a sort exchange instead of a driver
+    broadcast)."""
+    a = np.asarray(batch.column("doc_a"))
+    b = np.asarray(batch.column("doc_b"))
+    n = len(a)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate([a, b]).astype(np.int64)),
+            "doc_a": pa.array(np.concatenate([a, a]).astype(np.int64)),
+            "doc_b": pa.array(np.concatenate([b, b]).astype(np.int64)),
+            "side": pa.array(
+                np.concatenate(
+                    [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+                ),
+                pa.int8(),
+            ),
+            "text": pa.nulls(2 * n, pa.string()),
+            "is_doc": pa.array(np.zeros(2 * n, dtype=np.int8), pa.int8()),
+        }
+    )
+
+
+def _bloom_docs_side(batch: pa.Table, bloom_ref) -> pa.Table:
+    """Doc scan side of the distributed membership join: drop null-id
+    docs (non-participants — signatures never carried them), keep only
+    docs whose id MAY be a candidate member (Bloom pre-filter, fixed
+    1 MiB driver/broadcast footprint regardless of pair count; a false
+    positive just ships one text that finds no membership run and emits
+    nothing), and pad to the union schema."""
+    from ..functions.bloom import bloom_member
+
+    bloom = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) else bloom_ref
+    batch = batch.filter(pc.is_valid(batch.column("doc_id")))
+    if batch.num_rows:
+        ids = np.asarray(batch.column("doc_id").combine_chunks())
+        batch = batch.filter(pa.array(bloom_member(ids, bloom)))
+    n = batch.num_rows
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "doc_a": pa.nulls(n, pa.int64()),
+            "doc_b": pa.nulls(n, pa.int64()),
+            "side": pa.nulls(n, pa.int8()),
+            "text": pc.fill_null(batch.column("text"), ""),
+            "is_doc": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+        }
+    )
+
+
+def _attach_text_runs(block: pa.Table) -> pa.Table:
+    """Per co-located doc_id run: copy the run's single doc row's text
+    onto its membership rows → (doc_a, doc_b, side, text).  Runs with no
+    membership rows (Bloom false positives) emit nothing; a membership
+    run with zero or multiple doc rows is a corpus mismatch and fails
+    loud (same contract as the broadcast path's side-count assert)."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int8()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    ids = np.asarray(block.column("doc_id"))
+    is_doc = np.asarray(block.column("is_doc")).astype(bool)
+    new_run = np.concatenate([[True], ids[1:] != ids[:-1]])
+    run_id = np.cumsum(new_run) - 1
+    nruns = int(run_id[-1]) + 1
+    doc_rows_per_run = np.bincount(run_id[is_doc], minlength=nruns)
+    memb = ~is_doc
+    if not memb.any():
+        return empty
+    memb_runs = np.unique(run_id[memb])
+    bad = doc_rows_per_run[memb_runs] != 1
+    if bad.any():
+        run_starts = np.nonzero(new_run)[0]
+        k = int(ids[run_starts[memb_runs[bad][0]]])
+        raise AssertionError(
+            f"candidate doc {k} has {int(doc_rows_per_run[memb_runs[bad][0]])} "
+            "doc rows — candidate ids must come from the same corpus being "
+            "scanned, with unique doc ids"
+        )
+    text_idx_by_run = np.full(nruns, -1, dtype=np.int64)
+    doc_pos = np.nonzero(is_doc)[0]
+    text_idx_by_run[run_id[doc_pos]] = doc_pos
+    take = text_idx_by_run[run_id[memb]]
+    return pa.table(
+        {
+            "doc_a": block.column("doc_a").filter(pa.array(memb)),
+            "doc_b": block.column("doc_b").filter(pa.array(memb)),
+            "side": block.column("side").filter(pa.array(memb)),
+            "text": block.column("text").take(pa.array(take, pa.int64())),
+        }
+    )
+
+
 # SQL twin of the DRIVER's jaccard_dup_pairs query (threshold 0.5, k=3
 # over the augmented corpus): exact all-pairs shingle Jaccard in DuckDB.
 # The engine output equals the ground truth iff LSH candidate recall is
@@ -740,6 +851,7 @@ def jaccard_dup_pairs(
     threshold: float = 0.5,
     k: int = 3,
     bands: int = 32,
+    driver_limit: int | None = None,
     **minhash_kw,
 ) -> ray.data.Dataset:
     """EXACT n-gram (k-token-shingle) Jaccard near-dup pairs — the classic
@@ -801,22 +913,48 @@ def jaccard_dup_pairs(
         ),
         pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
     )
-    pair_tbl = pa.Table.from_pylist(
-        cands.select_columns(["doc_a", "doc_b"]).take_all(),
-        schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
-    )
-    if pair_tbl.num_rows == 0:
+    from ..functions.blocks import compact_small_result
+
+    # cands is object-store-materialized (compact_small_result), so the
+    # count is a metadata read, and the path pick below is a driver
+    # SCALAR decision — never a pair materialization.
+    n_cands = cands.count()
+    if n_cands == 0:
         return ray.data.from_arrow(
             pa.schema(
                 [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
             ).empty_table()
         )
-    from ..functions.blocks import compact_small_result
+    limit = DRIVER_PAIR_LIMIT if driver_limit is None else driver_limit
+    if n_cands <= limit:
+        # broadcast fast path: the id-only membership index (~17 B per
+        # membership) rides ray.put once; docs scan in place and only
+        # member texts enter the pair-key sort
+        pair_tbl = pa.Table.from_pylist(
+            cands.select_columns(["doc_a", "doc_b"]).take_all(),
+            schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+        )
+        idx_ref = ray.put(_membership_index(pair_tbl))
+        sides = docs.map_batches(
+            _emit_pair_sides, batch_format="pyarrow", fn_kwargs={"idx_ref": idx_ref}
+        )
+    else:
+        # distributed path (pair graph larger than the driver budget):
+        # membership rows stay a Dataset; a fixed-size Bloom filter over
+        # member ids prunes the doc scan; ONE sort exchange on doc_id
+        # co-locates each candidate doc's text with its membership rows
+        # (the only extra exchange vs the broadcast path).  The driver
+        # holds the 1 MiB Bloom bitmap and scalars — never pairs.
+        from ..functions.bloom import build_key_bloom
 
-    idx_ref = ray.put(_membership_index(pair_tbl))
-    sides = docs.map_batches(
-        _emit_pair_sides, batch_format="pyarrow", fn_kwargs={"idx_ref": idx_ref}
-    )
+        membership = cands.map_batches(_explode_membership, batch_format="pyarrow")
+        bloom_ref = build_key_bloom(membership, "doc_id")
+        docs_side = docs.map_batches(
+            _bloom_docs_side, batch_format="pyarrow", fn_kwargs={"bloom_ref": bloom_ref}
+        )
+        sides = checked_sort(membership.union(docs_side), "doc_id").map_batches(
+            _attach_text_runs, batch_format="pyarrow", batch_size=None
+        )
     verified = checked_sort(sides, ["doc_a", "doc_b"]).map_batches(
         _verify_pair_runs,
         batch_format="pyarrow",
@@ -882,12 +1020,229 @@ def _components_min_label(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.
     return ids, labels
 
 
+def _cc_edges(batch: pa.Table) -> pa.Table:
+    """Pair rows → directed edges BOTH ways (hash-min propagates along
+    every edge, so each undirected pair contributes two rows)."""
+    a = np.asarray(batch.column("doc_a"))
+    b = np.asarray(batch.column("doc_b"))
+    return pa.table(
+        {
+            "node": pa.array(np.concatenate([a, b]).astype(np.int64)),
+            "other": pa.array(np.concatenate([b, a]).astype(np.int64)),
+        }
+    )
+
+
+def _cc_init_block(block: pa.Table) -> pa.Table:
+    """Edges co-located by source node → one initial label row per
+    distinct node (label = the node itself, changed=1 to force the
+    first propagation round)."""
+    if block.num_rows == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64()),
+                "changed": pa.array([], pa.int8()),
+            }
+        )
+    ids = np.asarray(block.column("node"))
+    starts = np.nonzero(np.concatenate([[True], ids[1:] != ids[:-1]]))[0]
+    nodes = ids[starts].astype(np.int64)
+    return pa.table(
+        {
+            "node": pa.array(nodes),
+            "label": pa.array(nodes),
+            "changed": pa.array(np.ones(len(nodes), dtype=np.int8), pa.int8()),
+        }
+    )
+
+
+def _cc_propagate_block(block: pa.Table) -> pa.Table:
+    """Label + edge rows co-located by source node → candidate labels:
+    each edge forwards the node's current label to its neighbor, and
+    the node re-proposes its own label (tagged is_self so the min step
+    can count changes).  Fails loud if a node with edges has zero or
+    multiple label rows — labels and edges must cover the same graph."""
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "cand": pa.array([], pa.int64()),
+            "is_self": pa.array([], pa.int8()),
+        }
+    )
+    n = block.num_rows
+    if n == 0:
+        return empty
+    ids = np.asarray(block.column("node"))
+    is_label = np.asarray(block.column("is_label")).astype(bool)
+    new_run = np.concatenate([[True], ids[1:] != ids[:-1]])
+    run_id = np.cumsum(new_run) - 1
+    nruns = int(run_id[-1]) + 1
+    label_counts = np.bincount(run_id[is_label], minlength=nruns)
+    if (label_counts != 1).any():
+        bad = int(np.nonzero(label_counts != 1)[0][0])
+        raise AssertionError(
+            f"node run {bad} has {int(label_counts[bad])} label rows — the "
+            "label set must cover every edge endpoint exactly once"
+        )
+    lab_pos = np.nonzero(is_label)[0]
+    lab_by_run = np.empty(nruns, dtype=np.int64)
+    # fill_null is unnecessary — label rows always carry a label — but a
+    # null would silently become garbage through np.asarray, so assert
+    lab_vals = block.column("label").filter(pa.array(is_label))
+    if lab_vals.null_count:
+        raise AssertionError("null label in propagation input")
+    lab_by_run[run_id[lab_pos]] = np.asarray(lab_vals.combine_chunks())
+    edge = ~is_label
+    out_node = np.concatenate([np.asarray(block.column("other"))[edge], ids[lab_pos]])
+    out_cand = np.concatenate([lab_by_run[run_id[edge]], lab_by_run[run_id[lab_pos]]])
+    out_self = np.concatenate(
+        [np.zeros(int(edge.sum()), dtype=np.int8), np.ones(nruns, dtype=np.int8)]
+    )
+    return pa.table(
+        {
+            "node": pa.array(out_node.astype(np.int64)),
+            "cand": pa.array(out_cand.astype(np.int64)),
+            "is_self": pa.array(out_self, pa.int8()),
+        }
+    )
+
+
+def _cc_min_block(block: pa.Table) -> pa.Table:
+    """Candidate labels co-located by node → new label = min(candidates),
+    changed = new < the node's own proposed label."""
+    if block.num_rows == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64()),
+                "changed": pa.array([], pa.int8()),
+            }
+        )
+    ids = np.asarray(block.column("node"))
+    cand = np.asarray(block.column("cand"))
+    is_self = np.asarray(block.column("is_self")).astype(bool)
+    new_run = np.concatenate([[True], ids[1:] != ids[:-1]])
+    run_id = np.cumsum(new_run) - 1
+    starts = np.nonzero(new_run)[0]
+    nruns = len(starts)
+    self_counts = np.bincount(run_id[is_self], minlength=nruns)
+    if (self_counts != 1).any():
+        raise AssertionError(
+            "a node received neighbor labels without its own label row — "
+            "edge endpoints must equal the label node set"
+        )
+    new_label = np.minimum.reduceat(cand, starts)
+    old = np.empty(nruns, dtype=np.int64)
+    self_pos = np.nonzero(is_self)[0]
+    old[run_id[self_pos]] = cand[self_pos]
+    return pa.table(
+        {
+            "node": pa.array(ids[starts].astype(np.int64)),
+            "label": pa.array(new_label.astype(np.int64)),
+            "changed": pa.array((new_label < old).astype(np.int8), pa.int8()),
+        }
+    )
+
+
+def _distributed_components(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Connected components by iterative hash-min label propagation —
+    the scale path for dup-dense corpora where the pair graph outgrows
+    the driver (billions of edges at 100 TB; the driver here holds one
+    scalar per round).
+
+    Each round is two sort exchanges over id-only rows: (1) co-locate
+    each node's label with its outgoing edges and forward it, (2)
+    co-locate proposals per node and take the min.  Labels monotonically
+    decrease toward the component's min id; rounds needed = the longest
+    min-label propagation path (graph diameter), each round id-scale
+    bytes.  Stops when no label changed; fails loud past 64 rounds
+    (a 2^64-diameter component does not occur in near-dup graphs)."""
+    from ..functions.blocks import compact_small_result
+
+    edge_schema = pa.schema([("node", pa.int64()), ("other", pa.int64())])
+    edges = compact_small_result(
+        pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+            _cc_edges, batch_format="pyarrow"
+        ),
+        edge_schema,
+    )
+    # id-only rows are ~16 B each; the upstream pair set arrives in
+    # sort-exchange-sized blocks (dozens of near-empty ones), and every
+    # propagation round pays per-block sort overhead — re-block to
+    # ~256k rows/block so a round prices by DATA, not by block count
+    n_edges = edges.count()
+    nb = int(max(2, min(32, n_edges // 262144 + 1)))
+    edges = edges.repartition(nb).materialize()
+    lbl_schema = pa.schema(
+        [("node", pa.int64()), ("label", pa.int64()), ("changed", pa.int8())]
+    )
+    labels = compact_small_result(
+        checked_sort(edges, "node").map_batches(
+            _cc_init_block, batch_format="pyarrow", batch_size=None
+        ),
+        lbl_schema,
+    )
+
+    def lab_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "other": pa.nulls(n, pa.int64()),
+                "label": b.column("label"),
+                "is_label": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def edge_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "other": b.column("other"),
+                "label": pa.nulls(n, pa.int64()),
+                "is_label": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    for _ in range(64):
+        proposals = checked_sort(
+            labels.map_batches(lab_side, batch_format="pyarrow").union(
+                edges.map_batches(edge_side, batch_format="pyarrow")
+            ),
+            "node",
+        ).map_batches(_cc_propagate_block, batch_format="pyarrow", batch_size=None)
+        labels = compact_small_result(
+            checked_sort(proposals, "node").map_batches(
+                _cc_min_block, batch_format="pyarrow", batch_size=None
+            ),
+            lbl_schema,
+        )
+        if labels.sum("changed") == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 64 rounds")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("node"), "cluster_id": b.column("label")}
+        )
+
+    from ..functions.debug import null_safe_sort
+
+    return null_safe_sort(
+        labels.map_batches(finalize, batch_format="pyarrow"), "doc_id"
+    )
+
+
 def dedup_clusters(
     docs: ray.data.Dataset | None = None,
     *,
     threshold: float = 0.5,
     k: int = 3,
     pairs: ray.data.Dataset | None = None,
+    driver_limit: int | None = None,
     **jaccard_kw,
 ) -> ray.data.Dataset:
     """Near-duplicate CLUSTERS: connected components of the exact-Jaccard
@@ -895,11 +1250,12 @@ def dedup_clusters(
     turns pairwise dedup output into a keep/drop decision (keep each
     cluster's canonical doc, drop the rest).
 
-    The component fold runs on the driver over pair IDS ONLY (union-find,
-    O(pairs·α), ~16 B/pair) — the same id-only driver footprint as the
-    jaccard membership index; document text never leaves the cluster
-    machines.  Documented scale assumption: the near-dup PAIR set is
-    small by LSH construction (candidates ≈ near-dups).
+    Below ``driver_limit`` pairs (default :data:`DRIVER_PAIR_LIMIT`) the
+    component fold runs on the driver over pair IDS ONLY (union-find,
+    O(pairs·α), ~16 B/pair — <2 MB, cheaper than extra exchanges); above
+    it, :func:`_distributed_components` runs hash-min label propagation
+    over the pair Dataset and the driver holds one scalar per round —
+    the dup-dense-100-TB path where the pair graph is billions of edges.
 
     ``pairs`` (the :func:`jaccard_dup_pairs` output) can be passed in to
     reuse an already-computed pair set — a pipeline that wants both the
@@ -910,14 +1266,22 @@ def dedup_clusters(
     if pairs is None:
         if docs is None:
             raise ValueError("dedup_clusters needs docs or a precomputed pairs set")
-        pairs = jaccard_dup_pairs(docs, threshold=threshold, k=k, **jaccard_kw)
+        pairs = jaccard_dup_pairs(
+            docs, threshold=threshold, k=k, driver_limit=driver_limit, **jaccard_kw
+        )
+    empty = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+    # jaccard_dup_pairs output is object-store-materialized
+    # (compact_small_result) — count() is a metadata read
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(empty.empty_table())
+    limit = DRIVER_PAIR_LIMIT if driver_limit is None else driver_limit
+    if n_pairs > limit:
+        return _distributed_components(pairs)
     tbl = pa.Table.from_pylist(
         pairs.select_columns(["doc_a", "doc_b"]).take_all(),
         schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
     )
-    empty = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
-    if tbl.num_rows == 0:
-        return ray.data.from_arrow(empty.empty_table())
     ids, labels = _components_min_label(
         np.asarray(tbl.column("doc_a")), np.asarray(tbl.column("doc_b"))
     )

@@ -1592,7 +1592,10 @@ def type_share(sf_dir: str):
         Sum("n", alias_name="n"),
         out_types={"n": pa.int64()},
     )
-    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pylist(
+        agg.take_all(),
+        schema=pa.schema([("event_type", pa.string()), ("n", pa.int64())]),
+    )  # ≤|event_types| rows — the take_all is the sibling ops' convention
     n = np.asarray(t.column("n"), dtype=np.int64)
     total = int(n.sum())
     share = (1_000_000 * n) // total if total else np.zeros_like(n)

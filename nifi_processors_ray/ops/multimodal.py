@@ -50,23 +50,64 @@ ORDER BY doc_id
 
 
 def attach_media(batch: pa.Table) -> pa.Table:
-    """documents → (doc_id, media: binary).  Deterministic synthesis."""
-    ids = np.asarray(batch.column("doc_id"))
-    nchars = np.asarray(batch.column("n_chars"))
-    texts = batch.column("text").to_pylist()
-    payloads = [
-        _HEADER.pack(
-            MEDIA_MAGIC,
-            int(nc * 7) % 1024 + 16,
-            int(nc * 3) % 768 + 16,
-            int(i) % 24 + 1,
+    """documents → (doc_id, media: binary).  Deterministic synthesis.
+
+    Fully vectorized numpy byte assembly (no per-row pack/encode): the
+    output binary column is built directly from an offsets array and one
+    flat data buffer — headers scattered, text bytes gathered — so the
+    fixture-synthesis stage prices like a memcpy, not a Python loop."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "media": pa.array([], pa.binary())}
         )
-        + t.encode("utf-8")
-        for i, nc, t in zip(ids, nchars, texts)
-    ]
-    return pa.table(
-        {"doc_id": batch.column("doc_id"), "media": pa.array(payloads, type=pa.binary())}
+    ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    nchars = np.asarray(batch.column("n_chars"), dtype=np.int64)
+    bin_arr = pc.cast(
+        pc.fill_null(batch.column("text"), ""), pa.binary()
+    ).combine_chunks()
+    raw_offs = np.frombuffer(bin_arr.buffers()[1], dtype=np.int32)
+    offs = raw_offs[bin_arr.offset : bin_arr.offset + n + 1].astype(np.int64)
+    data_buf = bin_arr.buffers()[2]  # None when every text is empty
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
     )
+    tlen = offs[1:] - offs[:-1]
+    out_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tlen + HEADER_LEN, out=out_offs[1:])
+    buf = np.empty(int(out_offs[-1]), dtype=np.uint8)
+    # headers: (n, 9) block scattered to each row's start (big-endian,
+    # byte-identical to _HEADER.pack)
+    w = (nchars * 7) % 1024 + 16
+    h = (nchars * 3) % 768 + 16
+    hdr = np.empty((n, HEADER_LEN), dtype=np.uint8)
+    hdr[:, 0:4] = np.frombuffer(MEDIA_MAGIC, dtype=np.uint8)
+    hdr[:, 4] = (w >> 8) & 0xFF
+    hdr[:, 5] = w & 0xFF
+    hdr[:, 6] = (h >> 8) & 0xFF
+    hdr[:, 7] = h & 0xFF
+    hdr[:, 8] = (ids % 24 + 1) & 0xFF
+    buf[(out_offs[:-1, None] + np.arange(HEADER_LEN)).ravel()] = hdr.ravel()
+    # text payloads: one flat gather src→dst
+    total_text = int(tlen.sum())
+    if total_text:
+        row = np.repeat(np.arange(n), tlen)
+        within = np.arange(total_text) - np.repeat(np.cumsum(tlen) - tlen, tlen)
+        buf[out_offs[:-1][row] + HEADER_LEN + within] = data[offs[:-1][row] + within]
+    media = pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [
+            None,
+            pa.py_buffer(out_offs.astype(np.int32).tobytes()),
+            pa.py_buffer(buf.tobytes()),
+        ],
+    )
+    return pa.table({"doc_id": batch.column("doc_id"), "media": media})
 
 
 class MediaFeatureExtractor:

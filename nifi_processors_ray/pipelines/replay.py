@@ -936,15 +936,27 @@ class CdcEngine:
         if not paths:
             return ray.data.from_arrow(LINEAGE_SCHEMA.empty_table())
         # columns pinned so the epoch=N path segment isn't inferred as a
-        # hive-partition column
-        return ray.data.read_parquet(paths, columns=[f.name for f in LINEAGE_SCHEMA])
+        # hive-partition column.  The manifest already points at the
+        # compact_metadata() output when it has run (compaction swaps
+        # lineage_files to the one consolidated file), so this read
+        # automatically prefers the compacted form.  Metadata files are
+        # tiny — one read task per file, never Ray's ~200-block floor.
+        return ray.data.read_parquet(
+            paths,
+            columns=[f.name for f in LINEAGE_SCHEMA],
+            override_num_blocks=len(paths),
+        )
 
     def rejected(self) -> ray.data.Dataset:
         man = self.store.latest()
         paths = [os.path.join(self.cfg.lake_dir, f) for f in (man.rejected_files if man else [])]
         if not paths:
             return ray.data.from_arrow(REJECTED_SCHEMA.empty_table())
-        return ray.data.read_parquet(paths, columns=[f.name for f in REJECTED_SCHEMA])
+        return ray.data.read_parquet(
+            paths,
+            columns=[f.name for f in REJECTED_SCHEMA],
+            override_num_blocks=len(paths),
+        )
 
     def compact_metadata(self) -> Manifest | None:
         """Consolidate per-epoch lineage / rejected files into one file each.

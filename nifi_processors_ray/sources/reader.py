@@ -86,6 +86,61 @@ def _blocks_from_meta(meta, rows_per_block: int | None) -> int | None:
     return max(rows_based, bytes_based, 1)
 
 
+def _read_rg_range(batch: pa.Table, *, path: str, columns) -> pa.Table:
+    """One fragment-read task: open the file, decode this task's
+    row-group range (column-pruned at the footer), metadata-stripped."""
+    lo = batch.column("lo").to_pylist()
+    hi = batch.column("hi").to_pylist()
+    pf = pq.ParquetFile(path)
+    tables = [
+        pf.read_row_groups(list(range(a, b)), columns=columns).replace_schema_metadata(
+            None
+        )
+        for a, b in zip(lo, hi)
+    ]
+    return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+
+
+def _fragment_read(
+    path: str, meta, columns, num_tasks: int
+) -> ray.data.Dataset:
+    """Row-group-parallel scan of ONE parquet file.
+
+    Ray's parquet reader decodes a single FILE in a single read task no
+    matter what ``override_num_blocks`` says (SplitBlocks only re-splits
+    AFTER the serial decode) — so a user pointing the engine at one big
+    file gets a serial scan.  This path plans contiguous row-group
+    ranges on the driver (footer metadata only) and decodes each range
+    in its own Ray task — scan parallelism then depends on the file's
+    row-group layout, never on how many files the producer happened to
+    write.  (The reference's analogous always-parallel source is the
+    per-shard consumption in consumer/GetKinesisStream.java:105,176-180.)
+    """
+    n_rgs = meta.num_row_groups
+    num_tasks = max(1, min(num_tasks, n_rgs))
+    # contiguous ranges balanced by ROWS (row groups can be ragged)
+    rows = [meta.row_group(i).num_rows for i in range(n_rgs)]
+    total = sum(rows)
+    bounds = [0]
+    acc = 0
+    for i, r in enumerate(rows):
+        acc += r
+        if acc >= total * len(bounds) / num_tasks and len(bounds) < num_tasks:
+            bounds.append(i + 1)
+    bounds.append(n_rgs)
+    ranges = [
+        {"lo": a, "hi": b} for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+    ]
+    return ray.data.from_items(
+        ranges, override_num_blocks=len(ranges)
+    ).map_batches(
+        _read_rg_range,
+        batch_format="pyarrow",
+        batch_size=None,
+        fn_kwargs={"path": path, "columns": columns},
+    )
+
+
 def read_parquet(
     paths,
     *,
@@ -102,6 +157,11 @@ def read_parquet(
     default (compute-heavy stages over few rows want a SMALL target so
     they still fan out to the CPUs).  An explicit
     ``override_num_blocks`` always wins.
+
+    A single file with MULTIPLE row groups that wants >1 block takes the
+    row-group fragment path (:func:`_fragment_read`) — Ray's own reader
+    would decode it serially in one task.  Single-row-group files (all
+    the small testdata fixtures) keep Ray's reader unchanged.
     """
     single_file = isinstance(paths, str) and os.path.isfile(paths)
     pf = None
@@ -110,12 +170,24 @@ def read_parquet(
             pf = pq.ParquetFile(paths)  # ONE footer parse for blocks + schema
         except Exception:
             pf = None
-    if auto_blocks and pf is not None and "override_num_blocks" not in kwargs:
+    nb = kwargs.get("override_num_blocks")
+    if auto_blocks and pf is not None and nb is None:
         nb = _blocks_from_meta(
             pf.metadata, None if auto_blocks is True else int(auto_blocks)
         )
         if nb is not None:
             kwargs["override_num_blocks"] = nb
+    if (
+        pf is not None
+        and pf.metadata.num_row_groups > 1
+        and set(kwargs) <= {"override_num_blocks"}  # a filter/other kwarg → Ray's reader
+    ):
+        # want >1 block?  (explicit/auto nb, else Ray's default — which
+        # always wants parallelism for a file big enough to carry
+        # multiple row groups)
+        want = nb if nb is not None else _blocks_from_meta(pf.metadata, None)
+        if want and want > 1:
+            return _fragment_read(paths, pf.metadata, columns, want)
     schema = None
     if pf is not None:
         try:

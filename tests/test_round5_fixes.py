@@ -101,3 +101,52 @@ def test_yoy_zero_revenue_year_matches_duckdb(tmp_path):
     r96 = got[got.yr == 1996].iloc[0]
     assert r96.rev_cents == 5000 and r96.yoy_cents == 5000
     assert math.isnan(r96.yoy_ratio)
+
+
+def test_cli_enrich_hook(tmp_path):
+    """`--enrich module:fn` injects the user-extension seam from the
+    deployment surface (the reference wires RecordsHandler the same
+    way); the enriched column lands in the lake."""
+    import subprocess
+
+    mod_dir = tmp_path / "ext"
+    mod_dir.mkdir()
+    (mod_dir / "my_enrich.py").write_text(
+        "import pyarrow.compute as pc\n"
+        "def add_text_len(batch):\n"
+        "    return batch.append_column('text_len', pc.utf8_length(batch.column('text')))\n"
+    )
+    log = str(tmp_path / "log")
+    write_generated_changelog(log, 400, files=1, n_convs=10)
+    lake = str(tmp_path / "lake")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{mod_dir}:{env.get('PYTHONPATH', '')}"
+    r = subprocess.run(
+        [sys.executable, "-m", "nifi_processors_ray", "replay",
+         "--lake", lake, "--log", log, "--partitions", "2",
+         "--enrich", "my_enrich:add_text_len"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import glob
+
+    files = glob.glob(lake + "/data/**/*.parquet", recursive=True)
+    assert files
+    t = pq.read_table(files[0])
+    assert "text_len" in t.schema.names
+    import pyarrow.compute as pc
+
+    valid = t.filter(pc.is_valid(t.column("text")))
+    assert pc.all(
+        pc.equal(valid.column("text_len"), pc.utf8_length(valid.column("text")))
+    ).as_py()
+
+    # bad specs fail fast with a usable message
+    for bad in ("my_enrich", "nosuchmod:fn", "my_enrich:nosuchfn"):
+        rb = subprocess.run(
+            [sys.executable, "-m", "nifi_processors_ray", "replay",
+             "--lake", str(tmp_path / "lake2"), "--log", log,
+             "--enrich", bad],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+        )
+        assert rb.returncode != 0
