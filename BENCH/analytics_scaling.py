@@ -33,6 +33,13 @@ COPIES = 64
 SF_DIR = os.path.join(
     os.environ.get("TMPDIR", "/tmp"), f"npr_ana_sf_{COPIES}x_{os.path.basename(SRC_SF)}"
 )
+# same amplified data as ONE file per table (64 row groups): measures
+# that row-group fragment reads give single-file layouts the same scan
+# parallelism as the many-file layout (round-5 reader change)
+SF1_DIR = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"),
+    f"npr_ana_sf_{COPIES}x1f_{os.path.basename(SRC_SF)}",
+)
 QUERIES = ["lineitem_pricing_summary", "events_window_agg", "corpus_clean"]
 
 
@@ -85,7 +92,52 @@ def prepare() -> None:
         fh.write("ok")
 
 
-def child(cpus: int, trials: int) -> None:
+def prepare_single_file() -> None:
+    """Same amplified tables as :func:`prepare`, but ONE parquet file per
+    table with one row group per copy — the layout a producer that
+    doesn't shard would hand the engine."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    done = os.path.join(SF1_DIR, "_DONE")
+    if os.path.exists(done):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    for name, idcol, offset in [
+        ("events", "event_id", 100_000_000),
+        ("lineitem", "l_orderkey", 100_000_000),
+        ("documents", "doc_id", 10_000_000),
+    ]:
+        t = pq.read_table(os.path.join(SRC_SF, f"{name}.parquet"))
+        out = os.path.join(SF1_DIR, f"{name}.parquet")
+        writer = pq.ParquetWriter(out, t.schema)
+        for c in range(COPIES):
+            p = t
+            if c > 0:
+                i = p.schema.get_field_index(idcol)
+                p = p.set_column(
+                    i, idcol, pc.add(p.column(idcol), c * offset).cast(t.schema.field(idcol).type)
+                )
+                if name == "documents":
+                    j = p.schema.get_field_index("text")
+                    p = p.set_column(
+                        j, "text",
+                        pc.binary_join_element_wise(
+                            p.column("text").cast(pa.string()), f" v{c}", ""
+                        ),
+                    )
+            writer.write_table(p, row_group_size=p.num_rows)  # 1 rg per copy
+        writer.close()
+    for f in os.listdir(SRC_SF):
+        if f.endswith(".parquet") and not os.path.exists(os.path.join(SF1_DIR, f)):
+            os.symlink(os.path.join(SRC_SF, f), os.path.join(SF1_DIR, f))
+    with open(done, "w") as fh:
+        fh.write("ok")
+
+
+def child(cpus: int, trials: int, sf_dir: str = None) -> None:
+    sf_dir = sf_dir or SF_DIR
     os.sched_setaffinity(0, set(range(cpus)))
     import ray
 
@@ -101,7 +153,7 @@ def child(cpus: int, trials: int) -> None:
         per = {}
         for name in QUERIES:
             t0 = time.perf_counter()
-            res = q[name](SF_DIR)
+            res = q[name](sf_dir)
             # consume fully (count() is a full execution for these plans)
             res.count()
             per[name] = time.perf_counter() - t0
@@ -123,13 +175,7 @@ def child(cpus: int, trials: int) -> None:
     ray.shutdown()
 
 
-def main() -> None:
-    if "--child" in sys.argv:
-        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
-        child(cpus, trials=4)
-        return
-    prepare()
-    levels = (4, 16)
+def _run_levels(levels, sf_dir):
     results = {}
     for cpus in levels:
         waited = 0
@@ -137,7 +183,8 @@ def main() -> None:
             time.sleep(10)
             waited += 10
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", "--cpus", str(cpus)],
+            [sys.executable, os.path.abspath(__file__), "--child", "--cpus",
+             str(cpus), "--sf", sf_dir],
             capture_output=True,
             text=True,
             cwd=REPO,
@@ -147,8 +194,9 @@ def main() -> None:
             raise SystemExit(f"child cpus={cpus} failed")
         results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
     lo, hi = levels
-    t_lo, t_hi = results[lo]["trial_min_sec"], results[hi]["trial_min_sec"]
-    efficiency = round((t_lo / t_hi) / (hi / lo), 3)
+    efficiency = round(
+        (results[lo]["trial_min_sec"] / results[hi]["trial_min_sec"]) / (hi / lo), 3
+    )
     per_query_eff = {
         name: round(
             (results[lo]["per_query_min_sec"][name] / results[hi]["per_query_min_sec"][name])
@@ -157,15 +205,35 @@ def main() -> None:
         )
         for name in QUERIES
     }
-    out = {
-        "metric": "analytics_scaling_efficiency",
+    return {
         "value": efficiency,
         "per_query_efficiency": per_query_eff,
-        "queries_per_trial": QUERIES,
-        "sf_dir": SF_DIR,
+        "sf_dir": sf_dir,
         "trial_min_sec": {str(c): results[c]["trial_min_sec"] for c in levels},
         "per_query_min_sec": {str(c): results[c]["per_query_min_sec"] for c in levels},
-        "cpu_ratio": hi / lo,
+    }
+
+
+def main() -> None:
+    if "--child" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        sf = sys.argv[sys.argv.index("--sf") + 1] if "--sf" in sys.argv else None
+        child(cpus, trials=4, sf_dir=sf)
+        return
+    prepare()
+    prepare_single_file()
+    levels = (4, 16)
+    multi = _run_levels(levels, SF_DIR)
+    single = _run_levels(levels, SF1_DIR)
+    out = {
+        "metric": "analytics_scaling_efficiency",
+        "value": multi["value"],
+        "queries_per_trial": QUERIES,
+        "cpu_ratio": levels[1] / levels[0],
+        "multi_file": multi,
+        # same data as ONE file/table (64 row groups): fragment reads
+        # must give it the same scan parallelism as the 64-file layout
+        "single_file": single,
     }
     with open(os.path.join(REPO, "BENCH", "ANALYTICS_SCALING.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -326,7 +326,21 @@ def _grouped_reduce_kernel(skeys: list[str], plan):
             nvalid = np.add.reduceat(valid.astype(np.int64), starts)
             vals = np.asarray(pc.fill_null(col, 0))
             if kind == "sum":
-                red = np.add.reduceat(np.where(valid, vals, 0), starts)
+                masked = np.where(valid, vals, 0)
+                red = np.add.reduceat(masked, starts)
+                # int64 reduceat WRAPS silently; DuckDB's SUM(BIGINT)
+                # accumulates in HUGEINT and only the final CAST raises.
+                # Shadow the fold in float64: a wrap shifts the int
+                # result by k·2^64 ≈ 1.8e19 while the float shadow's
+                # rounding error stays ≤ ~1e10 at any legit magnitude —
+                # fail loud instead of committing a wrapped aggregate.
+                redf = np.add.reduceat(masked.astype(np.float64), starts)
+                if np.any(np.abs(red - redf) > 1e15):
+                    raise OverflowError(
+                        f"int64 SUM overflow in column {on!r} — the exact "
+                        "aggregate no longer fits BIGINT (DuckDB raises here "
+                        "too: CAST(HUGEINT AS BIGINT) out of range)"
+                    )
             elif kind == "min":
                 red = np.minimum.reduceat(np.where(valid, vals, _INT64_MAX), starts)
             else:

@@ -1512,17 +1512,19 @@ def _moments_partial(batch: pa.Table) -> pa.Table:
     10^6-dollar values per GROUP; document-scale safe).  Null values are
     excluded from all three (COUNT(value)/SUM skip nulls in SQL); null
     TYPES form their own group (Arrow group_by keeps null keys)."""
+    from ..functions.checked import group_sums_checked, square_checked
+
     cents = _cents(batch.column("value"))
     t = pa.table(
         {
             "event_type": batch.column("event_type"),
             "cents": cents,
-            "cents_sq": pc.multiply(cents, cents),
+            # checked: BIGINT*BIGINT overflow raises like the twin's
+            # DuckDB multiply (extreme-magnitude probe, round 5)
+            "cents_sq": square_checked(cents),
         }
     )
-    g = t.group_by(["event_type"]).aggregate(
-        [("cents", "count"), ("cents", "sum"), ("cents_sq", "sum")]
-    )
+    g = group_sums_checked(t, ["event_type"], ["cents", "cents_sq"])
     return pa.table(
         {
             "event_type": g.column("event_type"),

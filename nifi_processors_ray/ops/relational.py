@@ -226,10 +226,16 @@ def _pricing_partials(batch: pa.Table) -> pa.Table:
     Arrow-native ``Table.group_by`` (C++ hash agg) — the round-1 pandas
     round-trip cost a copy per batch and left dict metadata on the schema
     that flooded the log with Ray schema-dedup warnings."""
-    # count_all = COUNT(*) (a plain column count skips nulls)
-    g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-        [([], "count_all"), ("qty_cents", "sum"), ("price_cents", "sum"),
-         ("disc_price_cents", "sum")]
+    from ..functions.checked import group_sums_checked
+
+    # count_all = COUNT(*) (a plain column count skips nulls); sums are
+    # overflow-guarded — Arrow's int64 group-sum wraps silently where the
+    # twin's HUGEINT accumulator raises at the final BIGINT cast
+    g = group_sums_checked(
+        batch,
+        ["l_returnflag", "l_linestatus"],
+        ["qty_cents", "price_cents", "disc_price_cents"],
+        count_all=True,
     )
     # columns selected by their GENERATED names — positional renames broke
     # across pyarrow versions that reordered keys vs aggregates
@@ -256,16 +262,26 @@ def lineitem_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     partials = ds.map_batches(_pricing_cents, batch_format="pyarrow").map_batches(
         _pricing_partials, batch_format="pyarrow"
     )
-    return (
-        partials.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("n_rows", alias_name="n_rows"),
-            Sum("qty_cents", alias_name="qty_cents"),
-            Sum("price_cents", alias_name="price_cents"),
-            Sum("disc_price_cents", alias_name="disc_price_cents"),
-        )
-        .sort(["l_returnflag", "l_linestatus"])
+    from ..functions.debug import null_safe_groupby_agg, null_safe_sort
+
+    # the fold rides the guarded fast path: its float64-shadow Sum fails
+    # loud if the cross-batch total overflows int64 (partials alone
+    # fitting int64 does not imply the total does)
+    out = null_safe_groupby_agg(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("qty_cents", alias_name="qty_cents"),
+        Sum("price_cents", alias_name="price_cents"),
+        Sum("disc_price_cents", alias_name="disc_price_cents"),
+        out_types={
+            "n_rows": pa.int64(),
+            "qty_cents": pa.int64(),
+            "price_cents": pa.int64(),
+            "disc_price_cents": pa.int64(),
+        },
     )
+    return null_safe_sort(out, ["l_returnflag", "l_linestatus"])
 
 
 # ---------------------------------------------------------------------------
@@ -1142,8 +1158,24 @@ def _outlier_block(block: pa.Table) -> pa.Table:
     new_run = np.concatenate([[True], uid[1:] != uid[:-1]])
     starts = np.nonzero(new_run)[0]
     run_len = np.diff(np.concatenate([starts, [n_rows]]))
+    # loud-overflow arithmetic (extreme-magnitude probe, round 5): the
+    # twin's BIGINT multiply / CAST(SUM(..) AS BIGINT) raise on overflow
+    # while numpy int64 wraps silently — shadow both in float64 (a wrap
+    # shifts the int result by k·2^64, far beyond any float rounding)
+    cents_f = cents.astype(np.float64)
+    sq = cents * cents
+    sq_f = cents_f * cents_f
     s1 = np.add.reduceat(cents, starts)
-    s2 = np.add.reduceat(cents * cents, starts)
+    s2 = np.add.reduceat(sq, starts)
+    if (
+        np.any(np.abs(sq - sq_f) > 1e15)
+        or np.any(np.abs(s1 - np.add.reduceat(cents_f, starts)) > 1e15)
+        or np.any(np.abs(s2 - np.add.reduceat(sq_f, starts)) > 1e15)
+    ):
+        raise OverflowError(
+            "int64 overflow in per-user moment sums — the exact aggregate "
+            "no longer fits BIGINT (the SQL twin raises here too)"
+        )
     n = run_len.astype(np.float64)
     mean = s1.astype(np.float64) / n
     var = (n * s2.astype(np.float64) - s1.astype(np.float64) * s1.astype(np.float64)) / (
@@ -1363,6 +1395,15 @@ def _q6_partial(batch: pa.Table) -> pa.Table:
         )
     ).cast(pa.int64())
     s = pc.sum(cents)  # skips nulls, like SQL SUM
+    # pc.sum wraps on int64 overflow where the twin's HUGEINT accumulator
+    # raises at the BIGINT cast — float64 shadow makes the wrap loud
+    if s.is_valid:
+        shadow = pc.sum(pc.cast(cents, pa.float64())).as_py()
+        if abs(s.as_py() - shadow) > 1e15:
+            raise OverflowError(
+                "int64 SUM overflow in promo_cents partial — the exact "
+                "aggregate no longer fits BIGINT"
+            )
     return pa.table(
         {
             "promo_cents": pa.array([s.as_py() if s.is_valid else 0], pa.int64()),
@@ -1377,8 +1418,6 @@ def revenue_forecast(sf_dir: str) -> ray.data.Dataset:
     discount band never leave storage), each batch folds to ONE partial
     row, and the only 'shuffle' is a ≤n_blocks-row global sum — the
     pure filter-aggregate baseline of the relational family."""
-    from ray.data.aggregate import Sum
-
     flt = (
         (pc.field("l_shipdate") >= pa.scalar(np.datetime64(Q6_LO, "us"), pa.timestamp("us")))
         & (pc.field("l_shipdate") < pa.scalar(np.datetime64(Q6_HI, "us"), pa.timestamp("us")))
@@ -1392,15 +1431,15 @@ def revenue_forecast(sf_dir: str) -> ray.data.Dataset:
         filter=flt,
     )
     partials = ds.map_batches(_q6_partial, batch_format="pyarrow")
-    agg = partials.aggregate(
-        Sum("promo_cents", alias_name="promo_cents"),
-        Sum("n_items", alias_name="n_items"),
-    )
-    # empty qualifying set: Dataset.aggregate returns None/None-valued —
-    # the twin still emits one (0, 0) row (COALESCE'd SUM + COUNT(*)=0)
+    # the final fold is over ≤ n_blocks one-row partials — fold them in
+    # Python ints (= the twin's HUGEINT), so an over-BIGINT total raises
+    # at the int64 array build exactly like CAST(HUGEINT AS BIGINT)
+    rows = partials.take_all()
+    # empty qualifying set: the twin still emits one (0, 0) row
+    # (COALESCE'd SUM + COUNT(*)=0)
     row = {
-        "promo_cents": int((agg or {}).get("promo_cents") or 0),
-        "n_items": int((agg or {}).get("n_items") or 0),
+        "promo_cents": sum(int(r["promo_cents"]) for r in rows),
+        "n_items": sum(int(r["n_items"]) for r in rows),
     }
     import ray.data as _rd
 

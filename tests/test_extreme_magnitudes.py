@@ -1,0 +1,93 @@
+"""Extreme int64-magnitude probe (round 5): money/moment kernels must
+never WRAP silently where DuckDB raises — outcome parity (same values,
+or both raise) at value magnitudes that overflow cents², Σcents and
+finally FLOOR(value*100) itself.
+
+Found+fixed by this probe: events_value_moments batch partials (Arrow
+int64 group-sum wrap) and events_user_outliers per-user moment sums
+(numpy int64 multiply/reduceat wrap) returned wrapped values where the
+twin raised OutOfRangeException.  Guards: pc.multiply_checked +
+float64-shadow folds (functions/checked.py, debug.py fast-path Sum).
+"""
+
+import os
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+import __ray_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+EVENT_QUERIES = [
+    "events_value_moments", "events_user_trend", "events_user_outliers",
+    "events_moving_sum", "events_value_histogram", "events_median_cont",
+    "events_value_quantiles",
+]
+MONEY_QUERIES = ["lineitem_pricing_summary", "revenue_forecast", "orders_running_total"]
+
+
+def _scaled_sf(tmp_path, mult, table, col):
+    d = str(tmp_path / f"sf_{table}_{mult:g}")
+    os.makedirs(d)
+    for f in os.listdir(SF):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SF, f), os.path.join(d, f))
+    t = pq.read_table(os.path.join(d, f"{table}.parquet"))
+    t = t.set_column(
+        t.schema.get_field_index(col), col, pc.multiply(t.column(col), float(mult))
+    )
+    pq.write_table(t, os.path.join(d, f"{table}.parquet"))
+    return d
+
+
+def _outcome_parity(d, names):
+    con = duckdb.connect()
+    for tn in TABLES:
+        con.sql(f"CREATE VIEW {tn} AS SELECT * FROM read_parquet('{d}/{tn}.parquet')")
+    O, Q = E.oracle_sql(), E.queries()
+    for name in names:
+        try:
+            want = con.sql(O[name]).df()
+            oerr = None
+        except Exception as ex:
+            want, oerr = None, ex
+        try:
+            r = Q[name](d)
+            got = r.to_pandas() if hasattr(r, "to_pandas") else r
+            eerr = None
+        except Exception as ex:
+            got, eerr = None, ex
+        assert (oerr is None) == (eerr is None), (
+            f"{name}: outcome diverged — oracle "
+            f"{type(oerr).__name__ if oerr else 'OK'} vs engine "
+            f"{type(eerr).__name__ if eerr else 'OK'} (a silent int64 wrap?)"
+        )
+        if oerr is None:
+            cols = sorted(want.columns)
+            assert got[cols].sort_values(cols).reset_index(drop=True).equals(
+                want[cols].sort_values(cols).reset_index(drop=True)
+            ), f"{name}: values diverged at extreme magnitude"
+
+
+@pytest.mark.parametrize("mult", [1e6, 1e12, 1e16])
+def test_event_value_magnitudes(tmp_path, mult):
+    """cents² overflows at 1e6, Σcents at 1e12, FLOOR(v*100) at 1e16 —
+    every rung must be outcome-parity (both raise or both match)."""
+    d = _scaled_sf(tmp_path, mult, "events", "value")
+    _outcome_parity(d, EVENT_QUERIES)
+
+
+def test_money_column_magnitudes(tmp_path):
+    d = _scaled_sf(tmp_path, 1e12, "lineitem", "l_extendedprice")
+    _outcome_parity(d, ["lineitem_pricing_summary", "revenue_forecast"])
+    d2 = _scaled_sf(tmp_path, 1e12, "orders", "o_totalprice")
+    _outcome_parity(d2, ["orders_running_total"])
