@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -63,6 +64,15 @@ def suggest_scan_blocks(path: str, rows_per_block: int | None = None) -> int | N
 
 
 def _blocks_from_meta(meta, rows_per_block: int | None) -> int | None:
+    unc_bytes = sum(
+        meta.row_group(i).total_byte_size for i in range(meta.num_row_groups)
+    )
+    return _blocks_from_stats(meta.num_rows, unc_bytes, rows_per_block)
+
+
+def _blocks_from_stats(
+    rows: int, unc_bytes: int, rows_per_block: int | None
+) -> int | None:
     env = os.environ.get("NPR_READ_ROWS_PER_BLOCK")
     if env is not None:  # env wins: 0 disables auto sizing entirely
         try:
@@ -73,10 +83,6 @@ def _blocks_from_meta(meta, rows_per_block: int | None) -> int | None:
         rows_per_block = _ROWS_PER_BLOCK
     if rows_per_block <= 0:  # escape hatch: Ray's own heuristic
         return None
-    rows = meta.num_rows
-    unc_bytes = sum(
-        meta.row_group(i).total_byte_size for i in range(meta.num_row_groups)
-    )
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
@@ -86,58 +92,153 @@ def _blocks_from_meta(meta, rows_per_block: int | None) -> int | None:
     return max(rows_based, bytes_based, 1)
 
 
-def _read_rg_range(batch: pa.Table, *, path: str, columns) -> pa.Table:
-    """One fragment-read task: open the file, decode this task's
-    row-group range (column-pruned at the footer), metadata-stripped."""
-    lo = batch.column("lo").to_pylist()
-    hi = batch.column("hi").to_pylist()
-    pf = pq.ParquetFile(path)
-    tables = [
-        pf.read_row_groups(list(range(a, b)), columns=columns).replace_schema_metadata(
-            None
+#: driver-side fragment planning caps: beyond this many files (or
+#: footer bytes to read serially-ish) fall back to Ray's reader, whose
+#: metadata prefetch is itself distributed.
+_MAX_PLAN_FILES = 4096
+_FOOTER_THREADS = 16
+
+
+def _read_units(batch: pa.Table, *, columns):
+    """One fragment-read task: decode this task's (path, row-group
+    range) units, column-pruned at the footer, metadata-stripped.
+
+    Yields one table per unit (never concatenates) so task heap stays
+    bounded by ONE unit (~:data:`_BYTES_PER_BLOCK` uncompressed) and
+    Ray's dynamic block splitting sees each unit separately.
+    """
+    paths = batch.column("p").to_pylist()
+    los = batch.column("lo").to_pylist()
+    his = batch.column("hi").to_pylist()
+    for p, a, b in zip(paths, los, his):
+        pf = pq.ParquetFile(p)
+        if b > a:
+            t = pf.read_row_groups(list(range(a, b)), columns=columns)
+        else:  # zero-row-group (empty) file: schema-only table
+            t = pf.schema_arrow.empty_table()
+        if columns is not None:
+            t = t.select(columns)  # pin projection ORDER, not just set
+        yield t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def _plan_fragment_units(files: list[str], nb: int | None, auto_blocks):
+    """Footer-plan a fragment scan over ``files``.
+
+    Reads every footer in a driver thread pool (cheap: metadata only —
+    Ray's own reader fetches the same footers, just in remote tasks)
+    and refuses when the files don't share ONE schema (Ray's reader
+    handles cross-file schema unification; this path must not guess).
+
+    Each file splits into contiguous row-group ranges capped at
+    ``min(_BYTES_PER_BLOCK, total_unc / want)`` uncompressed — the
+    first term keeps one unit worker-heap-friendly at lake scale, the
+    second sub-splits a SINGLE many-row-group file to the wanted
+    parallelism (a 64-file directory naturally yields ≥64 units and is
+    untouched by it).
+
+    Returns ``(units, nb_resolved)`` or ``None`` when the plan
+    shouldn't be used.  ``nb_resolved`` is the explicit/auto block
+    count to coalesce to (``None`` → one task per unit).
+    """
+    if not files or len(files) > _MAX_PLAN_FILES:
+        return None
+    try:
+        if len(files) == 1:
+            pfs = [pq.ParquetFile(files[0])]
+        else:
+            with ThreadPoolExecutor(min(_FOOTER_THREADS, len(files))) as ex:
+                pfs = list(ex.map(pq.ParquetFile, files))
+    except Exception:
+        return None
+    schema = pfs[0].schema_arrow.remove_metadata()
+    if any(pf.schema_arrow.remove_metadata() != schema for pf in pfs[1:]):
+        return None
+    metas = [pf.metadata for pf in pfs]
+    total_rows = sum(m.num_rows for m in metas)
+    total_unc = sum(
+        m.row_group(i).total_byte_size
+        for m in metas
+        for i in range(m.num_row_groups)
+    )
+    if nb is None and auto_blocks:
+        nb = _blocks_from_stats(
+            total_rows, total_unc, None if auto_blocks is True else int(auto_blocks)
         )
-        for a, b in zip(lo, hi)
-    ]
-    return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+    want = nb if nb is not None else _blocks_from_stats(total_rows, total_unc, None)
+    cap = _BYTES_PER_BLOCK
+    if want and want > 0:
+        cap = max(1, min(cap, -(-total_unc // want)))
+    units: list[dict] = []
+    for p, m in zip(files, metas):
+        lo = 0
+        acc = 0
+        for i in range(m.num_row_groups):
+            acc += m.row_group(i).total_byte_size
+            if acc >= cap:
+                units.append({"p": p, "lo": lo, "hi": i + 1})
+                lo, acc = i + 1, 0
+        if lo < m.num_row_groups or m.num_row_groups == 0:
+            units.append({"p": p, "lo": lo, "hi": m.num_row_groups})
+    return units, nb
+
+
+def _list_parquet_files(paths) -> list[str] | None:
+    """Expand ``paths`` to a flat list of local parquet files, or
+    ``None`` when the input isn't shaped for the fragment path (remote
+    URIs, mixed content, missing files).  Directories walk recursively
+    in sorted order (Ray's lexicographic listing); explicit lists keep
+    caller order.  A directory containing any unexpected regular file
+    is rejected rather than silently skipped — Ray's reader defines the
+    semantics there."""
+    if isinstance(paths, str):
+        if os.path.isfile(paths):
+            return [paths]
+        if os.path.isdir(paths):
+            out: list[str] = []
+            for root, dirs, names in os.walk(paths):
+                dirs.sort()
+                for n in sorted(names):
+                    if n.startswith(("_", ".")):
+                        continue  # markers/hidden: Ray skips these too
+                    if not n.endswith((".parquet", ".pq")):
+                        return None
+                    out.append(os.path.join(root, n))
+            return out or None
+        return None
+    if isinstance(paths, (list, tuple)):
+        flat: list[str] = []
+        for p in paths:
+            sub = _list_parquet_files(p) if isinstance(p, str) else None
+            if sub is None:
+                return None
+            flat.extend(sub)
+        return flat or None
+    return None
 
 
 def _fragment_read(
-    path: str, meta, columns, num_tasks: int
+    units: list[dict], columns, num_tasks: int | None
 ) -> ray.data.Dataset:
-    """Row-group-parallel scan of ONE parquet file.
+    """Fragment-parallel parquet scan (single file OR directory/list).
 
     Ray's parquet reader decodes a single FILE in a single read task no
     matter what ``override_num_blocks`` says (SplitBlocks only re-splits
-    AFTER the serial decode) — so a user pointing the engine at one big
-    file gets a serial scan.  This path plans contiguous row-group
-    ranges on the driver (footer metadata only) and decodes each range
-    in its own Ray task — scan parallelism then depends on the file's
-    row-group layout, never on how many files the producer happened to
-    write.  (The reference's analogous always-parallel source is the
-    per-shard consumption in consumer/GetKinesisStream.java:105,176-180.)
+    AFTER the serial decode), and its multi-file scanner pays a
+    measured ~4× decode overhead vs a plain per-file
+    ``ParquetFile.read`` (38.4M-row lineitem, warm cache: 2.85 s vs
+    0.64 s at 8 cpus).  This path plans (path, row-group range) units
+    on the driver (footer metadata only) and decodes each in its own
+    Ray task — scan parallelism then depends on data layout, never on
+    how many files the producer happened to write.  (The reference's
+    analogous always-parallel source is the per-shard consumption in
+    consumer/GetKinesisStream.java:105,176-180.)
     """
-    n_rgs = meta.num_row_groups
-    num_tasks = max(1, min(num_tasks, n_rgs))
-    # contiguous ranges balanced by ROWS (row groups can be ragged)
-    rows = [meta.row_group(i).num_rows for i in range(n_rgs)]
-    total = sum(rows)
-    bounds = [0]
-    acc = 0
-    for i, r in enumerate(rows):
-        acc += r
-        if acc >= total * len(bounds) / num_tasks and len(bounds) < num_tasks:
-            bounds.append(i + 1)
-    bounds.append(n_rgs)
-    ranges = [
-        {"lo": a, "hi": b} for a, b in zip(bounds[:-1], bounds[1:]) if b > a
-    ]
-    return ray.data.from_items(
-        ranges, override_num_blocks=len(ranges)
-    ).map_batches(
-        _read_rg_range,
+    nb = len(units) if num_tasks is None else max(1, min(num_tasks, len(units)))
+    return ray.data.from_items(units, override_num_blocks=nb).map_batches(
+        _read_units,
         batch_format="pyarrow",
         batch_size=None,
-        fn_kwargs={"path": path, "columns": columns},
+        fn_kwargs={"columns": columns},
     )
 
 
@@ -150,44 +251,45 @@ def read_parquet(
 ) -> ray.data.Dataset:
     """``ray.data.read_parquet`` that yields metadata-free block schemas.
 
-    ``auto_blocks=True`` sizes ``override_num_blocks`` from the footer
-    (:func:`suggest_scan_blocks`) for single-file reads — use on scans
-    that feed a sort exchange, not on compute-heavy per-row stages.
-    Pass an int to set the rows-per-block target instead of the 64k
-    default (compute-heavy stages over few rows want a SMALL target so
-    they still fan out to the CPUs).  An explicit
-    ``override_num_blocks`` always wins.
+    ``auto_blocks=True`` sizes ``override_num_blocks`` from the footers
+    (:func:`suggest_scan_blocks`) — use on scans that feed a sort
+    exchange, not on compute-heavy per-row stages.  Pass an int to set
+    the rows-per-block target instead of the 64k default (compute-heavy
+    stages over few rows want a SMALL target so they still fan out to
+    the CPUs).  An explicit ``override_num_blocks`` always wins.
 
-    A single file with MULTIPLE row groups that wants >1 block takes the
-    row-group fragment path (:func:`_fragment_read`) — Ray's own reader
-    would decode it serially in one task.  Single-row-group files (all
-    the small testdata fixtures) keep Ray's reader unchanged.
+    Reads that can be footer-planned take the fragment path
+    (:func:`_fragment_read`): a single file with multiple row groups
+    decodes its row-group ranges in parallel tasks (Ray's own reader is
+    serial per file), and a directory / file list with ONE shared
+    schema decodes per-file (measured ~4× faster than Ray's multi-file
+    scanner, warm).  Reads with pushed ``filter=``/other kwargs, remote
+    URIs, mixed-schema directories, or >4096 files keep Ray's reader.
+    A single single-row-group file (all the small testdata fixtures)
+    also keeps Ray's reader: one decode task either way, and Ray's
+    SplitBlocks still fans the downstream out to ``override_num_blocks``.
     """
-    single_file = isinstance(paths, str) and os.path.isfile(paths)
-    pf = None
-    if single_file:
-        try:
-            pf = pq.ParquetFile(paths)  # ONE footer parse for blocks + schema
-        except Exception:
-            pf = None
-    nb = kwargs.get("override_num_blocks")
-    if auto_blocks and pf is not None and nb is None:
-        nb = _blocks_from_meta(
-            pf.metadata, None if auto_blocks is True else int(auto_blocks)
-        )
+    plan = None
+    if set(kwargs) <= {"override_num_blocks"}:  # filter/other kwarg → Ray
+        files = _list_parquet_files(paths)
+        if files is not None:
+            plan = _plan_fragment_units(
+                files, kwargs.get("override_num_blocks"), auto_blocks
+            )
+    if plan is not None:
+        units, nb = plan
+        if len(units) > 1:
+            return _fragment_read(units, columns, nb)
+        # single-unit plan: Ray's reader below (SplitBlocks handles any
+        # wanted fan-out; the fragment path cannot split below a unit)
         if nb is not None:
             kwargs["override_num_blocks"] = nb
-    if (
-        pf is not None
-        and pf.metadata.num_row_groups > 1
-        and set(kwargs) <= {"override_num_blocks"}  # a filter/other kwarg → Ray's reader
-    ):
-        # want >1 block?  (explicit/auto nb, else Ray's default — which
-        # always wants parallelism for a file big enough to carry
-        # multiple row groups)
-        want = nb if nb is not None else _blocks_from_meta(pf.metadata, None)
-        if want and want > 1:
-            return _fragment_read(paths, pf.metadata, columns, want)
+    pf = None
+    if isinstance(paths, str) and os.path.isfile(paths):
+        try:
+            pf = pq.ParquetFile(paths)  # footer parse for the clean schema
+        except Exception:
+            pf = None
     schema = None
     if pf is not None:
         try:

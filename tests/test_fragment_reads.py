@@ -63,3 +63,66 @@ def test_single_row_group_file_unchanged(tmp_path):
     pq.write_table(t, p)  # one row group
     got = read_parquet_exchange(p).to_pandas().sort_values("a")
     assert got["a"].tolist() == list(range(1000))
+
+
+def test_directory_fragment_read(tmp_path):
+    """A directory of same-schema files decodes per-file (one block per
+    file by default), exact content, projected column order pinned."""
+    d = tmp_path / "dir.parquet"
+    d.mkdir()
+    n = 40_000
+    t = pa.table(
+        {
+            "a": np.arange(n, dtype=np.int64),
+            "b": np.random.default_rng(3).random(n),
+        }
+    )
+    for i in range(8):
+        pq.write_table(t.slice(i * 5_000, 5_000), str(d / f"part-{i:03d}.parquet"))
+    (d / "_DONE").write_text("")  # markers must be skipped
+    mat = read_parquet(str(d), columns=["b", "a"]).materialize()
+    assert mat.num_blocks() == 8
+    got = mat.to_pandas()
+    assert list(got.columns) == ["b", "a"]
+    assert sorted(got["a"].tolist()) == list(range(n))
+    for b in mat.iter_batches(batch_format="pyarrow"):
+        assert not b.schema.metadata
+        break
+
+
+def test_file_list_fragment_read(tmp_path):
+    n = 10_000
+    t = pa.table({"a": np.arange(n, dtype=np.int64)})
+    p1, p2 = str(tmp_path / "x.parquet"), str(tmp_path / "y.parquet")
+    pq.write_table(t.slice(0, 5_000), p1)
+    pq.write_table(t.slice(5_000), p2)
+    got = read_parquet([p1, p2]).to_pandas()
+    assert sorted(got["a"].tolist()) == list(range(n))
+
+
+def test_mixed_schema_directory_falls_back(tmp_path):
+    """Files with differing schemas must NOT take the fragment path —
+    Ray's reader defines the unification semantics."""
+    d = tmp_path / "mixed.parquet"
+    d.mkdir()
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}), str(d / "x.parquet"))
+    pq.write_table(
+        pa.table({"a": pa.array([3, 4], pa.int64()), "c": ["u", "v"]}),
+        str(d / "y.parquet"),
+    )
+    got = read_parquet(str(d)).to_pandas()
+    assert sorted(got["a"].tolist()) == [1, 2, 3, 4]
+
+
+def test_exchange_coalesces_directory_blocks(tmp_path):
+    """auto_blocks on a many-small-file directory coalesces to the
+    data-scaled block target instead of one block per file."""
+    d = tmp_path / "many.parquet"
+    d.mkdir()
+    t = pa.table({"a": np.arange(64_000, dtype=np.int64)})
+    for i in range(32):
+        pq.write_table(t.slice(i * 2_000, 2_000), str(d / f"p{i:03d}.parquet"))
+    mat = read_parquet_exchange(str(d)).materialize()
+    # 64k rows -> 1 rows-based block, tiny bytes -> far fewer than 32
+    assert mat.num_blocks() < 32
+    assert sorted(mat.to_pandas()["a"].tolist()) == list(range(64_000))
