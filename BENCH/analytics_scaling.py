@@ -5,12 +5,14 @@ scale the same way).
 Workload: one trial = three representative pipelines run back to back —
 `lineitem_pricing_summary` (wide aggregation), `events_window_agg`
 (windowed aggregate with partial combine), and `corpus_clean` (dedup +
-quality gate, one shuffle) — over a 64×-amplified sf0.1 (128M events /
-38M lineitems / 320k documents, ids offset and texts suffixed per copy
-so keys stay distinct and dedup behavior stays realistic).  sf0.1
-itself is too small to scale: a ~1.2 s trial is fixed overhead at any
-core count (measured 4-core 1.23 s vs 16-core 1.28 s), which says
-nothing about the pipelines.  Protocol matches bench.py --scaling:
+quality gate, one shuffle) — over a COPIES×-amplified sf0.1 (at the
+256× default: 512M events / 154M lineitems / 1.28M documents, ids
+offset and texts suffixed per copy so keys stay distinct and dedup
+behavior stays realistic).  sf0.1 itself is too small to scale: a
+~1.2 s trial is fixed overhead at any core count (measured 4-core
+1.23 s vs 16-core 1.28 s), which says nothing about the pipelines —
+and the round-5 fragment reader made the 64× fixture too small the
+same way (8 s trials).  Protocol matches bench.py --scaling:
 each level runs in a FRESH process pinned to exactly N cores
 (sched_setaffinity inherited by all Ray workers), trials-min after a
 warmup trial, inter-leg loadavg cooldown.
@@ -29,7 +31,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SRC_SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-COPIES = 64
+# 256× since round 5: the multi-file fragment reader cut trial times
+# ~10× (82.8 s → 8.1 s at 4 cpus on the 64× fixture), pushing trials
+# under the ≥20 s-small-leg floor where they measure fixed overhead
+# instead of scaling (the harness's own round-4 lesson)
+COPIES = int(os.environ.get("NPR_ANA_COPIES", "256"))
 SF_DIR = os.path.join(
     os.environ.get("TMPDIR", "/tmp"), f"npr_ana_sf_{COPIES}x_{os.path.basename(SRC_SF)}"
 )
@@ -231,8 +237,9 @@ def main() -> None:
         "queries_per_trial": QUERIES,
         "cpu_ratio": levels[1] / levels[0],
         "multi_file": multi,
-        # same data as ONE file/table (64 row groups): fragment reads
-        # must give it the same scan parallelism as the 64-file layout
+        # same data as ONE file/table (one row group per copy): fragment
+        # reads must give it the same scan parallelism as the many-file
+        # layout
         "single_file": single,
     }
     with open(os.path.join(REPO, "BENCH", "ANALYTICS_SCALING.json"), "w") as f:

@@ -98,7 +98,9 @@ def run_replay(n_events: int, num_cpus: int, trials: int = 1) -> dict:
     }
 
 
-def run_queries(sf_dir: str, trials: int = 3) -> tuple[dict[str, float], dict[str, float]]:
+def run_queries(
+    sf_dir: str, trials: int = 3
+) -> tuple[dict[str, float], dict[str, float], dict[str, bool]]:
     """Time every driver-contract query at sf_dir.
 
     Same trials-min protocol as the replay/scaling harness (round-2
@@ -118,6 +120,7 @@ def run_queries(sf_dir: str, trials: int = 3) -> tuple[dict[str, float], dict[st
     for name, fn in e.queries().items():
         times = []
         ev0 = e.cache_events()
+        ev_after_cold = None
         for _ in range(max(1, trials)):
             t0 = time.perf_counter()
             res = fn(sf_dir)
@@ -125,11 +128,16 @@ def run_queries(sf_dir: str, trials: int = 3) -> tuple[dict[str, float], dict[st
             if hasattr(res, "count"):
                 res.count()
             times.append(time.perf_counter() - t0)
-        ev1 = e.cache_events()
+            if ev_after_cold is None:
+                ev_after_cold = e.cache_events()
         # label shared-cache reuse so a near-0 s row is self-explaining:
         # a query whose COLD trial already hit a shared cache was timed
-        # against work another query paid for
-        if any(ev1[k] > ev0[k] for k in ev1 if k.endswith("_hits")):
+        # against work another query paid for.  Only the COLD trial's
+        # hits count — a query whose later trials hit the entry its own
+        # cold trial populated is the PAYER and must stay untagged.
+        if any(
+            ev_after_cold[k] > ev0[k] for k in ev_after_cold if k.endswith("_hits")
+        ):
             cached[name] = True
         cold[name] = round(times[0], 3)
         steady[name] = round(min(times[1:]) if len(times) > 1 else times[0], 3)

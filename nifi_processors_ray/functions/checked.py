@@ -39,20 +39,28 @@ def square_checked(x: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
 
 
 def group_sums_checked(
-    tbl: pa.Table, keys: list[str], sum_cols: list[str], *, count_all: bool = False
+    tbl: pa.Table,
+    keys: list[str],
+    sum_cols: list[str],
+    *,
+    count_all: bool = False,
+    count_cols: list[str] | None = None,
 ) -> pa.Table:
     """``tbl.group_by(keys)`` int64 sums of ``sum_cols`` with a loud
-    overflow guard (plus a ``<col>_count`` valid-count per sum column,
-    and ``count_all`` = COUNT(*) when requested).
+    overflow guard (plus a ``<col>_count`` valid-count for each column
+    in ``count_cols``, and ``count_all`` = COUNT(*) when requested —
+    counts are opt-in so hot partial paths don't pay hash-agg columns
+    nobody reads).
 
-    Returns columns: keys, then ``<col>_sum`` and ``<col>_count`` for
-    each requested column — same naming as Arrow's own group_by.
+    Returns columns: keys, then ``<col>_sum`` for each requested sum
+    and ``<col>_count`` for each requested count — same naming as
+    Arrow's own group_by.
     """
     aug = tbl
     for c in sum_cols:
         aug = aug.append_column(f"{c}__shadow", pc.cast(tbl.column(c), pa.float64()))
     aggs = [(c, "sum") for c in sum_cols]
-    aggs += [(c, "count") for c in sum_cols]
+    aggs += [(c, "count") for c in (count_cols or [])]
     aggs += [(f"{c}__shadow", "sum") for c in sum_cols]
     if count_all:
         aggs.append(([], "count_all"))

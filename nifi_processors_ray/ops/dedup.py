@@ -746,7 +746,11 @@ def _bloom_docs_side(batch: pa.Table, bloom_ref) -> pa.Table:
             "doc_a": pa.nulls(n, pa.int64()),
             "doc_b": pa.nulls(n, pa.int64()),
             "side": pa.nulls(n, pa.int8()),
-            "text": pc.fill_null(batch.column("text"), ""),
+            # cast pins the union schema: a large_string corpus would
+            # otherwise mix block schemas with _explode_membership's
+            # string nulls and crash the sort exchange (per-batch cast
+            # is safe — one block never carries 2 GiB of text)
+            "text": pc.fill_null(batch.column("text"), "").cast(pa.string()),
             "is_doc": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
         }
     )
@@ -1094,7 +1098,14 @@ def _cc_propagate_block(block: pa.Table) -> pa.Table:
         raise AssertionError("null label in propagation input")
     lab_by_run[run_id[lab_pos]] = np.asarray(lab_vals.combine_chunks())
     edge = ~is_label
-    out_node = np.concatenate([np.asarray(block.column("other"))[edge], ids[lab_pos]])
+    # filter the null-bearing 'other' column ARROW-side before the numpy
+    # view: np.asarray of a column with ANY null yields float64+NaN for
+    # the WHOLE column, silently rounding int64 node ids above 2^53
+    # (the 64-bit-hash id space this path exists for)
+    other_edge = block.column("other").filter(pa.array(edge)).combine_chunks()
+    if other_edge.null_count:
+        raise AssertionError("null neighbor id in edge row")
+    out_node = np.concatenate([np.asarray(other_edge), ids[lab_pos]])
     out_cand = np.concatenate([lab_by_run[run_id[edge]], lab_by_run[run_id[lab_pos]]])
     out_self = np.concatenate(
         [np.zeros(int(edge.sum()), dtype=np.int8), np.ones(nruns, dtype=np.int8)]
@@ -1145,19 +1156,70 @@ def _cc_min_block(block: pa.Table) -> pa.Table:
     )
 
 
+def _cc_shortcut_block(block: pa.Table) -> pa.Table:
+    """Pointer-jump step, rows co-located by ``key``: each probe row
+    (key = its node's current label, node = the requester) picks up the
+    key-node's OWN label → new label = label(label(v)).  Labels start as
+    node ids and only ever move to other nodes' ids, so every label IS a
+    node with exactly one label row; a probe run without one is a graph
+    integrity violation and fails loud."""
+    if block.num_rows == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64()),
+                "changed": pa.array([], pa.int8()),
+            }
+        )
+    keys = np.asarray(block.column("key"))
+    is_lab = np.asarray(block.column("is_lab")).astype(bool)
+    new_run = np.concatenate([[True], keys[1:] != keys[:-1]])
+    run_id = np.cumsum(new_run) - 1
+    nruns = int(run_id[-1]) + 1
+    lab_counts = np.bincount(run_id[is_lab], minlength=nruns)
+    probe = ~is_lab
+    probe_runs = np.unique(run_id[probe])
+    if (lab_counts[probe_runs] != 1).any():
+        raise AssertionError(
+            "a shortcut probe found no (or multiple) label rows for its "
+            "label node — labels must form a function over the node set"
+        )
+    lab_by_run = np.empty(nruns, dtype=np.int64)
+    lab_pos = np.nonzero(is_lab)[0]
+    lab_vals = block.column("lab").filter(pa.array(is_lab)).combine_chunks()
+    if lab_vals.null_count:
+        raise AssertionError("null label in shortcut input")
+    lab_by_run[run_id[lab_pos]] = np.asarray(lab_vals)
+    nodes = block.column("node").filter(pa.array(probe)).combine_chunks()
+    if nodes.null_count:
+        raise AssertionError("null requester id in shortcut probe")
+    return pa.table(
+        {
+            "node": pa.array(np.asarray(nodes).astype(np.int64)),
+            "label": pa.array(lab_by_run[run_id[probe]].astype(np.int64)),
+            "changed": pa.array(np.zeros(int(probe.sum()), dtype=np.int8), pa.int8()),
+        }
+    )
+
+
 def _distributed_components(pairs: ray.data.Dataset) -> ray.data.Dataset:
     """Connected components by iterative hash-min label propagation —
     the scale path for dup-dense corpora where the pair graph outgrows
     the driver (billions of edges at 100 TB; the driver here holds one
     scalar per round).
 
-    Each round is two sort exchanges over id-only rows: (1) co-locate
+    Each round is three sort exchanges over id-only rows: (1) co-locate
     each node's label with its outgoing edges and forward it, (2)
-    co-locate proposals per node and take the min.  Labels monotonically
-    decrease toward the component's min id; rounds needed = the longest
-    min-label propagation path (graph diameter), each round id-scale
-    bytes.  Stops when no label changed; fails loud past 64 rounds
-    (a 2^64-diameter component does not occur in near-dup graphs)."""
+    co-locate proposals per node and take the min, (3) pointer-jump
+    (label ← label(label), one join-by-label-value exchange) so long
+    chains collapse geometrically rather than one hop per round.
+    Labels monotonically decrease toward the component's min id;
+    convergence is O(log longest-path) rounds, so the 64-round fail-loud
+    cap covers any graph an int64 id space can hold (a plain one-hop
+    propagation would need diameter rounds and genuinely break on a
+    65-deep near-dup chain).  Stops when the min step changes nothing —
+    a hash-min fixed point means adjacent nodes carry equal labels,
+    i.e. components are uniformly labelled with their min id."""
     from ..functions.blocks import compact_small_result
 
     edge_schema = pa.schema([("node", pa.int64()), ("other", pa.int64())])
@@ -1206,6 +1268,28 @@ def _distributed_components(pairs: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
 
+    def sc_probe(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": b.column("label"),
+                "node": b.column("node"),
+                "lab": pa.nulls(n, pa.int64()),
+                "is_lab": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def sc_lab(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": b.column("node"),
+                "node": pa.nulls(n, pa.int64()),
+                "lab": b.column("label"),
+                "is_lab": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            }
+        )
+
     for _ in range(64):
         proposals = checked_sort(
             labels.map_batches(lab_side, batch_format="pyarrow").union(
@@ -1221,6 +1305,18 @@ def _distributed_components(pairs: ray.data.Dataset) -> ray.data.Dataset:
         )
         if labels.sum("changed") == 0:
             break
+        # pointer jump: label ← label(label).  label(v) ≤ v always, so
+        # the jump only ever lowers labels; it turns one-hop-per-round
+        # chains into geometric collapse (O(log) total rounds)
+        labels = compact_small_result(
+            checked_sort(
+                labels.map_batches(sc_probe, batch_format="pyarrow").union(
+                    labels.map_batches(sc_lab, batch_format="pyarrow")
+                ),
+                "key",
+            ).map_batches(_cc_shortcut_block, batch_format="pyarrow", batch_size=None),
+            lbl_schema,
+        )
     else:
         raise RuntimeError("label propagation did not converge in 64 rounds")
 

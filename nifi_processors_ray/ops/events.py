@@ -1524,7 +1524,9 @@ def _moments_partial(batch: pa.Table) -> pa.Table:
             "cents_sq": square_checked(cents),
         }
     )
-    g = group_sums_checked(t, ["event_type"], ["cents", "cents_sq"])
+    g = group_sums_checked(
+        t, ["event_type"], ["cents", "cents_sq"], count_cols=["cents"]
+    )
     return pa.table(
         {
             "event_type": g.column("event_type"),

@@ -79,6 +79,12 @@ def attach_media(batch: pa.Table) -> pa.Table:
     tlen = offs[1:] - offs[:-1]
     out_offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(tlen + HEADER_LEN, out=out_offs[1:])
+    if out_offs[-1] >= 2**31:  # binary() offsets are int32 — a silent
+        # .astype truncation would build a structurally invalid array
+        raise OverflowError(
+            f"media payload batch is {int(out_offs[-1])} bytes — exceeds the "
+            "2 GiB binary-offset limit; lower the batch size"
+        )
     buf = np.empty(int(out_offs[-1]), dtype=np.uint8)
     # headers: (n, 9) block scattered to each row's start (big-endian,
     # byte-identical to _HEADER.pack)

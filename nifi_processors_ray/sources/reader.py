@@ -136,11 +136,19 @@ def _plan_fragment_units(files: list[str], nb: int | None, auto_blocks):
     parallelism (a 64-file directory naturally yields ≥64 units and is
     untouched by it).
 
-    Returns ``(units, nb_resolved)`` or ``None`` when the plan
-    shouldn't be used.  ``nb_resolved`` is the explicit/auto block
-    count to coalesce to (``None`` → one task per unit).
+    Returns ``(units, nb_resolved, first_footer)`` or ``None`` when the
+    plan shouldn't be used.  ``nb_resolved`` is the explicit/auto block
+    count to coalesce to (``None`` → one task per unit);
+    ``first_footer`` is the already-parsed ``ParquetFile`` of the first
+    file so a single-file caller doesn't re-parse the footer.
+
+    ``NPR_READ_ROWS_PER_BLOCK=0`` disables this path entirely (the
+    documented escape hatch back to Ray's own reader, e.g. to bisect a
+    fragment-read suspicion or to keep many-tiny-block fixtures).
     """
     if not files or len(files) > _MAX_PLAN_FILES:
+        return None
+    if os.environ.get("NPR_READ_ROWS_PER_BLOCK") == "0":
         return None
     try:
         if len(files) == 1:
@@ -179,7 +187,7 @@ def _plan_fragment_units(files: list[str], nb: int | None, auto_blocks):
                 lo, acc = i + 1, 0
         if lo < m.num_row_groups or m.num_row_groups == 0:
             units.append({"p": p, "lo": lo, "hi": m.num_row_groups})
-    return units, nb
+    return units, nb, pfs[0]
 
 
 def _list_parquet_files(paths) -> list[str] | None:
@@ -276,20 +284,31 @@ def read_parquet(
             plan = _plan_fragment_units(
                 files, kwargs.get("override_num_blocks"), auto_blocks
             )
+    pf = None
     if plan is not None:
-        units, nb = plan
+        units, nb, pf0 = plan
         if len(units) > 1:
             return _fragment_read(units, columns, nb)
         # single-unit plan: Ray's reader below (SplitBlocks handles any
         # wanted fan-out; the fragment path cannot split below a unit)
         if nb is not None:
             kwargs["override_num_blocks"] = nb
-    pf = None
-    if isinstance(paths, str) and os.path.isfile(paths):
+        if isinstance(paths, str) and os.path.isfile(paths):
+            pf = pf0  # reuse the plan's footer parse for the clean schema
+    elif isinstance(paths, str) and os.path.isfile(paths):
         try:
-            pf = pq.ParquetFile(paths)  # footer parse for the clean schema
+            pf = pq.ParquetFile(paths)  # footer parse for blocks + schema
         except Exception:
             pf = None
+        # reads the plan can't take (pushed filter=, env escape hatch)
+        # still get footer-sized blocks — auto_blocks must not silently
+        # degrade to Ray's ~200-near-empty-block exchange overhead
+        if auto_blocks and pf is not None and "override_num_blocks" not in kwargs:
+            nb2 = _blocks_from_meta(
+                pf.metadata, None if auto_blocks is True else int(auto_blocks)
+            )
+            if nb2 is not None:
+                kwargs["override_num_blocks"] = nb2
     schema = None
     if pf is not None:
         try:

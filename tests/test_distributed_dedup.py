@@ -50,6 +50,50 @@ def test_distributed_components_matches_union_find():
     assert dict(zip(got.doc_id, got.cluster_id)) == want
 
 
+def test_distributed_components_long_chain_and_huge_ids():
+    """Round-5 review regressions: (a) a chain DEEPER than the round cap
+    must still converge (pointer-jump collapses it in O(log) rounds —
+    one-hop propagation needed diameter rounds and raised at 65);
+    (b) node ids above 2^53 must survive exactly (np.asarray of the
+    null-bearing 'other' column degraded the whole column to float64,
+    rounding 64-bit hash ids)."""
+    base = (1 << 60) + 1  # far past float64's 2^53 integer range
+    n = 130  # diameter 129 > the 64-round cap
+    ids = base + np.arange(n, dtype=np.int64)
+    a = ids[1:]
+    b = ids[:-1]
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(a),
+                "doc_b": pa.array(b),
+                "jaccard": pa.array(np.ones(n - 1)),
+            }
+        )
+    )
+    got = _distributed_components(pairs).to_pandas()
+    assert got.doc_id.tolist() == ids.tolist()  # ids exact, no rounding
+    assert set(got.cluster_id) == {base}  # one component, min-id label
+
+
+def test_jaccard_distributed_large_string_corpus():
+    """A large_string text column (pyarrow's >2GB-column encoding) must
+    take the distributed membership join without schema-union crashes,
+    and match the regular-string result."""
+    import pyarrow.compute as pc
+
+    docs_t = (
+        augmented_documents(SF)
+        .to_pandas()
+        .pipe(pa.Table.from_pandas, preserve_index=False)
+    )
+    i = docs_t.schema.get_field_index("text")
+    big = docs_t.set_column(i, "text", pc.cast(docs_t.column("text"), pa.large_string()))
+    fast = _sorted_df(jaccard_dup_pairs(ray.data.from_arrow(docs_t)))
+    dist = _sorted_df(jaccard_dup_pairs(ray.data.from_arrow(big), driver_limit=0))
+    assert dist.equals(fast)
+
+
 def test_jaccard_distributed_path_matches_broadcast_and_oracle():
     docs = augmented_documents(SF)
     fast = _sorted_df(jaccard_dup_pairs(docs))

@@ -114,6 +114,33 @@ def test_mixed_schema_directory_falls_back(tmp_path):
     assert sorted(got["a"].tolist()) == [1, 2, 3, 4]
 
 
+def test_filter_read_keeps_auto_blocks(tmp_path):
+    """Round-5 review regression: a pushed filter bypasses the fragment
+    plan but must NOT lose the footer-sized override_num_blocks —
+    auto_blocks exists to avoid Ray's ~200-near-empty-block exchange
+    overhead on exactly these filtered scans."""
+    p = str(tmp_path / "f.parquet")
+    _write(p)  # 200k rows
+    ds = read_parquet_exchange(p, columns=["a"], filter=pc.field("a") >= 0)
+    mat = ds.materialize()
+    assert mat.count() == 200_000
+    # footer sizing: ceil(200k/64k)=4 capped at session cpus — far
+    # below Ray's default ~200-block floor
+    assert mat.num_blocks() <= 16
+
+
+def test_env_zero_disables_fragment_path(tmp_path, monkeypatch):
+    """NPR_READ_ROWS_PER_BLOCK=0 is the documented escape hatch back to
+    Ray's own reader — the fragment planner must honor it too."""
+    monkeypatch.setenv("NPR_READ_ROWS_PER_BLOCK", "0")
+    p = str(tmp_path / "e.parquet")
+    _write(p)  # multi-row-group: would otherwise take the fragment path
+    ds = read_parquet(p, columns=["a"])
+    mat = ds.materialize()
+    assert mat.count() == 200_000
+    assert "ReadParquet" in mat.stats()  # Ray's reader, not FromItems
+
+
 def test_exchange_coalesces_directory_blocks(tmp_path):
     """auto_blocks on a many-small-file directory coalesces to the
     data-scaled block target instead of one block per file."""
