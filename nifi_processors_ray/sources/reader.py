@@ -87,6 +87,11 @@ def _blocks_from_stats(
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
+    # cap at the CPU count deliberately: a 4×-cpus cap was measured to
+    # help ragged decode stragglers slightly (pricing 5.2→4.9 s) but
+    # cost 3× on exchange-bound scans (window_agg 1.4→5.1 s at 16 cpus,
+    # 256× fixture) — block count here IS the downstream sort-exchange
+    # partition count, and tiny-partial exchanges price by block
     rows_based = min(-(-rows // rows_per_block), max(cpus, 1))
     bytes_based = -(-unc_bytes // _BYTES_PER_BLOCK)
     return max(rows_based, bytes_based, 1)
