@@ -56,16 +56,27 @@ def group_sums_checked(
     and ``<col>_count`` for each requested count — same naming as
     Arrow's own group_by.
     """
-    aug = tbl
+    # magnitude precheck: if max|x| × rows can't reach 2^63, NO group's
+    # partial can wrap and the float64 shadow (3 extra hash-agg columns
+    # on the hottest Q1 path — measured +70% on lineitem_pricing_summary)
+    # is provably unnecessary.  One O(n) min_max per column instead.
+    shadow_cols = []
     for c in sum_cols:
+        mm = pc.min_max(tbl.column(c))
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        bound = max(abs(lo or 0), abs(hi or 0))
+        if bound and bound * tbl.num_rows >= 2**63:
+            shadow_cols.append(c)
+    aug = tbl
+    for c in shadow_cols:
         aug = aug.append_column(f"{c}__shadow", pc.cast(tbl.column(c), pa.float64()))
     aggs = [(c, "sum") for c in sum_cols]
     aggs += [(c, "count") for c in (count_cols or [])]
-    aggs += [(f"{c}__shadow", "sum") for c in sum_cols]
+    aggs += [(f"{c}__shadow", "sum") for c in shadow_cols]
     if count_all:
         aggs.append(([], "count_all"))
     g = aug.group_by(keys).aggregate(aggs)
-    for c in sum_cols:
+    for c in shadow_cols:
         ints = np.asarray(g.column(f"{c}_sum").cast(pa.float64()))
         shadow = np.asarray(g.column(f"{c}__shadow_sum"))
         # all-null groups are NaN on both sides; NaN > tol is False
@@ -74,4 +85,4 @@ def group_sums_checked(
                 f"int64 SUM overflow in batch partial of column {c!r} — "
                 "the exact aggregate no longer fits BIGINT"
             )
-    return g.drop_columns([f"{c}__shadow_sum" for c in sum_cols])
+    return g.drop_columns([f"{c}__shadow_sum" for c in shadow_cols])
