@@ -209,6 +209,12 @@ def _list_parquet_files(paths) -> list[str] | None:
         if os.path.isdir(paths):
             out: list[str] = []
             for root, dirs, names in os.walk(paths):
+                if any("=" in d for d in dirs):
+                    # hive-partitioned layout: Ray's reader infers the
+                    # key=value path segments as COLUMNS — the fragment
+                    # path reads footers only and would silently drop
+                    # them (probed divergence, round 5)
+                    return None
                 dirs.sort()
                 for n in sorted(names):
                     if n.startswith(("_", ".")):

@@ -141,6 +141,20 @@ def test_env_zero_disables_fragment_path(tmp_path, monkeypatch):
     assert "ReadParquet" in mat.stats()  # Ray's reader, not FromItems
 
 
+def test_hive_partitioned_directory_falls_back(tmp_path):
+    """key=value path segments are COLUMNS under Ray's reader — the
+    fragment path must not silently drop them (round-5 probe)."""
+    d = tmp_path / "hive.parquet"
+    (d / "year=2024").mkdir(parents=True)
+    (d / "year=2025").mkdir()
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}), str(d / "year=2024" / "p.parquet"))
+    pq.write_table(pa.table({"a": pa.array([3, 4], pa.int64())}), str(d / "year=2025" / "p.parquet"))
+    ds = read_parquet(str(d))
+    assert set(ds.schema().names) == {"a", "year"}
+    got = ds.to_pandas().sort_values("a")
+    assert got["year"].tolist() == ["2024", "2024", "2025", "2025"]
+
+
 def test_exchange_coalesces_directory_blocks(tmp_path):
     """auto_blocks on a many-small-file directory coalesces to the
     data-scaled block target instead of one block per file."""
