@@ -71,18 +71,24 @@ def _time(fn, trials: int = TRIALS) -> float:
     import tracemalloc
 
     walls = []
-    peak = 0
     for _ in range(trials):
-        # driver PYTHON-HEAP peak is the clean distributed-fold signal:
-        # VmRSS on a Ray driver also counts plasma pages the process
-        # mmap-touched, which grow with ANY larger dataset; a driver-side
-        # pair materialization would show up here instead
-        tracemalloc.start()
+        # timed trials run UNTRACED: tracemalloc hooks every driver
+        # allocation including Ray Data's scheduler loop and was
+        # measured to inflate wall 4-5x (minhash 3.4 s -> 15-18 s) —
+        # the round-5 artifact refreshes read as regressions until
+        # this was isolated
         t0 = time.perf_counter()
         n = fn().count()
         walls.append(time.perf_counter() - t0)
-        peak = max(peak, tracemalloc.get_traced_memory()[1])
-        tracemalloc.stop()
+    # ONE separate instrumented trial for the heap claim.  Driver
+    # PYTHON-HEAP peak is the clean distributed-fold signal: VmRSS on a
+    # Ray driver also counts plasma pages the process mmap-touched,
+    # which grow with ANY larger dataset; a driver-side pair
+    # materialization would show up here instead
+    tracemalloc.start()
+    fn().count()
+    peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
     return (
         (min(walls[1:]) if len(walls) > 1 else walls[0]),
         n,
@@ -111,6 +117,7 @@ def main() -> None:
     for label, d in (("1x", SF_DIR), ("10x", big_dir)):
         for op in ("minhash_dup_pairs", "jaccard_dup_pairs", "dedup_clusters"):
             fn = getattr(D, op)
+            load0 = os.getloadavg()[0]
             wall, n_pairs, walls, py_peak = _time(lambda: fn(D.augmented_documents(d)))
             row = {
                 "corpus": label,
@@ -118,6 +125,10 @@ def main() -> None:
                 "steady_sec": round(wall, 2),
                 "pairs": int(n_pairs),
                 "trials": walls,
+                # contaminated runs self-identify: this box carries
+                # 7-11 cores of ambient tenant load in bursts, and wall
+                # numbers taken at loadavg >> idle are not comparable
+                "loadavg": [round(load0, 2), round(os.getloadavg()[0], 2)],
                 # the jaccard/clusters 10x cells cross DRIVER_PAIR_LIMIT
                 # and run the distributed membership join / label
                 # propagation — the driver Python heap must NOT grow
