@@ -67,7 +67,7 @@ def _rss_mb() -> float:
     return -1.0
 
 
-def _time(fn, trials: int = TRIALS) -> float:
+def _time(fn, trials: int = TRIALS) -> tuple[float, int, list[float], float]:
     import tracemalloc
 
     walls = []

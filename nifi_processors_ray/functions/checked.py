@@ -69,7 +69,14 @@ def group_sums_checked(
             shadow_cols.append(c)
     aug = tbl
     for c in shadow_cols:
-        aug = aug.append_column(f"{c}__shadow", pc.cast(tbl.column(c), pa.float64()))
+        # safe=False: Arrow's CHECKED int64→float64 cast refuses values
+        # above 2^53, which are legitimate here (a batch of ±2^54 cents
+        # whose group sum fits BIGINT must aggregate, not crash — DuckDB
+        # succeeds).  A lossy cast is exactly what a float64 shadow
+        # wants: its rounding error stays ≪ the 2^64 wrap shift.
+        aug = aug.append_column(
+            f"{c}__shadow", pc.cast(tbl.column(c), pa.float64(), safe=False)
+        )
     aggs = [(c, "sum") for c in sum_cols]
     aggs += [(c, "count") for c in (count_cols or [])]
     aggs += [(f"{c}__shadow", "sum") for c in shadow_cols]
@@ -77,7 +84,8 @@ def group_sums_checked(
         aggs.append(([], "count_all"))
     g = aug.group_by(keys).aggregate(aggs)
     for c in shadow_cols:
-        ints = np.asarray(g.column(f"{c}_sum").cast(pa.float64()))
+        # safe=False again: legitimate group partials may exceed 2^53
+        ints = np.asarray(g.column(f"{c}_sum").cast(pa.float64(), safe=False))
         shadow = np.asarray(g.column(f"{c}__shadow_sum"))
         # all-null groups are NaN on both sides; NaN > tol is False
         if np.any(np.abs(ints - shadow) > _WRAP_TOLERANCE):

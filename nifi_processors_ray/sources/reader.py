@@ -215,7 +215,11 @@ def _list_parquet_files(paths) -> list[str] | None:
                     # path reads footers only and would silently drop
                     # them (probed divergence, round 5)
                     return None
-                dirs.sort()
+                # prune hidden/marker DIRECTORIES too: Ray ignores
+                # '_'/'.'-prefixed path segments, so a _staging/ or
+                # Spark _temporary/ subtree must never be read as
+                # committed data (probed divergence, round-5 review)
+                dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
                 for n in sorted(names):
                     if n.startswith(("_", ".")):
                         continue  # markers/hidden: Ray skips these too
@@ -233,6 +237,37 @@ def _list_parquet_files(paths) -> list[str] | None:
             flat.extend(sub)
         return flat or None
     return None
+
+
+def _dir_auto_blocks(path: str, rows_per_block: int | None) -> int | None:
+    """Footer-stat block sizing for a directory read the fragment plan
+    can't take (hive layout, mixed schemas) — auto_blocks must not
+    silently degrade to Ray's ~200-near-empty-block exchange overhead
+    just because the layout forced Ray's reader.  Walks ALL parquet
+    files (hive subdirs included; rows/bytes don't care about inferred
+    columns), skipping hidden/marker segments like Ray does."""
+    files: list[str] = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        files.extend(
+            os.path.join(root, n)
+            for n in names
+            if n.endswith((".parquet", ".pq")) and not n.startswith(("_", "."))
+        )
+        if len(files) > _MAX_PLAN_FILES:
+            return None
+    if not files:
+        return None
+    try:
+        with ThreadPoolExecutor(min(_FOOTER_THREADS, len(files))) as ex:
+            metas = list(ex.map(lambda p: pq.ParquetFile(p).metadata, files))
+    except Exception:
+        return None
+    rows = sum(m.num_rows for m in metas)
+    unc = sum(
+        m.row_group(i).total_byte_size for m in metas for i in range(m.num_row_groups)
+    )
+    return _blocks_from_stats(rows, unc, rows_per_block)
 
 
 def _fragment_read(
@@ -320,6 +355,18 @@ def read_parquet(
             )
             if nb2 is not None:
                 kwargs["override_num_blocks"] = nb2
+    elif (
+        auto_blocks
+        and "override_num_blocks" not in kwargs
+        and isinstance(paths, str)
+        and os.path.isdir(paths)
+        and os.environ.get("NPR_READ_ROWS_PER_BLOCK") != "0"
+    ):
+        # directory reads that fell back to Ray's reader (hive layout,
+        # mixed schemas) keep footer-sized blocks the same way
+        nb2 = _dir_auto_blocks(paths, None if auto_blocks is True else int(auto_blocks))
+        if nb2 is not None:
+            kwargs["override_num_blocks"] = nb2
     schema = None
     if pf is not None:
         try:

@@ -91,3 +91,38 @@ def test_money_column_magnitudes(tmp_path):
     _outcome_parity(d, ["lineitem_pricing_summary", "revenue_forecast"])
     d2 = _scaled_sf(tmp_path, 1e12, "orders", "o_totalprice")
     _outcome_parity(d2, ["orders_running_total"])
+
+
+def test_group_sums_checked_beyond_2e53_matches_duckdb():
+    """Round-5 review: values above 2^53 whose group sum fits BIGINT
+    must AGGREGATE (DuckDB succeeds) — Arrow's checked int64→float64
+    cast raised ArrowInvalid before any aggregation.  A genuine wrap at
+    the same magnitudes must still raise OverflowError."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from nifi_processors_ray.functions.checked import group_sums_checked
+
+    big = 2**54
+    vals = np.empty(512, dtype=np.int64)
+    vals[0::2] = big
+    vals[1::2] = -big  # cancels: sum = 0, fits BIGINT trivially
+    t = pa.table({"k": pa.array(["g"] * 512), "x": pa.array(vals)})
+    g = group_sums_checked(t, ["k"], ["x"])
+    assert g.column("x_sum").to_pylist() == [0]
+    want = duckdb.sql(
+        "SELECT CAST(SUM(x) AS BIGINT) FROM (SELECT unnest([{}]) x)".format(
+            ",".join(map(str, vals[:8].tolist()))
+        )
+    ).fetchone()[0]
+    assert want == 0  # DuckDB agrees the shape is legal
+
+    # a genuine wrap (all-positive 2^62 × 8 rows) must still fail loud
+    t2 = pa.table(
+        {"k": pa.array(["g"] * 8), "x": pa.array(np.full(8, 2**62, dtype=np.int64))}
+    )
+    import pytest
+
+    with pytest.raises(OverflowError):
+        group_sums_checked(t2, ["k"], ["x"])

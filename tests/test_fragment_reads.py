@@ -141,6 +141,32 @@ def test_env_zero_disables_fragment_path(tmp_path, monkeypatch):
     assert "ReadParquet" in mat.stats()  # Ray's reader, not FromItems
 
 
+def test_marker_subdirectories_are_pruned(tmp_path):
+    """Ray ignores '_'/'.'-prefixed path segments — a _staging/ subtree
+    containing parquet must never be read as committed data (round-5
+    review probe: the fragment walk descended into it)."""
+    d = tmp_path / "lake.parquet"
+    (d / "_staging").mkdir(parents=True)
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}), str(d / "good.parquet"))
+    pq.write_table(pa.table({"a": pa.array([99], pa.int64())}), str(d / "_staging" / "tmp.parquet"))
+    got = read_parquet(str(d)).to_pandas()
+    assert sorted(got["a"].tolist()) == [1, 2]
+
+
+def test_hive_directory_keeps_auto_blocks(tmp_path):
+    """The hive fallback must not silently drop footer-sized blocks on
+    exchange-bound reads (round-5 review)."""
+    d = tmp_path / "hive2.parquet"
+    (d / "year=2024").mkdir(parents=True)
+    t = pa.table({"a": np.arange(50_000, dtype=np.int64)})
+    pq.write_table(t, str(d / "year=2024" / "p.parquet"))
+    mat = read_parquet_exchange(str(d)).materialize()
+    assert mat.count() == 50_000
+    assert set(mat.schema().names) == {"a", "year"}
+    # 50k rows -> 1 rows-based block; far below Ray's ~200-block floor
+    assert mat.num_blocks() <= 16
+
+
 def test_hive_partitioned_directory_falls_back(tmp_path):
     """key=value path segments are COLUMNS under Ray's reader — the
     fragment path must not silently drop them (round-5 probe)."""
