@@ -390,7 +390,20 @@ class MergeApplier:
                 else:
                     # cow rewrite — also the mor compaction fold
                     prior = self._read_prior(part)
-                    merged = lww_merge(prior, valid, policy=self.policy)
+                    if delta is not None:
+                        # auto picked COW after computing the ratio's
+                        # per-key delta: fold the already-reduced delta
+                        # instead of re-sorting the raw epoch.  Same
+                        # result by the policy associativity the MOR
+                        # read path already relies on (each epoch's
+                        # delta file is policy-resolved within the
+                        # epoch, the read re-resolves across files).
+                        merged = merge_deltas(
+                            ([prior] if prior is not None else []) + [delta],
+                            policy=self.policy,
+                        )
+                    else:
+                        merged = lww_merge(prior, valid, policy=self.policy)
                     n_rows_after = merged.num_rows
                     out_files.extend(self._write_data_split(merged, part))
                     file_mode = "replace"

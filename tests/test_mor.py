@@ -278,3 +278,24 @@ def test_compact_crash_before_commit_leaves_lake_intact(tmp_path):
     for root, _, files in os.walk(os.path.join(eng.cfg.lake_dir, "data")):
         for f in files:
             assert os.path.join(root, f) in live, f"orphan survived vacuum: {f}"
+
+
+def test_auto_cow_fold_reuses_delta_and_matches_pure_cow(tmp_path):
+    """When auto computes the ratio's per-key delta and then picks COW,
+    the fold consumes the already-reduced delta (not the raw epoch).
+    Pinned: final state identical to pure COW — the associativity the
+    MOR read path already relies on, exercised on the write path."""
+    eng_auto = _engine(
+        tmp_path, "lake_auto_reuse", merge_mode="auto", auto_mor_ratio=0.0001
+    )  # ratio so tight auto always folds COW after computing the delta
+    eng_auto.replay()
+    eng_cow = _engine(tmp_path, "lake_cow_ref", merge_mode="cow")
+    eng_cow.replay()
+    got = eng_auto.final_state(sort=True).to_pandas().reset_index(drop=True)
+    want = eng_cow.final_state(sort=True).to_pandas().reset_index(drop=True)
+    assert got.equals(want)
+    # every epoch after the bulk one really took the delta-reuse branch
+    man = eng_auto.store.latest()
+    assert all(
+        not f.endswith(".delta.parquet") for fs in man.files.values() for f in fs
+    )
