@@ -339,3 +339,55 @@ def test_split_cow_crash_resume_identical(tmp_lake, tmp_path):
             assert pq.ParquetFile(os.path.join(tmp_lake, f)).metadata.num_rows <= 40
     oracle = apply_changelog(read_log(paths)).to_pandas().reset_index(drop=True)
     assert state.equals(oracle)
+
+
+def test_enrich_added_mid_stream_null_fills_prior_epochs(tmp_lake, tmp_path):
+    """An enrich hook configured AFTER the lake already has epochs: prior
+    COW files physically lack the enrichment column; merge must unify
+    (null-fill old rows) exactly like the `tool` column's schema
+    evolution.  Rows merged before the hook existed keep text_len=null
+    unless a later event rewrote the key."""
+    log = str(tmp_path / "log")
+    paths = write_changelog_from_events(SF_DIR, log, files=3)
+    eng1 = make_engine(tmp_lake, log, epoch_events=400)  # no enrich
+    eng1.replay(max_epochs=1)
+    eng2 = make_engine(tmp_lake, log, enrich=make_add_text_len(), epoch_events=400)
+    eng2.replay()
+
+    final = eng2.final_state(sort=True).to_pandas().reset_index(drop=True)
+    assert "text_len" in final.columns
+    # transcript payload identical to the oracle regardless of when the
+    # hook appeared
+    oracle = apply_changelog(read_log(paths)).to_pandas().reset_index(drop=True)
+    assert final[TRANSCRIPT_COLS].equals(oracle[TRANSCRIPT_COLS])
+    # every non-null text_len is correct; keys last written before the
+    # hook may be null but never wrong
+    nn = final["text_len"].notna()
+    expect = _expected_text_len(final)
+    assert final.loc[nn, "text_len"].equals(
+        expect[nn].astype(final["text_len"].dtype)
+    )
+    # the split is real: some rows predate the hook (null), some carry it
+    assert nn.any()
+
+
+def test_enrich_removed_mid_stream_keeps_column_null_filled(tmp_lake, tmp_path):
+    """The reverse: epochs 1..k ran WITH the hook, the engine restarts
+    without it.  Prior files carry text_len; new epoch rows lack it —
+    unification keeps the column, null for newly-merged keys."""
+    log = str(tmp_path / "log")
+    paths = write_changelog_from_events(SF_DIR, log, files=3)
+    eng1 = make_engine(tmp_lake, log, enrich=make_add_text_len(), epoch_events=400)
+    eng1.replay(max_epochs=1)
+    eng2 = make_engine(tmp_lake, log, epoch_events=400)  # hook gone
+    eng2.replay()
+
+    final = eng2.final_state(sort=True).to_pandas().reset_index(drop=True)
+    assert "text_len" in final.columns
+    oracle = apply_changelog(read_log(paths)).to_pandas().reset_index(drop=True)
+    assert final[TRANSCRIPT_COLS].equals(oracle[TRANSCRIPT_COLS])
+    nn = final["text_len"].notna()
+    expect = _expected_text_len(final)
+    assert final.loc[nn, "text_len"].equals(
+        expect[nn].astype(final["text_len"].dtype)
+    )
