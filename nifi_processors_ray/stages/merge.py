@@ -145,6 +145,16 @@ def _last_per_key(t: pa.Table) -> pa.Table:
 # user-injected ``merge_policy`` (EngineConfig) receives the same
 # DELTA-shaped candidate table and must return the winning row per key —
 # the merge-policy half of the RecordsHandler seam.
+#
+# Associativity contract: under ``merge_mode='mor'`` (and 'auto', which
+# may pick it) the policy runs in two stages — once within each epoch
+# when its delta file is written (``epoch_delta``), and again across
+# base+deltas at read/compaction time — so the winner it picks from
+# {policy(epoch candidates), prior} must equal the winner it would pick
+# from the flat candidate set.  LWW (any max-by-total-order rule)
+# satisfies this; a policy that votes across ALL candidate rows (e.g.
+# majority-role) does not, and must be run with ``merge_mode='cow'``,
+# which always applies the policy once over the flat prior+epoch set.
 lww_policy = _last_per_key
 
 
@@ -390,18 +400,17 @@ class MergeApplier:
                 else:
                     # cow rewrite — also the mor compaction fold
                     prior = self._read_prior(part)
-                    if delta is not None:
+                    if delta is not None and self.policy is None:
                         # auto picked COW after computing the ratio's
                         # per-key delta: fold the already-reduced delta
-                        # instead of re-sorting the raw epoch.  Same
-                        # result by the policy associativity the MOR
-                        # read path already relies on (each epoch's
-                        # delta file is policy-resolved within the
-                        # epoch, the read re-resolves across files).
-                        merged = merge_deltas(
-                            ([prior] if prior is not None else []) + [delta],
-                            policy=self.policy,
-                        )
+                        # instead of re-sorting the raw epoch.  Safe for
+                        # the default LWW policy (associative — see the
+                        # lww_policy contract above); an INJECTED policy
+                        # takes the flat prior+raw-epoch path below so a
+                        # cow pick under 'auto' stays byte-identical to
+                        # merge_mode='cow' even for non-associative
+                        # policies.
+                        merged = merge_deltas([prior, delta], policy=None)
                     else:
                         merged = lww_merge(prior, valid, policy=self.policy)
                     n_rows_after = merged.num_rows

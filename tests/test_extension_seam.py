@@ -367,8 +367,9 @@ def test_enrich_added_mid_stream_null_fills_prior_epochs(tmp_lake, tmp_path):
     assert final.loc[nn, "text_len"].equals(
         expect[nn].astype(final["text_len"].dtype)
     )
-    # the split is real: some rows predate the hook (null), some carry it
-    assert nn.any()
+    # the split is real: some rows predate the hook (null — the very
+    # behavior in the test's name), some carry it
+    assert nn.any() and (~nn).any()
 
 
 def test_enrich_removed_mid_stream_keeps_column_null_filled(tmp_lake, tmp_path):
@@ -388,6 +389,10 @@ def test_enrich_removed_mid_stream_keeps_column_null_filled(tmp_lake, tmp_path):
     assert final[TRANSCRIPT_COLS].equals(oracle[TRANSCRIPT_COLS])
     nn = final["text_len"].notna()
     expect = _expected_text_len(final)
+    # non-vacuous both ways: epoch-1 survivors still CARRY the value
+    # (unification didn't drop or null the column), post-hook merges
+    # are null
+    assert nn.any() and (~nn).any()
     assert final.loc[nn, "text_len"].equals(
         expect[nn].astype(final["text_len"].dtype)
     )

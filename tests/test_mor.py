@@ -294,8 +294,62 @@ def test_auto_cow_fold_reuses_delta_and_matches_pure_cow(tmp_path):
     got = eng_auto.final_state(sort=True).to_pandas().reset_index(drop=True)
     want = eng_cow.final_state(sort=True).to_pandas().reset_index(drop=True)
     assert got.equals(want)
-    # every epoch after the bulk one really took the delta-reuse branch
+    # auto picked COW on every incremental epoch (no delta files in the
+    # manifest) — branch EXECUTION is pinned by the kernel-law test below
     man = eng_auto.store.latest()
     assert all(
         not f.endswith(".delta.parquet") for fs in man.files.values() for f in fs
     )
+
+
+def test_delta_reuse_kernel_law():
+    """The equivalence the reuse branch depends on, pinned at the kernel
+    level: merge_deltas([prior, epoch_delta(valid)]) == lww_merge(prior,
+    valid) — including tombstone wins, schema drift (prior lacks `tool`),
+    duplicate-seq ties, and a key absent from the prior."""
+    import pyarrow as pa
+
+    from nifi_processors_ray.schema import CHANGELOG_SCHEMA, align_to_schema
+    from nifi_processors_ray.stages.merge import (
+        LAKE_SCHEMA,
+        epoch_delta,
+        lww_merge,
+        merge_deltas,
+    )
+
+    prior = align_to_schema(
+        pa.table(
+            {
+                "conv_id": ["a", "a", "b", "d"],
+                "turn_idx": [0, 1, 0, 0],
+                "role": ["user", "asst", "user", "user"],
+                "text": ["p0", "p1", "pb", "pd"],
+                "ts": [None] * 4,
+                "seq": [1, 2, 3, 4],
+            }
+        ),
+        pa.schema([f for f in LAKE_SCHEMA if f.name != "tool"]),  # drifted prior
+    )
+    valid = align_to_schema(
+        pa.table(
+            {
+                "conv_id": ["a", "a", "a", "b", "c", "c"],
+                "turn_idx": [0, 0, 1, 0, 0, 0],
+                "op": ["U", "U", "D", "U", "I", "U"],
+                "role": ["user"] * 6,
+                "text": ["v1", "v2", None, "vb", "vc1", "vc2"],
+                "tool": [None, "t", None, None, None, None],
+                "ts": [None] * 6,
+                "seq": [10, 11, 12, 13, 14, 14],  # duplicate seq tie on c
+            }
+        ),
+        CHANGELOG_SCHEMA,
+    )
+    a = lww_merge(prior, valid)
+    b = merge_deltas([prior, epoch_delta(valid)])
+    assert a.equals(b), f"\n{a.to_pydict()}\nvs\n{b.to_pydict()}"
+    # spot semantics: a.0 updated to v2, a.1 tombstoned away, d untouched
+    d = a.to_pydict()
+    keys = set(zip(d["conv_id"], d["turn_idx"]))
+    assert ("a", 1) not in keys and ("d", 0) in keys
+    assert d["text"][d["conv_id"].index("a")] == "v2"
