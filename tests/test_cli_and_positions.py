@@ -65,6 +65,51 @@ def test_widened_turn_idx_type_is_unified(tmp_path):
     assert (got["text"].values == want["text"].values).all()
 
 
+def test_tz_aware_ts_drift_applies_as_wall_clock(tmp_path):
+    """A producer that starts writing tz-aware timestamps (schema drift
+    on `ts`) must keep replaying — the lenient alignment casts to the
+    lake's naive micros.  PINNED SEMANTICS: the cast preserves the WALL
+    CLOCK of the source zone (pyarrow's local-semantics cast), not the
+    UTC instant — 12:00+05:00 lands as naive 12:00.  ts is payload
+    (merge order is seq), so this is a fidelity contract: if a pyarrow
+    upgrade flips it to instant-preserving, this test fails loud and
+    the choice gets re-made deliberately."""
+    import datetime as dt
+
+    log = tmp_path / "log"
+    log.mkdir()
+    wall = dt.datetime(2026, 1, 1, 12, 0, 0)
+    t = pa.table(
+        {
+            "seq": pa.array([1], pa.int64()),
+            "op": ["I"],
+            "conv_id": ["tzc"],
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": ["user"],
+            "text": ["x"],
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array(
+                [wall.replace(tzinfo=dt.timezone(dt.timedelta(hours=5)))],
+                pa.timestamp("us", tz="+05:00"),
+            ),
+            "batch_id": ["b1"],
+        }
+    )
+    pq.write_table(t, str(log / "a.parquet"))
+    eng = CdcEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake_tz"),
+            changelog_paths=(str(log),),
+            num_partitions=2,
+            salt_factor=1,
+        )
+    )
+    eng.replay()
+    got = eng.final_state(sort=True).to_pandas()
+    assert len(got) == 1 and eng.rejected().count() == 0
+    assert got["ts"].iloc[0].to_pydatetime() == wall  # wall clock, naive
+
+
 def test_cli_replay_status_metrics(tmp_path):
     log = str(tmp_path / "log")
     write_generated_changelog(log, 1500, files=2, n_convs=20)
