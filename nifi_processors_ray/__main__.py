@@ -262,8 +262,19 @@ def cmd_export(args) -> int:
     epoch = eng.store.latest().epoch if eng.store.latest() else 0
     marker = os.path.join(args.output, "_export_epoch.json")
     if os.path.exists(marker):
-        with open(marker) as f:
-            prior = json.load(f)["epoch"]
+        try:
+            with open(marker) as f:
+                prior = json.load(f)["epoch"]
+        except (ValueError, KeyError):
+            # a crash mid-pin left a truncated marker: the pinned epoch
+            # is unknowable, so the stale-resume guard cannot run —
+            # refuse cleanly rather than traceback or silently resume
+            print(
+                f"corrupt export marker {marker} (crash during pin?); "
+                "exports are immutable — use a new --output",
+                file=sys.stderr,
+            )
+            return 2
         if prior != epoch:
             print(
                 f"output dir holds an export of epoch {prior}, lake is at "
@@ -273,8 +284,10 @@ def cmd_export(args) -> int:
             return 2
     else:
         os.makedirs(args.output, exist_ok=True)
-        with open(marker, "w") as f:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"epoch": epoch}, f)
+        os.replace(tmp, marker)  # atomic: the pin is whole or absent
     receipt = write_partitioned_parquet(
         eng.final_state(),
         args.output,

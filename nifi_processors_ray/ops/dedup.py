@@ -951,7 +951,13 @@ def jaccard_dup_pairs(
         # holds the 1 MiB Bloom bitmap and scalars — never pairs.
         from ..functions.bloom import build_key_bloom
 
-        membership = cands.map_batches(_explode_membership, batch_format="pyarrow")
+        # materialize ONCE: the bloom build iterates the membership rows
+        # on the driver, and the union consumes them again — without the
+        # pin the explode pipeline would execute twice at exactly the
+        # above-budget scale this path exists for
+        membership = cands.map_batches(
+            _explode_membership, batch_format="pyarrow"
+        ).materialize()
         bloom_ref = build_key_bloom(membership, "doc_id")
         docs_side = docs.map_batches(
             _bloom_docs_side, batch_format="pyarrow", fn_kwargs={"bloom_ref": bloom_ref}
@@ -1232,9 +1238,15 @@ def _distributed_components(pairs: ray.data.Dataset) -> ray.data.Dataset:
     # id-only rows are ~16 B each; the upstream pair set arrives in
     # sort-exchange-sized blocks (dozens of near-empty ones), and every
     # propagation round pays per-block sort overhead — re-block to
-    # ~256k rows/block so a round prices by DATA, not by block count
+    # ~256k rows/block so a round prices by DATA, not by block count.
+    # The block-count ceiling exists only to bound per-round exchange
+    # overhead at sandbox scale; it must GROW with the edge set (a
+    # billions-of-edges dup-dense corpus at a hard 32 blocks would put
+    # multi-GB blocks, plus the propagation kernels' same-sized numpy
+    # temporaries, on every worker).  4096 blocks × 256k rows covers
+    # ~1e9 edges; past that the 256k-row target itself scales up.
     n_edges = edges.count()
-    nb = int(max(2, min(32, n_edges // 262144 + 1)))
+    nb = int(max(2, min(4096, n_edges // 262144 + 1)))
     edges = edges.repartition(nb).materialize()
     lbl_schema = pa.schema(
         [("node", pa.int64()), ("label", pa.int64()), ("changed", pa.int8())]

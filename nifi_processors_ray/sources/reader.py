@@ -104,13 +104,17 @@ _MAX_PLAN_FILES = 4096
 _FOOTER_THREADS = 16
 
 
-def _read_units(batch: pa.Table, *, columns):
+def _read_units(batch: pa.Table, *, columns, split: int = 1):
     """One fragment-read task: decode this task's (path, row-group
     range) units, column-pruned at the footer, metadata-stripped.
 
     Yields one table per unit (never concatenates) so task heap stays
     bounded by ONE unit (~:data:`_BYTES_PER_BLOCK` uncompressed) and
     Ray's dynamic block splitting sees each unit separately.
+    ``split > 1`` yields that many zero-copy slices per unit instead —
+    the fan-out path for a file with fewer row groups than the wanted
+    block count (decode parallelism is bounded by row groups; block
+    count need not be).
     """
     paths = batch.column("p").to_pylist()
     los = batch.column("lo").to_pylist()
@@ -123,7 +127,14 @@ def _read_units(batch: pa.Table, *, columns):
             t = pf.schema_arrow.empty_table()
         if columns is not None:
             t = t.select(columns)  # pin projection ORDER, not just set
-        yield t.replace_schema_metadata(None) if t.schema.metadata else t
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)
+        if split > 1 and t.num_rows >= split:
+            step = -(-t.num_rows // split)
+            for off in range(0, t.num_rows, step):
+                yield t.slice(off, step)
+        else:
+            yield t
 
 
 def _plan_fragment_units(files: list[str], nb: int | None, auto_blocks):
@@ -144,8 +155,10 @@ def _plan_fragment_units(files: list[str], nb: int | None, auto_blocks):
     Returns ``(units, nb_resolved, first_footer)`` or ``None`` when the
     plan shouldn't be used.  ``nb_resolved`` is the explicit/auto block
     count to coalesce to (``None`` → one task per unit);
-    ``first_footer`` is the already-parsed ``ParquetFile`` of the first
-    file so a single-file caller doesn't re-parse the footer.
+    ``first_footer`` is the already-parsed ``ParquetFile`` when the
+    input is a SINGLE file (so that caller doesn't re-parse the
+    footer), ``None`` otherwise — multi-file footers are extracted and
+    closed inside the pool to bound open fds.
 
     ``NPR_READ_ROWS_PER_BLOCK=0`` disables this path entirely (the
     documented escape hatch back to Ray's own reader, e.g. to bisect a
@@ -155,18 +168,31 @@ def _plan_fragment_units(files: list[str], nb: int | None, auto_blocks):
         return None
     if os.environ.get("NPR_READ_ROWS_PER_BLOCK") == "0":
         return None
+    def _footer(p):
+        # extract and CLOSE inside the pool worker: open fds stay
+        # bounded by the pool size, never by the file count (a ~1500
+        # file directory under ulimit -n 1024 must not EMFILE the
+        # driver mid-plan)
+        f = pq.ParquetFile(p)
+        try:
+            return f.schema_arrow, f.metadata
+        finally:
+            f.close()
+
+    pf0 = None
     try:
         if len(files) == 1:
-            pfs = [pq.ParquetFile(files[0])]
+            pf0 = pq.ParquetFile(files[0])
+            footers = [(pf0.schema_arrow, pf0.metadata)]
         else:
             with ThreadPoolExecutor(min(_FOOTER_THREADS, len(files))) as ex:
-                pfs = list(ex.map(pq.ParquetFile, files))
+                footers = list(ex.map(_footer, files))
     except Exception:
         return None
-    schema = pfs[0].schema_arrow.remove_metadata()
-    if any(pf.schema_arrow.remove_metadata() != schema for pf in pfs[1:]):
+    schema = footers[0][0].remove_metadata()
+    if any(s.remove_metadata() != schema for s, _ in footers[1:]):
         return None
-    metas = [pf.metadata for pf in pfs]
+    metas = [m for _, m in footers]
     total_rows = sum(m.num_rows for m in metas)
     total_unc = sum(
         m.row_group(i).total_byte_size
@@ -192,7 +218,7 @@ def _plan_fragment_units(files: list[str], nb: int | None, auto_blocks):
                 lo, acc = i + 1, 0
         if lo < m.num_row_groups or m.num_row_groups == 0:
             units.append({"p": p, "lo": lo, "hi": m.num_row_groups})
-    return units, nb, pfs[0]
+    return units, nb, pf0, total_unc  # pf0 only for single-file schema reuse
 
 
 def _list_parquet_files(paths) -> list[str] | None:
@@ -271,7 +297,7 @@ def _dir_auto_blocks(path: str, rows_per_block: int | None) -> int | None:
 
 
 def _fragment_read(
-    units: list[dict], columns, num_tasks: int | None
+    units: list[dict], columns, num_tasks: int | None, total_unc: int = 0
 ) -> ray.data.Dataset:
     """Fragment-parallel parquet scan (single file OR directory/list).
 
@@ -288,12 +314,30 @@ def _fragment_read(
     consumer/GetKinesisStream.java:105,176-180.)
     """
     nb = len(units) if num_tasks is None else max(1, min(num_tasks, len(units)))
-    return ray.data.from_items(units, override_num_blocks=nb).map_batches(
+    # wanted MORE blocks than the layout has row-group units (Ray's
+    # reader would have delivered the request via SplitBlocks after its
+    # serial decode): decode at unit granularity, then yield zero-copy
+    # slices so downstream fan-out still reaches the request
+    split = 1 if num_tasks is None else max(1, -(-num_tasks // len(units)))
+    ds = ray.data.from_items(units, override_num_blocks=nb).map_batches(
         _read_units,
         batch_format="pyarrow",
         batch_size=None,
-        fn_kwargs={"columns": columns},
+        fn_kwargs={"columns": columns, "split": split},
     )
+    if split > 1:
+        # small-data regime: Ray re-fuses yielded slices into one block
+        # per task when they sit under target_max_block_size, silently
+        # capping fan-out at the unit count — repartition to honor the
+        # request (cheap at exactly the sizes where fusion happens; in
+        # the large regime the slices survive as blocks and this branch
+        # is skipped)
+        target = ray.data.DataContext.get_current().target_max_block_size or (
+            128 << 20
+        )
+        if total_unc and num_tasks and total_unc // num_tasks < target:
+            ds = ds.repartition(num_tasks)
+    return ds
 
 
 def read_parquet(
@@ -332,9 +376,9 @@ def read_parquet(
             )
     pf = None
     if plan is not None:
-        units, nb, pf0 = plan
+        units, nb, pf0, total_unc = plan
         if len(units) > 1:
-            return _fragment_read(units, columns, nb)
+            return _fragment_read(units, columns, nb, total_unc)
         # single-unit plan: Ray's reader below (SplitBlocks handles any
         # wanted fan-out; the fragment path cannot split below a unit)
         if nb is not None:

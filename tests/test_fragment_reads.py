@@ -193,3 +193,40 @@ def test_exchange_coalesces_directory_blocks(tmp_path):
     # 64k rows -> 1 rows-based block, tiny bytes -> far fewer than 32
     assert mat.num_blocks() < 32
     assert sorted(mat.to_pandas()["a"].tolist()) == list(range(64_000))
+
+
+def test_few_row_groups_still_fan_out_to_requested_blocks(tmp_path):
+    """A file with FEWER row groups than the wanted block count must not
+    cap downstream fan-out at the row-group count (Ray's reader would
+    have delivered the request via SplitBlocks after its serial decode;
+    the fragment path yields zero-copy slices per unit instead)."""
+    p = str(tmp_path / "threegroups.parquet")
+    n = 30_000
+    t = pa.table({"a": np.arange(n, dtype=np.int64)})
+    pq.write_table(t, p, row_group_size=n // 3)  # exactly 3 row groups
+    ds = read_parquet(p, override_num_blocks=16)
+    mat = ds.materialize()
+    assert mat.num_blocks() >= 16, f"got {mat.num_blocks()} blocks"
+    assert sorted(mat.to_pandas()["a"].tolist()) == list(range(n))
+
+
+def test_large_directory_plan_bounds_open_fds(tmp_path):
+    """Footer planning over many files must hold at most a pool's worth
+    of parquet handles open at once (a ~1500-file directory on a
+    ulimit -n 1024 box must not EMFILE)."""
+    import resource
+
+    d = tmp_path / "many"
+    d.mkdir()
+    t = pa.table({"a": pa.array([1, 2], pa.int64())})
+    n_files = 300
+    for i in range(n_files):
+        pq.write_table(t, str(d / f"p{i:04d}.parquet"))
+    soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+    try:
+        resource.setrlimit(resource.RLIMIT_NOFILE, (min(256, soft), hard))
+        ds = read_parquet(str(d))
+        got = ds.to_pandas()
+    finally:
+        resource.setrlimit(resource.RLIMIT_NOFILE, (soft, hard))
+    assert len(got) == 2 * n_files

@@ -150,3 +150,28 @@ def test_cli_enrich_hook(tmp_path):
             capture_output=True, text=True, cwd="/root/repo", env=env,
         )
         assert rb.returncode != 0
+
+
+def test_export_corrupt_marker_refuses_cleanly(tmp_path):
+    """A crash DURING the pin write can no longer leave a truncated
+    marker (temp+rename), but a corrupt one from any other cause must
+    refuse with the immutable-export message, not a JSONDecodeError
+    traceback that makes the operator hand-delete the guard."""
+    log = str(tmp_path / "log")
+    write_generated_changelog(log, 300, files=1, n_convs=5)
+    lake = str(tmp_path / "lake")
+    assert M.main(
+        ["replay", "--lake", lake, "--log", log, "--partitions", "2",
+         "--epoch-events", "300"]
+    ) == 0
+    out_dir = str(tmp_path / "export")
+    os.makedirs(out_dir)
+    with open(os.path.join(out_dir, "_export_epoch.json"), "w") as f:
+        f.write('{"epo')  # truncated mid-write
+    rc = M.main(
+        ["export", "--lake", lake, "--log", log, "--partitions", "2",
+         "--output", out_dir, "--export-partitions", "2"]
+    )
+    assert rc == 2
+    # no partition data was written into the poisoned directory
+    assert not [p for p in os.listdir(out_dir) if p.endswith(".parquet")]
