@@ -50,9 +50,23 @@ def main() -> None:
     # keyspace, not a property of the engine
     write_generated_changelog(log_dir, total, files=64, n_convs=max(BULK // 200, 1000))
 
+    def _cooldown(threshold: float = 5.0, cap_s: int = 240) -> None:
+        # each cell's own 16M bulk load inflates the 1-min loadavg for
+        # the NEXT cell's stamp (observed 3.6 → 19.3 across an
+        # uncooled run) — wait for decay so the stamp reads ambient +
+        # residual, not the harness's own wake
+        t0 = time.time()
+        while os.getloadavg()[0] > threshold and time.time() - t0 < cap_s:
+            time.sleep(10)
+
     results = []
     for delta in DELTAS:
         for mode in MODES:
+            _cooldown()
+            # ambient stamp at cell START: taken after the bulk it would
+            # read the cell's own 32-cpu wake (observed 7-19 on an idle
+            # box), which is a constant of the harness, not contention
+            load0 = round(os.getloadavg()[0], 1)
             lake = tempfile.mkdtemp(prefix="npr_xover_lake_")
             try:
                 base = dict(
@@ -83,6 +97,10 @@ def main() -> None:
                     "applied": int(res[0].n_applied),
                     "append_parts": int((ep2["file_mode"] == "append").sum()),
                     "replace_parts": int((ep2["file_mode"] == "replace").sum()),
+                    # single-trial cell: the ambient stamp is the
+                    # provenance (only the ~3x low-ratio mode ordering
+                    # is signal; <=20% deltas are run-to-run noise)
+                    "loadavg_cell_start": load0,
                 }
                 results.append(row)
                 print(json.dumps(row), flush=True)
