@@ -265,7 +265,9 @@ def cmd_export(args) -> int:
         try:
             with open(marker) as f:
                 prior = json.load(f)["epoch"]
-        except (ValueError, KeyError):
+        except (ValueError, KeyError, TypeError):
+            # ValueError: truncated/invalid JSON; TypeError: valid JSON
+            # that isn't an object ('null', '[1]'); KeyError: no epoch
             # a crash mid-pin left a truncated marker: the pinned epoch
             # is unknowable, so the stale-resume guard cannot run —
             # refuse cleanly rather than traceback or silently resume

@@ -152,9 +152,11 @@ def _plan_fragment_units(files: list[str], nb: int | None, auto_blocks):
     parallelism (a 64-file directory naturally yields ≥64 units and is
     untouched by it).
 
-    Returns ``(units, nb_resolved, first_footer)`` or ``None`` when the
-    plan shouldn't be used.  ``nb_resolved`` is the explicit/auto block
-    count to coalesce to (``None`` → one task per unit);
+    Returns ``(units, nb_resolved, first_footer, total_unc)`` or
+    ``None`` when the plan shouldn't be used.  ``nb_resolved`` is the
+    explicit/auto block count to coalesce to (``None`` → one task per
+    unit); ``total_unc`` is the summed uncompressed row-group bytes
+    (the fan-out fusion-regime estimate);
     ``first_footer`` is the already-parsed ``ParquetFile`` when the
     input is a SINGLE file (so that caller doesn't re-parse the
     footer), ``None`` otherwise — multi-file footers are extracted and

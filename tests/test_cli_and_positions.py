@@ -65,20 +65,31 @@ def test_widened_turn_idx_type_is_unified(tmp_path):
     assert (got["text"].values == want["text"].values).all()
 
 
-def test_tz_aware_ts_drift_applies_as_wall_clock(tmp_path):
+def test_tz_aware_ts_drift_applies_as_utc_instant(tmp_path):
     """A producer that starts writing tz-aware timestamps (schema drift
     on `ts`) must keep replaying — the lenient alignment casts to the
-    lake's naive micros.  PINNED SEMANTICS: the cast preserves the WALL
-    CLOCK of the source zone (pyarrow's local-semantics cast), not the
-    UTC instant — 12:00+05:00 lands as naive 12:00.  ts is payload
-    (merge order is seq), so this is a fidelity contract: if a pyarrow
-    upgrade flips it to instant-preserving, this test fails loud and
-    the choice gets re-made deliberately."""
+    lake's naive micros.  PINNED SEMANTICS: the cast preserves the UTC
+    INSTANT — a correctly-stored 12:00+05:00 (= 07:00 UTC) lands as
+    naive 07:00.  ts is payload (merge order is seq), so this is a
+    fidelity contract: if a pyarrow upgrade flips the cast to
+    wall-clock, this test fails loud and the choice gets re-made
+    deliberately.  (Fixture goes through pandas because
+    ``pa.array([dt], pa.timestamp(tz=...))`` silently IGNORES the
+    datetime's tzinfo — an instant-corrupting quirk a real producer's
+    pandas/Spark write path does not have.)"""
     import datetime as dt
+
+    import pandas as pd
 
     log = tmp_path / "log"
     log.mkdir()
-    wall = dt.datetime(2026, 1, 1, 12, 0, 0)
+    wall = dt.datetime(2026, 1, 1, 12, 0, 0, tzinfo=dt.timezone(dt.timedelta(hours=5)))
+    ts_arr = pa.Array.from_pandas(pd.Series([pd.Timestamp(wall)])).cast(
+        pa.timestamp("us", tz="+05:00")
+    )
+    assert ts_arr.cast(pa.int64())[0].as_py() == int(
+        wall.timestamp() * 1_000_000
+    )  # fixture really stores the 07:00 UTC instant
     t = pa.table(
         {
             "seq": pa.array([1], pa.int64()),
@@ -88,10 +99,7 @@ def test_tz_aware_ts_drift_applies_as_wall_clock(tmp_path):
             "role": ["user"],
             "text": ["x"],
             "tool": pa.array([None], pa.string()),
-            "ts": pa.array(
-                [wall.replace(tzinfo=dt.timezone(dt.timedelta(hours=5)))],
-                pa.timestamp("us", tz="+05:00"),
-            ),
+            "ts": ts_arr,
             "batch_id": ["b1"],
         }
     )
@@ -107,7 +115,8 @@ def test_tz_aware_ts_drift_applies_as_wall_clock(tmp_path):
     eng.replay()
     got = eng.final_state(sort=True).to_pandas()
     assert len(got) == 1 and eng.rejected().count() == 0
-    assert got["ts"].iloc[0].to_pydatetime() == wall  # wall clock, naive
+    # instant-preserving: 12:00+05:00 == 07:00 UTC → naive 07:00
+    assert got["ts"].iloc[0].to_pydatetime() == dt.datetime(2026, 1, 1, 7, 0, 0)
 
 
 def test_cli_replay_status_metrics(tmp_path):

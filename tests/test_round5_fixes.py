@@ -175,3 +175,25 @@ def test_export_corrupt_marker_refuses_cleanly(tmp_path):
     assert rc == 2
     # no partition data was written into the poisoned directory
     assert not [p for p in os.listdir(out_dir) if p.endswith(".parquet")]
+
+
+def test_export_marker_valid_json_non_object_refuses(tmp_path):
+    """Valid JSON that is not an object ('null', a list) must hit the
+    same clean refusal as truncated JSON, not a TypeError traceback."""
+    log = str(tmp_path / "log")
+    write_generated_changelog(log, 300, files=1, n_convs=5)
+    lake = str(tmp_path / "lake")
+    assert M.main(
+        ["replay", "--lake", lake, "--log", log, "--partitions", "2",
+         "--epoch-events", "300"]
+    ) == 0
+    for i, payload in enumerate(["null", "[1]", '"3"']):
+        out_dir = str(tmp_path / f"export{i}")
+        os.makedirs(out_dir)
+        with open(os.path.join(out_dir, "_export_epoch.json"), "w") as f:
+            f.write(payload)
+        rc = M.main(
+            ["export", "--lake", lake, "--log", log, "--partitions", "2",
+             "--output", out_dir, "--export-partitions", "2"]
+        )
+        assert rc == 2, payload
