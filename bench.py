@@ -269,14 +269,24 @@ def main_scaling(args) -> dict:
         f.write(
             "# Measured scaling (sandbox evidence for the N→4N criterion)\n\n"
             f"Same job — replay of {args.events:,} generated change events to a "
-            "converged lake — run in fresh processes on the same input:\n\n"
-            "| num_cpus | replay sec | events/s |\n|---|---|---|\n"
+            "converged lake — run in fresh processes pinned to exactly N cores "
+            "on the same input (min of 4 post-warmup trials, inter-leg "
+            "cooldown):\n\n"
+            "| num_cpus | replay sec | events/s | loadavg start→end |\n"
+            "|---|---|---|---|\n"
             + "".join(
-                f"| {c} | {results[c]['value']} | {results[c]['events_per_sec']} |\n"
+                f"| {c} | {results[c]['value']} | {results[c]['events_per_sec']} "
+                f"| {(results[c].get('loadavg') or {}).get('start', '?')}"
+                f"→{(results[c].get('loadavg') or {}).get('end', '?')} |\n"
                 for c in levels
             )
             + f"\n**Scaling efficiency ({lo}→{hi} cpus, {hi // lo}×): "
-            f"{efficiency}** (north-rule target ≥0.8)\n"
+            f"{efficiency}** (north-rule target ≥0.8)\n\n"
+            "Provenance: a 16-core leg starting above loadavg ~1.5 carries "
+            "residual/ambient load (measured contamination signature); "
+            "cross-run spread of this protocol on identical code is "
+            "0.86–1.13.  History and the artifact-of-record run: "
+            "`/root/repo/BASELINE.md`, `BENCH/SCALING.json`.\n"
         )
     return out
 
