@@ -909,16 +909,14 @@ def jaccard_dup_pairs(
         batch_size=None,
         fn_kwargs={"pair_fn": _bucket_pairs_all},
     )
-    from ..functions.blocks import compact_small_result as _csr
+    from ..functions.blocks import compact_small_result
 
-    cands = _csr(
+    cands = compact_small_result(
         checked_sort(raw_pairs, ["doc_a", "doc_b"]).map_batches(
             _first_per_pair, batch_format="pyarrow", batch_size=None
         ),
         pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
     )
-    from ..functions.blocks import compact_small_result
-
     # cands is object-store-materialized (compact_small_result), so the
     # count is a metadata read, and the path pick below is a driver
     # SCALAR decision — never a pair materialization.

@@ -1396,14 +1396,24 @@ def _q6_partial(batch: pa.Table) -> pa.Table:
     ).cast(pa.int64())
     s = pc.sum(cents)  # skips nulls, like SQL SUM
     # pc.sum wraps on int64 overflow where the twin's HUGEINT accumulator
-    # raises at the BIGINT cast — float64 shadow makes the wrap loud
+    # raises at the BIGINT cast — float64 shadow makes the wrap loud.
+    # Magnitude precheck first (the group_sums_checked pattern): if
+    # max|cents| × rows can't reach 2^63 the wrap is impossible and the
+    # shadow cast+sum is skipped on every normal batch.
     if s.is_valid:
-        shadow = pc.sum(pc.cast(cents, pa.float64())).as_py()
-        if abs(s.as_py() - shadow) > 1e15:
-            raise OverflowError(
-                "int64 SUM overflow in promo_cents partial — the exact "
-                "aggregate no longer fits BIGINT"
-            )
+        mm = pc.min_max(cents)
+        bound = max(abs(mm["min"].as_py() or 0), abs(mm["max"].as_py() or 0))
+        if bound and bound * batch.num_rows >= 2**63:
+            # safe=False: Arrow's CHECKED int64→float64 cast refuses
+            # legitimate values above 2^53 (a batch of ±2^54 cents whose
+            # sum fits BIGINT must aggregate, not crash — DuckDB
+            # succeeds); lossy is fine, shadow error ≪ the 2^64 wrap
+            shadow = pc.sum(pc.cast(cents, pa.float64(), safe=False)).as_py()
+            if abs(s.as_py() - shadow) > 1e15:
+                raise OverflowError(
+                    "int64 SUM overflow in promo_cents partial — the exact "
+                    "aggregate no longer fits BIGINT"
+                )
     return pa.table(
         {
             "promo_cents": pa.array([s.as_py() if s.is_valid else 0], pa.int64()),

@@ -243,6 +243,14 @@ def _list_parquet_files(paths) -> list[str] | None:
                     # path reads footers only and would silently drop
                     # them (probed divergence, round 5)
                     return None
+                if any(os.path.islink(os.path.join(root, d)) for d in dirs):
+                    # symlinked subdirectory: pyarrow dataset discovery
+                    # (Ray's reader) FOLLOWS directory symlinks, but
+                    # os.walk(followlinks=False) does not — descending
+                    # ourselves risks cycles, so keep Ray's semantics
+                    # by refusing the plan (probed divergence: Ray read
+                    # 4 rows, this lister returned 2)
+                    return None
                 # prune hidden/marker DIRECTORIES too: Ray ignores
                 # '_'/'.'-prefixed path segments, so a _staging/ or
                 # Spark _temporary/ subtree must never be read as
@@ -275,7 +283,19 @@ def _dir_auto_blocks(path: str, rows_per_block: int | None) -> int | None:
     files (hive subdirs included; rows/bytes don't care about inferred
     columns), skipping hidden/marker segments like Ray does."""
     files: list[str] = []
-    for root, dirs, names in os.walk(path):
+    # followlinks=True to see the same file set Ray's reader does
+    # (pyarrow discovery follows directory symlinks); the visited set
+    # guards symlink cycles.  Kept separate from _list_parquet_files on
+    # purpose: this walker INCLUDES hive subdirs and ignores foreign
+    # files (block sizing cares about rows/bytes, not layout semantics),
+    # where the fragment lister must refuse both.
+    seen: set[str] = set()
+    for root, dirs, names in os.walk(path, followlinks=True):
+        real = os.path.realpath(root)
+        if real in seen:
+            dirs[:] = []
+            continue
+        seen.add(real)
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         files.extend(
             os.path.join(root, n)

@@ -126,3 +126,33 @@ def test_group_sums_checked_beyond_2e53_matches_duckdb():
 
     with pytest.raises(OverflowError):
         group_sums_checked(t2, ["k"], ["x"])
+
+
+def test_q6_partial_beyond_2e53_aggregates_not_crashes():
+    """The divergence window the parity sweep missed: per-row cents in
+    (2^53, 2^63) whose batch sum fits BIGINT.  DuckDB's HUGEINT
+    accumulator succeeds there, so the engine's float64 shadow must use
+    a LOSSY cast (Arrow's checked int64→float64 refuses anything above
+    2^53) — and a genuinely wrapping batch must still raise."""
+    from nifi_processors_ray.ops.relational import _q6_partial
+
+    big = int(2**54)  # representable-exactly, above the checked-cast cap
+    ok = pa.table(
+        {
+            "l_extendedprice": pa.array([big / 100, big / 100], pa.float64()),
+            "l_discount": pa.array([1.0, 1.0], pa.float64()),
+        }
+    )
+    out = _q6_partial(ok)
+    assert out.column("promo_cents")[0].as_py() == 2 * big
+
+    n = 4
+    huge = float(2**62)  # per-row cents ~2^62: n rows wrap int64
+    wrap = pa.table(
+        {
+            "l_extendedprice": pa.array([huge / 100] * n, pa.float64()),
+            "l_discount": pa.array([1.0] * n, pa.float64()),
+        }
+    )
+    with pytest.raises(OverflowError):
+        _q6_partial(wrap)

@@ -230,3 +230,21 @@ def test_large_directory_plan_bounds_open_fds(tmp_path):
     finally:
         resource.setrlimit(resource.RLIMIT_NOFILE, (soft, hard))
     assert len(got) == 2 * n_files
+
+
+def test_symlinked_subdirectory_falls_back_to_ray(tmp_path):
+    """pyarrow dataset discovery (Ray's reader) FOLLOWS directory
+    symlinks; the fragment lister must refuse such layouts rather than
+    silently dropping every row under the link (probed divergence:
+    Ray read 4 rows, the walk-without-links lister listed 2)."""
+    import os
+
+    d = tmp_path / "tbl"
+    real = tmp_path / "elsewhere"
+    d.mkdir()
+    real.mkdir()
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}), str(d / "p.parquet"))
+    pq.write_table(pa.table({"a": pa.array([3, 4], pa.int64())}), str(real / "q.parquet"))
+    os.symlink(str(real), str(d / "linked"))
+    got = read_parquet(str(d)).to_pandas()
+    assert sorted(got["a"].tolist()) == [1, 2, 3, 4]
