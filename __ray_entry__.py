@@ -536,6 +536,8 @@ _REGISTRY_ORDER = (
     "local_supplier_volume",
     "events_profile",
     "nation_market_share",
+    # new this round (never driver-sampled yet):
+    "events_mad",
     # driver-green in some earlier round (union r1-r4):
     "cheapest_part_supplier",
     "priority_with_large_items",
@@ -785,6 +787,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "docs_corr": _prof.docs_corr,
         "events_quantile_sketch": _q_quantile_sketch,
         "events_median_cont": _ev.median_cont,
+        # grouped exact MAD off the same distinct-value histogram
+        "events_mad": _ev.mad_by_type,
         "events_heavy_users": _q_heavy_users,
         "events_user_gaps": _ev.user_gaps,
         # broadcast-aggregate self-join: ±1-minute neighborhood counts
@@ -1235,6 +1239,7 @@ FROM _ch
         "all_actor_ids": _joins.ALL_ACTOR_IDS_SQL,
         "pricing_cube": _rel.PRICING_CUBE_SQL,
         "events_median_cont": _ev.MEDIAN_CONT_SQL,
+        "events_mad": _ev.MAD_SQL,
         "events_user_gaps": _ev.USER_GAPS_SQL,
         "events_local_density": _ev.LOCAL_DENSITY_SQL,
         "events_user_trend": _ev.USER_TREND_SQL,

@@ -1325,6 +1325,107 @@ def median_cont(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# grouped exact MAD (median absolute deviation) — robust dispersion for
+# outlier thresholds; companion to median_cont off the SAME histogram
+# ---------------------------------------------------------------------------
+
+MAD_SQL = """
+SELECT event_type,
+       mad(CAST(FLOOR(value * 100) AS BIGINT)) AS mad_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _interp_median(w: np.ndarray, v: np.ndarray) -> float | None:
+    """Interpolated median of a weighted SORTED value array (DuckDB
+    ``median``/``quantile_cont(0.5)`` contract: linear interpolation at
+    0-based position (n-1)/2).  ``w`` int weights, ``v`` float values,
+    both null-free.  Returns None on empty input."""
+    cum = np.cumsum(w)
+    m = int(cum[-1]) if len(cum) else 0
+    if m == 0:
+        return None
+    lo = (m - 1) // 2
+    vlo = v[np.searchsorted(cum, lo + 1)]
+    if (m - 1) % 2 == 0:
+        return float(vlo)
+    vhi = v[np.searchsorted(cum, lo + 2)]
+    # cents in, so vlo/vhi are ints (first pass) or k/2 steps (second
+    # pass): int + 0.5*delta is IEEE-exact, no drift vs the twin
+    return float(vlo + 0.5 * (vhi - vlo))
+
+
+def _mad_finalize(block: pa.Table) -> pa.Table:
+    """Per co-located event_type run: MAD off the merged histogram.
+
+    Both medians come from the SAME distinct-(type,cents) histogram the
+    quantile ops already exchange — the deviation multiset is just the
+    histogram re-keyed by |cents - median| with the same counts, so MAD
+    costs zero extra passes over the data and zero extra shuffle bytes.
+    DuckDB ``mad`` (calibrated: [1,2,4,10] -> 1.5; [1,NULL,4] -> 1.5;
+    single value -> 0.0; all-null -> NULL) skips nulls in BOTH medians
+    while COUNT(*) keeps them, mirroring the quantile/median kernels."""
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "mad_cents": pa.array([], pa.float64()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    b = block.sort_by([("event_type", "ascending"), ("value_cents", "ascending")])
+    # null event_type → code -1 (ONE run), not NaN (every null its own run)
+    et = np.asarray(
+        pc.fill_null(b.column("event_type").combine_chunks().dictionary_encode().indices, -1)
+    )
+    vals = np.asarray(b.column("value_cents"), dtype=np.float64)  # null → NaN
+    cnt = np.asarray(b.column("n"))
+    new_run = np.concatenate([[True], et[1:] != et[:-1]])
+    starts = np.nonzero(new_run)[0]
+    ends = np.concatenate([starts[1:], [len(et)]])
+    types = b.column("event_type")
+    out: dict[str, list] = {"event_type": [], "mad_cents": [], "n_events": []}
+    for s, e in zip(starts, ends):  # one iteration per GROUP (tiny), not per row
+        w, v = cnt[s:e], vals[s:e]
+        valid = ~np.isnan(v)
+        out["event_type"].append(types[int(s)].as_py())
+        out["n_events"].append(int(w.sum()))
+        wv, xv = w[valid], v[valid]
+        med = _interp_median(wv, xv)
+        if med is None:
+            out["mad_cents"].append(None)
+            continue
+        dev = np.abs(xv - med)
+        order = np.argsort(dev, kind="stable")
+        out["mad_cents"].append(_interp_median(wv[order], dev[order]))
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "mad_cents": pa.array(out["mad_cents"], pa.float64()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+        }
+    )
+
+
+def mad_by_type(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Per-type exact MAD (``mad()`` semantics: interpolated median of
+    absolute deviations from the interpolated median).  Same distributed
+    shape as :func:`median_cont`: one vectorized histogram pass, one
+    distinct-values exchange, both medians read off the merged histogram
+    in the finalize kernel — no second pass over the events."""
+    ds = _events(sf_dir, ["event_type", "value"])
+    partials = ds.map_batches(_quantile_partials, batch_format="pyarrow")
+    out = checked_sort(partials, "event_type").map_batches(
+        _mad_finalize, batch_format="pyarrow", batch_size=None
+    )
+    return null_safe_sort(out, "event_type") if sort else out
+
+
+# ---------------------------------------------------------------------------
 # inter-arrival gap statistics: aggregate-of-LAG
 # ---------------------------------------------------------------------------
 

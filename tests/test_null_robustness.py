@@ -32,7 +32,8 @@ SRC = "/root/testdata/sf0.001"
 TARGETS = [
     "events_window_agg", "events_sessionize", "events_topk_users",
     "events_distinct_types", "events_sample", "events_stratified_sample",
-    "events_value_quantiles", "events_median_cont", "events_moving_sum",
+    "events_value_quantiles", "events_median_cont", "events_mad",
+    "events_moving_sum",
     "events_hourly_retention", "events_value_histogram",
     "events_type_transitions", "events_hourly_dense", "events_profile",
     "events_user_gaps", "events_type_pivot", "events_hopping_agg",

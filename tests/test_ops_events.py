@@ -492,3 +492,77 @@ def test_conversions_within_tie_does_not_shadow_earlier_click():
     )
     out = _conv_block(t)
     assert out.to_pydict() == {"user_id": [1], "n_conversions": [1]}
+
+
+# ---------------------------------------------------------------------------
+# grouped exact MAD: finalize-kernel calibration against DuckDB mad()
+# ---------------------------------------------------------------------------
+
+
+def _mad_hist(rows):
+    """Build the (event_type, value_cents, n) histogram block _mad_finalize
+    consumes from raw (type, cents) rows — cents None allowed."""
+    import collections
+
+    c = collections.Counter(rows)
+    return pa.table(
+        {
+            "event_type": pa.array([k[0] for k in c], pa.string()),
+            "value_cents": pa.array([k[1] for k in c], pa.int64()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
+@pytest.mark.parametrize(
+    "cents",
+    [
+        [1, 2, 4, 10],          # even n, interpolated both passes
+        [1, 2, 4],              # odd n
+        [5],                    # single value -> 0.0
+        [7, 7, 7, 7],           # zero dispersion
+        [-10, -3, 0, 4, 4],     # negatives + duplicates
+        [0, 1, 2, 100],         # outlier, .5 median then .25-step result
+        [1, None, 4],           # null skipped by mad, counted by COUNT(*)
+        [None, None],           # all-null group -> NULL mad
+        list(range(-50, 50)) + [25] * 30,  # weighted duplicates
+    ],
+)
+def test_mad_finalize_matches_duckdb(cents):
+    block = _mad_hist([("t", c) for c in cents])
+    got = EV._mad_finalize(block).to_pydict()
+    vals = [(c,) for c in cents]
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT mad(x), CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM (VALUES "
+        + ",".join("(CAST(? AS BIGINT))" for _ in vals)
+        + ") v(x)) t",
+        [c for (c,) in vals],
+    ).fetchone()
+    assert got["n_events"] == [exp[1]]
+    if exp[0] is None:
+        assert got["mad_cents"] == [None]
+    else:
+        assert got["mad_cents"][0] == float(exp[0])
+
+
+def test_mad_finalize_multi_group_and_null_type():
+    rows = [("a", 1), ("a", 2), (None, 3), (None, 30), ("b", None)]
+    out = EV._mad_finalize(_mad_hist(rows)).to_pydict()
+    by = dict(zip(out["event_type"], out["mad_cents"]))
+    assert by["a"] == 0.5
+    assert by[None] == 13.5
+    assert by["b"] is None
+
+
+def test_mad_empty_block_schema():
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "value_cents": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    out = EV._mad_finalize(empty)
+    assert out.num_rows == 0
+    assert out.schema.names == ["event_type", "mad_cents", "n_events"]
