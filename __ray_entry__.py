@@ -538,6 +538,7 @@ _REGISTRY_ORDER = (
     "nation_market_share",
     # new this round (never driver-sampled yet):
     "events_mad",
+    "kmeans_clusters",
     # driver-green in some earlier round (union r1-r4):
     "cheapest_part_supplier",
     "priority_with_large_items",
@@ -722,6 +723,9 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         ),
         # similarity search (embeddings table)
         "knn_brute": _sim.knn_brute,
+        # full-corpus distributed Lloyd's (no SQL twin: iterative; numpy
+        # oracle in tests/test_ops_similarity.py)
+        "kmeans_clusters": _sim.kmeans_clusters,
         "knn_ivf": _sim.knn_ivf,
         "knn_range": _sim.knn_range,
         # multimodal binary plumbing

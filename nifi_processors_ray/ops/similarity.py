@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions.debug import checked_sort
 from ..sources.reader import read_parquet_fanout as read_parquet_clean
 
 KNN_BRUTE_SQL_TEMPLATE = """
@@ -453,3 +454,139 @@ def knn_range(
         _partial_range, batch_format="pyarrow", fn_kwargs={"q_ref": q_ref, "tau": tau}
     )
     return out.sort(["query_id", "neighbor_id"]) if sort else out
+
+
+# ---------------------------------------------------------------------------
+# full-corpus k-means (distributed Lloyd's) — clustering as a first-class
+# curation op, not just IVF index training
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_partials(batch: pa.Table, cent_ref) -> pa.Table:
+    """Per-batch Lloyd's partial: assign each unit-norm vector to its
+    max-cosine centroid (argmax → lowest index on ties) and emit ONE row
+    per non-empty cluster: (cluster, n, sum-vector, bmin).  ``bmin`` (the
+    batch's min vec_id) gives the driver reduce a deterministic fold
+    order for a fixed block layout."""
+    cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+    batch = batch.filter(
+        pc.and_(pc.is_valid(batch.column("vec_id")), pc.is_valid(batch.column("embedding")))
+    )
+    k, d = cent.shape
+    empty = pa.table(
+        {
+            "cluster": pa.array([], pa.int32()),
+            "n": pa.array([], pa.int64()),
+            "vsum": pa.array([], pa.list_(pa.float64())),
+            "bmin": pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    x = _normalize(_to_matrix(batch))
+    assign = (x @ cent.T).argmax(axis=1)
+    sums = np.zeros((k, d), dtype=np.float64)
+    np.add.at(sums, assign, x)
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    live = np.nonzero(counts)[0]
+    bmin = int(np.asarray(batch.column("vec_id")).min())
+    return pa.table(
+        {
+            "cluster": pa.array(live.astype(np.int32)),
+            "n": pa.array(counts[live]),
+            "vsum": pa.array(list(sums[live])),
+            "bmin": pa.array(np.full(len(live), bmin, dtype=np.int64)),
+        }
+    )
+
+
+def _kmeans_reduce(partials: pa.Table, cent: np.ndarray) -> np.ndarray:
+    """Fold the per-batch partials into refreshed unit-norm centroids.
+
+    The fold is sorted by (cluster, bmin) so the float64 summation order
+    is deterministic for a fixed block layout; empty clusters keep their
+    previous centroid (the standard Lloyd's convention — no respawn, so
+    runs are reproducible)."""
+    k, d = cent.shape
+    p = partials.sort_by([("cluster", "ascending"), ("bmin", "ascending")])
+    cl = np.asarray(p.column("cluster"))
+    n = np.asarray(p.column("n"))
+    vs = np.asarray(p.column("vsum").combine_chunks().flatten(), dtype=np.float64)
+    vs = vs.reshape(len(cl), d) if len(cl) else vs.reshape(0, d)
+    out = cent.copy()
+    for c in range(k):
+        m = cl == c
+        tot = int(n[m].sum())
+        if tot == 0:
+            continue
+        v = vs[m].sum(axis=0) / tot
+        nv = np.linalg.norm(v)
+        if nv:
+            out[c] = v / nv
+    return out
+
+
+def _kmeans_assign(batch: pa.Table, cent_ref) -> pa.Table:
+    cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+    batch = batch.filter(
+        pc.and_(pc.is_valid(batch.column("vec_id")), pc.is_valid(batch.column("embedding")))
+    )
+    x = _normalize(_to_matrix(batch))
+    assign = (x @ cent.T).argmax(axis=1) if batch.num_rows else np.array([], np.int64)
+    return pa.table(
+        {
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(assign.astype(np.int32)),
+        }
+    )
+
+
+def kmeans_refine(
+    ds: "ray.data.Dataset", init: np.ndarray, iters: int
+) -> np.ndarray:
+    """Distributed Lloyd's over a (vec_id, embedding) Dataset.
+
+    Scale shape (the whole point): each iteration is ONE streaming pass
+    — per-batch K×D float64 partial sums (``map_batches``, vectorized
+    matmul + ``np.add.at``), a driver fold of #batches × K rows (tiny),
+    and a K×D ``ray.put`` broadcast back.  NO shuffle at any step, so at
+    10^10 vectors the cost is iters × scan; the mutable state is O(K×D)
+    bytes regardless of corpus size."""
+    cent = init.copy()
+    for _ in range(max(0, iters)):
+        ref = ray.put(cent)
+        parts = ds.map_batches(
+            _kmeans_partials, batch_format="pyarrow", fn_kwargs={"cent_ref": ref}
+        )
+        tbl = pa.concat_tables([ray.get(r) for r in parts.to_arrow_refs()])
+        cent = _kmeans_reduce(tbl, cent)
+    return cent
+
+
+def kmeans_clusters(
+    sf_dir: str,
+    *,
+    k: int = 8,
+    refine_iters: int = 3,
+    sample: int = 2048,
+    sort: bool = True,
+) -> ray.data.Dataset:
+    """Full-corpus k-means assignments (vec_id → cluster) on the unit
+    sphere: hash-spread sample k-means init (:func:`train_centroids` —
+    cheap, deterministic, unbiased under any storage order) + ``refine_
+    iters`` distributed Lloyd's passes over ALL vectors, then one assign
+    pass.  Output is the per-vector assignment table — the artifact a
+    curation pipeline joins against (per-cluster sampling, cluster-level
+    dedup, coverage reports).  No SQL twin (iterative); the pytest
+    oracle replays the identical algorithm in numpy on planted corpora
+    (tests/test_ops_similarity.py)."""
+    init = train_centroids(sf_dir, n_cells=k, sample=sample)
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = kmeans_refine(ds, init, refine_iters)
+    ref = ray.put(cent)
+    out = ds.map_batches(
+        _kmeans_assign, batch_format="pyarrow", fn_kwargs={"cent_ref": ref}
+    )
+    return checked_sort(out, "vec_id") if sort else out
