@@ -404,6 +404,16 @@ def _q_conversation_token_stats(sf_dir: str):
     return token_stats(eng.final_state())
 
 
+def _q_conversation_reply_latency(sf_dir: str):
+    """Lake analytics: converged CDC state → per-conversation
+    user→assistant reply-latency profile (count / total / max gap in
+    integer microseconds)."""
+    from nifi_processors_ray.pipelines.conversations import reply_latency
+
+    eng = _replayed_engine(sf_dir)
+    return reply_latency(eng.final_state())
+
+
 def _q_conv_stats_view_incremental(sf_dir: str):
     """Incremental materialized view under the driver gate: a multi-epoch
     replay folds each epoch's dirty conversations into the PARTITIONED
@@ -539,6 +549,7 @@ _REGISTRY_ORDER = (
     # new this round (never driver-sampled yet):
     "events_mad",
     "kmeans_clusters",
+    "conversation_reply_latency",
     # driver-green in some earlier round (union r1-r4):
     "cheapest_part_supplier",
     "priority_with_large_items",
@@ -676,6 +687,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         # incremental view maintenance (dirty-partition folds) == twin
         "conv_stats_view_incremental": _q_conv_stats_view_incremental,
         "conversation_role_transitions": _q_role_transitions,
+        "conversation_reply_latency": _q_conversation_reply_latency,
         "conversation_search": _q_conversation_search,
         "conversation_search_indexed": _q_conversation_search_indexed,
         "conversation_dedup": _q_conversation_dedup,
@@ -1031,6 +1043,30 @@ SELECT conv_id,
             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)) AS BIGINT) AS bpe_tokens,
        CAST(COUNT(tool) AS BIGINT) AS tool_turns
 FROM latest WHERE rn = 1 AND op <> 'D'
+GROUP BY conv_id
+ORDER BY conv_id
+""",
+        "conversation_reply_latency": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+),
+state AS (SELECT conv_id, turn_idx, role, ts FROM latest WHERE rn = 1 AND op <> 'D'),
+steps AS (
+  SELECT conv_id,
+         role AS next_role,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+  FROM state
+)
+SELECT conv_id,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_replies,
+       CAST(SUM(gap_us) AS BIGINT) AS total_reply_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_reply_us
+FROM steps
+WHERE prev_role = 'user' AND next_role = 'assistant'
 GROUP BY conv_id
 ORDER BY conv_id
 """,

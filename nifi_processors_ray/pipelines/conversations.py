@@ -165,6 +165,83 @@ def role_transitions(transcripts: ray.data.Dataset) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# lake analytics: user→assistant reply latency per conversation
+# ---------------------------------------------------------------------------
+
+
+def reply_latency_block(block: pa.Table) -> pa.Table:
+    """Per co-located conversation run: reply-latency aggregates over the
+    user→assistant turn steps, in turn order.
+
+    Mirrors the twin's semantics exactly: a step row exists for every
+    consecutive (turn_idx-ordered) pair inside a conversation; only
+    steps with prev role 'user' and next role 'assistant' qualify;
+    ``n_replies`` counts steps whose gap is non-null (either ts null →
+    gap null, the step still qualifies), sum/max skip null gaps (all
+    null → NULL), and a conversation emits a row iff it has ≥1
+    qualifying step."""
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_replies": pa.array([], pa.int64()),
+            "total_reply_us": pa.array([], pa.int64()),
+            "max_reply_us": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    b = block.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    conv = np.asarray(b.column("conv_id").combine_chunks().dictionary_encode().indices)
+    role = b.column("role").combine_chunks()
+    ts = np.asarray(
+        b.column("ts").combine_chunks().cast(pa.int64()), dtype=np.float64
+    )  # null → NaN
+    is_user = np.asarray(pc.fill_null(pc.equal(role, "user"), False))
+    is_asst = np.asarray(pc.fill_null(pc.equal(role, "assistant"), False))
+    step = (conv[1:] == conv[:-1]) & is_user[:-1] & is_asst[1:]
+    if not step.any():
+        return empty
+    idx = np.nonzero(step)[0]  # step i: rows i (prev) and i+1 (next)
+    gap = ts[idx + 1] - ts[idx]  # NaN if either ts null
+    code = conv[idx + 1]
+    uniq, inv = np.unique(code, return_inverse=True)
+    has_gap = ~np.isnan(gap)
+    n_replies = np.bincount(inv, weights=has_gap, minlength=len(uniq)).astype(np.int64)
+    total = np.bincount(inv, weights=np.where(has_gap, gap, 0.0), minlength=len(uniq))
+    mx = np.full(len(uniq), -np.inf)
+    np.maximum.at(mx, inv[has_gap], gap[has_gap])
+    conv_ids = b.column("conv_id").take(pa.array(idx[np.unique(inv, return_index=True)[1]] + 1))
+    any_gap = n_replies > 0
+    # integer microsecond gaps: float64 is exact up to 2^53 us (~285 yr)
+    return pa.table(
+        {
+            "conv_id": conv_ids,
+            "n_replies": pa.array(n_replies),
+            "total_reply_us": pa.array(
+                [int(t) if g else None for t, g in zip(total, any_gap)], pa.int64()
+            ),
+            "max_reply_us": pa.array(
+                [int(m) if g else None for m, g in zip(mx, any_gap)], pa.int64()
+            ),
+        }
+    )
+
+
+def reply_latency(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-conversation user→assistant reply-latency profile over the
+    converged lake (count / total / max gap in integer microseconds) —
+    the latency view an agent-quality dashboard reads.  ONE sort
+    exchange on conv_id; turn ordering, step pairing and the aggregate
+    are block-local (full-conv runs are co-located by ``checked_sort``'s
+    run-repair)."""
+    cols = transcripts.select_columns(["conv_id", "turn_idx", "role", "ts"])
+    out = checked_sort(cols, "conv_id").map_batches(
+        reply_latency_block, batch_format="pyarrow", batch_size=None
+    )
+    return null_safe_sort(out, "conv_id")
+
+
+# ---------------------------------------------------------------------------
 # lake analytics: transcript-level exact dedup (whole-conversation copies)
 # ---------------------------------------------------------------------------
 

@@ -85,3 +85,111 @@ def test_chat_training_mix_empty_gate_is_schema_stable(ray_session):
     out = chat_training_mix(_transcripts(rows)).to_pandas()
     assert len(out) == 0
     assert list(out.columns) == ["conv_id", "n_turns", "bpe_tokens", "cum_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# reply latency: block-kernel edge semantics vs the twin's contract
+# ---------------------------------------------------------------------------
+
+
+def _rl_block(rows):
+    from nifi_processors_ray.pipelines.conversations import reply_latency_block
+
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        }
+    )
+    return reply_latency_block(t).to_pydict()
+
+
+def test_reply_latency_basic_and_order_independent():
+    rows = [
+        ("c1", 1, "assistant", 1_500_000),
+        ("c1", 0, "user", 1_000_000),      # gap 0.5 s
+        ("c1", 2, "user", 2_000_000),
+        ("c1", 3, "assistant", 5_000_000), # gap 3 s
+        ("c2", 0, "assistant", 0),          # no user before → no row
+        ("c2", 1, "user", 1),
+    ]
+    got = _rl_block(rows)
+    assert got == {
+        "conv_id": ["c1"],
+        "n_replies": [2],
+        "total_reply_us": [3_500_000],
+        "max_reply_us": [3_000_000],
+    }
+
+
+def test_reply_latency_null_ts_counts_step_not_gap():
+    # a qualifying step with a null ts on either side: the step exists
+    # (the row is emitted) but COUNT(gap)/SUM/MAX skip the null gap
+    rows = [
+        ("c", 0, "user", None),
+        ("c", 1, "assistant", 10),
+    ]
+    got = _rl_block(rows)
+    assert got == {
+        "conv_id": ["c"],
+        "n_replies": [0],
+        "total_reply_us": [None],
+        "max_reply_us": [None],
+    }
+
+
+def test_reply_latency_conv_boundary_and_null_roles():
+    # last turn of c1 is 'user', first of c2 'assistant' — adjacency
+    # across conversations must NOT pair; null roles never qualify
+    rows = [
+        ("c1", 0, "user", 0),
+        ("c2", 0, "assistant", 5),
+        ("c2", 1, None, 10),
+        ("c2", 2, "assistant", 20),
+    ]
+    assert _rl_block(rows)["conv_id"] == []
+
+
+def test_reply_latency_matches_duckdb_on_random_blocks():
+    import duckdb
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    roles = ["user", "assistant", "system", "tool", None]
+    rows = []
+    for c in range(30):
+        for t in range(int(rng.integers(1, 12))):
+            ts = None if rng.random() < 0.1 else int(rng.integers(0, 10**9))
+            rows.append((f"c{c:03d}", t, roles[int(rng.integers(0, 5))], ts))
+    got = pd.DataFrame(_rl_block(rows))
+    con = duckdb.connect()
+    con.register(
+        "state",
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            }
+        ),
+    )
+    want = con.sql(
+        """
+        WITH steps AS (
+          SELECT conv_id, role AS next_role,
+                 LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+          FROM state)
+        SELECT conv_id, CAST(COUNT(gap_us) AS BIGINT) AS n_replies,
+               CAST(SUM(gap_us) AS BIGINT) AS total_reply_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_reply_us
+        FROM steps WHERE prev_role = 'user' AND next_role = 'assistant'
+        GROUP BY conv_id ORDER BY conv_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
