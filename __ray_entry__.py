@@ -186,6 +186,33 @@ def _q_cdc_time_travel(sf_dir: str):
     return eng.state_at(min(2, eng.store.latest().epoch), sort=True)
 
 
+def _q_cdc_state_diff(sf_dir: str):
+    """Snapshot-to-snapshot audit diff: keys whose resolved value differs
+    between the epoch-2 commit and head, classified added/updated/
+    deleted — computed per partition with no shuffle (both snapshots
+    share the partitioner).  The diff is small by construction (changed
+    keys only), so the driver surface materializes it to a schema-stable
+    Arrow table (an all-empty Dataset loses its schema through
+    ``to_pandas``; a short stream where epoch 2 IS head legitimately
+    diffs to zero rows)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    eng = _mor_engine(sf_dir)
+    ds = eng.state_diff(min(2, eng.store.latest().epoch), sort=False)
+    blocks = [_ray.get(r) for r in ds.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_columns]
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "change_kind": pa.array([], pa.string()),
+        }
+    )
+    tbl = pa.concat_tables(blocks) if blocks else empty
+    return tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
 def _q_cdc_epoch_changes(sf_dir: str):
     """Changefeed of the LATEST committed epoch: the net change per
     (conv_id, turn_idx) key in that epoch's seq window, deletes
@@ -550,6 +577,7 @@ _REGISTRY_ORDER = (
     "events_mad",
     "kmeans_clusters",
     "conversation_reply_latency",
+    "cdc_state_diff",
     # driver-green in some earlier round (union r1-r4):
     "cheapest_part_supplier",
     "priority_with_large_items",
@@ -677,6 +705,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_jsonl": _q_cdc_replay_jsonl,
         "cdc_rejected": _q_cdc_rejected,
         "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_state_diff": _q_cdc_state_diff,
         "cdc_epoch_changes": _q_cdc_epoch_changes,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_forget": _q_cdc_forget,
@@ -954,6 +983,39 @@ latest AS (
 )
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM latest WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+""",
+        # Snapshot diff epoch-2 -> head: same cutoff arithmetic as
+        # cdc_time_travel; FULL OUTER JOIN of the two resolved states,
+        # IS DISTINCT FROM on every payload column
+        "cdc_state_diff": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+cut AS (
+  SELECT least(2 * greatest(2000, (SELECT COUNT(*) FROM events) // 4) - 1,
+               (SELECT MAX(seq) FROM _ch)) AS hi
+),
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest_old AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid WHERE seq <= (SELECT hi FROM cut)
+),
+old_state AS (SELECT conv_id, turn_idx, role, text, tool, ts FROM latest_old WHERE rn = 1 AND op <> 'D'),
+latest_new AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+),
+new_state AS (SELECT conv_id, turn_idx, role, text, tool, ts FROM latest_new WHERE rn = 1 AND op <> 'D')
+SELECT COALESCE(o.conv_id, n.conv_id) AS conv_id,
+       COALESCE(o.turn_idx, n.turn_idx) AS turn_idx,
+       CASE WHEN o.conv_id IS NULL THEN 'added'
+            WHEN n.conv_id IS NULL THEN 'deleted'
+            ELSE 'updated' END AS change_kind
+FROM old_state o
+FULL OUTER JOIN new_state n
+  ON o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx
+WHERE o.conv_id IS NULL OR n.conv_id IS NULL
+   OR o.role IS DISTINCT FROM n.role OR o.text IS DISTINCT FROM n.text
+   OR o.tool IS DISTINCT FROM n.tool OR o.ts IS DISTINCT FROM n.ts
 ORDER BY conv_id, turn_idx
 """,
         "cdc_point_lookup": f"""

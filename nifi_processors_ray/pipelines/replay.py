@@ -43,7 +43,9 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -101,6 +103,109 @@ def _compact_partition_task(
             "rows": pa.array(out_rows, pa.int64()),
         }
     )
+
+
+def _diff_sides(old: pa.Table, new: pa.Table) -> pa.Table:
+    """Classify key-level differences between two resolved partition
+    states: 'added' (key only in new), 'deleted' (only in old),
+    'updated' (payload differs under IS DISTINCT FROM null semantics).
+    Unchanged keys emit nothing.
+
+    Shape: tag sides, one in-memory sort by (conv_id, turn_idx, side),
+    then run analysis — (conv_id, turn_idx) is unique within a side, so
+    every key run has length 1 (one-sided) or 2 (paired old,new)."""
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "change_kind": pa.array([], pa.string()),
+        }
+    )
+
+    def pad(t: pa.Table, side: int) -> pa.Table:
+        for c in cols:  # pre-evolution snapshots may predate `tool`
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(t.num_rows, LAKE_SCHEMA.field(c).type))
+        t = t.select(cols)
+        return t.append_column("side", pa.array(np.full(t.num_rows, side, np.int8)))
+
+    t = pa.concat_tables([pad(old, 0), pad(new, 1)]).combine_chunks()
+    if t.num_rows == 0:
+        return empty
+    t = t.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending"), ("side", "ascending")]
+    )
+    conv = np.asarray(t.column("conv_id").combine_chunks().dictionary_encode().indices)
+    turn = np.asarray(t.column("turn_idx"))
+    side = np.asarray(t.column("side"))
+    new_key = np.concatenate([[True], (conv[1:] != conv[:-1]) | (turn[1:] != turn[:-1])])
+    starts = np.nonzero(new_key)[0]
+    lens = np.diff(np.append(starts, len(conv)))
+    if (lens > 2).any():
+        raise RuntimeError(
+            "state_diff: a (conv_id, turn_idx) key resolved to multiple rows "
+            "within one snapshot — lake invariant violated"
+        )
+    solo = starts[lens == 1]
+    pair_a = starts[lens == 2]  # old row; new row is pair_a + 1
+
+    def distinct(col, a_idx, b_idx):  # IS DISTINCT FROM, vectorized
+        arr = t.column(col).combine_chunks()
+        a, b = arr.take(pa.array(a_idx)), arr.take(pa.array(b_idx))
+        eq = pc.fill_null(pc.equal(a, b), False)
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        return ~(np.asarray(eq) | np.asarray(both_null))
+
+    changed = np.zeros(len(pair_a), dtype=bool)
+    for c in cols[2:]:
+        changed |= distinct(c, pair_a, pair_a + 1)
+    out_idx = np.concatenate([solo, pair_a[changed]])
+    kinds = np.concatenate(
+        [
+            np.where(side[solo] == 0, "deleted", "added"),
+            np.full(int(changed.sum()), "updated"),
+        ]
+    )
+    order = np.argsort(out_idx, kind="stable")
+    take = pa.array(out_idx[order])
+    return pa.table(
+        {
+            "conv_id": t.column("conv_id").take(take),
+            "turn_idx": t.column("turn_idx").take(take),
+            "change_kind": pa.array(kinds[order].astype(object), pa.string()),
+        }
+    )
+
+
+def _diff_partition(batch: pa.Table, policy=None) -> pa.Table:
+    """One task per partition: resolve the OLD and NEW snapshots' file
+    sets for the same partition locally and diff them — both snapshots
+    share the lake's partitioner, so the diff never shuffles."""
+    outs = []
+    for row in batch.to_pylist():
+        old_tables = [pq.read_table(p) for p in row["paths_old"]]
+        new_tables = [pq.read_table(p) for p in row["paths_new"]]
+        old = (
+            merge_deltas(old_tables, policy=policy).drop_columns(["seq"])
+            if old_tables
+            else LAKE_SCHEMA.empty_table().select(TRANSCRIPT_COLS)
+        )
+        new = (
+            merge_deltas(new_tables, policy=policy).drop_columns(["seq"])
+            if new_tables
+            else LAKE_SCHEMA.empty_table().select(TRANSCRIPT_COLS)
+        )
+        outs.append(_diff_sides(old, new))
+    if not outs:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "change_kind": pa.array([], pa.string()),
+            }
+        )
+    return pa.concat_tables(outs)
 
 
 def _resolve_partition(batch: pa.Table, policy=None, filters=None) -> pa.Table:
@@ -787,6 +892,74 @@ class CdcEngine:
                 "files survive vacuum can be read"
             )
         return self._state_from_manifest(man, sort=sort)
+
+    def state_diff(
+        self, epoch_old: int, epoch_new: int | None = None, *, sort: bool = True
+    ) -> ray.data.Dataset:
+        """Snapshot-to-snapshot diff: every (conv_id, turn_idx) key whose
+        resolved value differs between commit ``epoch_old`` and commit
+        ``epoch_new`` (default: head), classified added/updated/deleted.
+
+        Scale shape: both snapshots use the SAME partitioner, so each
+        partition's two file sets are diffed in ONE local task — resolve
+        old, resolve new, sort-pair the keys — with NO shuffle anywhere;
+        the only moved bytes are the (small) diff rows themselves.  This
+        is the audit surface a downstream consumer uses to reconcile a
+        derived table against the lake without replaying the changefeed."""
+        man_old = self.store.at_epoch(epoch_old)
+        if man_old is None:
+            raise ValueError(
+                f"no manifest committed at epoch {epoch_old} "
+                f"(committed epochs: {self.store.epochs()!r})"
+            )
+        man_new = (
+            self.store.latest() if epoch_new is None else self.store.at_epoch(epoch_new)
+        )
+        if man_new is None:
+            raise ValueError(f"no manifest committed at epoch {epoch_new}")
+        for man, label in ((man_old, epoch_old), (man_new, epoch_new)):
+            missing = [
+                f
+                for fs in man.files.values()
+                for f in fs
+                if not os.path.exists(os.path.join(self.cfg.lake_dir, f))
+            ]
+            if missing:
+                raise RuntimeError(
+                    f"epoch {label} is no longer diffable: {len(missing)} of its "
+                    f"data files were vacuumed (e.g. {missing[0]!r})"
+                )
+        parts = sorted(set(man_old.files) | set(man_new.files))
+        items = [
+            {
+                "paths_old": [
+                    os.path.join(self.cfg.lake_dir, f) for f in man_old.files.get(p, [])
+                ],
+                "paths_new": [
+                    os.path.join(self.cfg.lake_dir, f) for f in man_new.files.get(p, [])
+                ],
+            }
+            for p in parts
+            if man_old.files.get(p) or man_new.files.get(p)
+        ]
+        if not items:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "conv_id": pa.array([], pa.string()),
+                        "turn_idx": pa.array([], pa.int32()),
+                        "change_kind": pa.array([], pa.string()),
+                    }
+                )
+            )
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        ds = ds.map_batches(
+            _diff_partition,
+            batch_format="pyarrow",
+            batch_size=None,
+            fn_kwargs={"policy": self.cfg.merge_policy},
+        )
+        return ds.sort(["conv_id", "turn_idx"]) if sort else ds
 
     def _state_from_manifest(self, man: Manifest | None, sort: bool) -> ray.data.Dataset:
         items = []

@@ -6,6 +6,7 @@ the state as of any epoch's watermark; the changefeed oracle is the
 max-seq valid row per key inside the window, computed in pandas.
 """
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
@@ -224,3 +225,127 @@ def test_epoch_changes_after_expiry_fails_loud(engine):
     # older remaining epoch lost its predecessor → loud failure
     with pytest.raises(ValueError, match="unrecoverable"):
         eng.epoch_changes(remaining[0])
+
+
+# ---------------------------------------------------------------------------
+# snapshot-to-snapshot diff (state_diff)
+# ---------------------------------------------------------------------------
+
+
+def _pandas_state_diff(old, new):
+    """Reference diff of two state frames keyed by (conv_id, turn_idx)."""
+    cols = ["role", "text", "tool", "ts"]
+    o = old.set_index(["conv_id", "turn_idx"])
+    n = new.set_index(["conv_id", "turn_idx"])
+    rows = []
+    for key in sorted(set(o.index) | set(n.index)):
+        in_o, in_n = key in o.index, key in n.index
+        if in_o and not in_n:
+            rows.append((*key, "deleted"))
+        elif in_n and not in_o:
+            rows.append((*key, "added"))
+        else:
+            a, b = o.loc[key], n.loc[key]
+            if any(
+                not ((pd.isna(a[c]) and pd.isna(b[c])) or a[c] == b[c]) for c in cols
+            ):
+                rows.append((*key, "updated"))
+    return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "change_kind"])
+
+
+@pytest.fixture(scope="module")
+def diff_engine(tmp_path_factory):
+    # a private engine: the shared module fixture's early snapshots get
+    # expired/vacuumed by the retention tests above, and state_diff
+    # needs all four epochs alive
+    lake = str(tmp_path_factory.mktemp("diff_lake"))
+    log = str(tmp_path_factory.mktemp("diff_log"))
+    write_changelog_from_events(SF_DIR, log, files=3)
+    eng = make_engine(lake, log, epoch_events=300, merge_mode="mor", compact_threshold=3)
+    assert len(eng.replay()) == 4
+    return eng
+
+
+def test_state_diff_matches_pandas_oracle_every_epoch_pair(diff_engine):
+    eng = diff_engine
+    for lo, hi in [(1, 2), (2, 4), (1, 4), (3, 3)]:
+        got = eng.state_diff(lo, hi).to_pandas().reset_index(drop=True)
+        old = eng.state_at(lo, sort=True).to_pandas()
+        new = eng.state_at(hi, sort=True).to_pandas()
+        want = _pandas_state_diff(old, new)
+        if len(got) == 0 and len(want) == 0:
+            continue
+        got["turn_idx"] = got["turn_idx"].astype("int64")
+        want["turn_idx"] = want["turn_idx"].astype("int64")
+        assert got.equals(want), f"diff {lo}->{hi} mismatch"
+
+
+def test_state_diff_same_epoch_is_empty(diff_engine):
+    assert diff_engine.state_diff(4, 4).count() == 0
+
+
+def test_state_diff_kind_classification_unit():
+    from nifi_processors_ray.pipelines.replay import _diff_sides
+
+    def st(rows):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+                "tool": pa.array([r[4] for r in rows], pa.string()),
+                "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+            }
+        )
+
+    old = st(
+        [
+            ("a", 0, "user", "hi", None, 1),       # unchanged
+            ("a", 1, "assistant", "yo", None, 2),  # text updated
+            ("b", 0, "user", "bye", "code", 3),    # deleted
+            ("c", 0, "user", "t", None, None),     # null ts both → unchanged
+        ]
+    )
+    new = st(
+        [
+            ("a", 0, "user", "hi", None, 1),
+            ("a", 1, "assistant", "yo!", None, 2),
+            ("c", 0, "user", "t", None, None),
+            ("d", 0, "system", "new", None, 9),    # added
+        ]
+    )
+    got = _diff_sides(old, new).to_pydict()
+    assert got == {
+        "conv_id": ["a", "b", "d"],
+        "turn_idx": [1, 0, 0],
+        "change_kind": ["updated", "deleted", "added"],
+    }
+
+
+def test_state_diff_tool_schema_evolution_sides():
+    # an old snapshot that predates the `tool` column diffs cleanly:
+    # tool NULL vs tool present is 'updated', NULL vs NULL is unchanged
+    from nifi_processors_ray.pipelines.replay import _diff_sides
+
+    old = pa.table(
+        {
+            "conv_id": pa.array(["a", "b"], pa.string()),
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": pa.array(["user", "user"], pa.string()),
+            "text": pa.array(["x", "y"], pa.string()),
+            "ts": pa.array([1, 2], pa.timestamp("us")),
+        }
+    )
+    new = pa.table(
+        {
+            "conv_id": pa.array(["a", "b"], pa.string()),
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": pa.array(["user", "user"], pa.string()),
+            "text": pa.array(["x", "y"], pa.string()),
+            "tool": pa.array(["code", None], pa.string()),
+            "ts": pa.array([1, 2], pa.timestamp("us")),
+        }
+    )
+    got = _diff_sides(old, new).to_pydict()
+    assert got == {"conv_id": ["a"], "turn_idx": [0], "change_kind": ["updated"]}
