@@ -320,6 +320,25 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Emit the snapshot-to-snapshot diff (added/updated/deleted keys
+    between two commits) as JSON lines — the reconciliation surface for
+    a downstream that wants to audit a derived table against the lake
+    without replaying the changefeed."""
+    from .functions.jsonl import encode_jsonl
+
+    _ensure_ray()
+    eng = _engine(args)
+    if args.from_epoch is None:
+        raise SystemExit("diff: --from-epoch is required")
+    diff = eng.state_diff(args.from_epoch, args.to_epoch)
+    for batch in diff.iter_batches(batch_format="pyarrow"):
+        lines = encode_jsonl(batch).to_pylist()
+        if lines:
+            sys.stdout.write("\n".join(lines) + "\n")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="nifi_processors_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -334,6 +353,7 @@ def main(argv: list[str] | None = None) -> int:
         ("compact", cmd_compact),
         ("export", cmd_export),
         ("changes", cmd_changes),
+        ("diff", cmd_diff),
         ("forget", cmd_forget),
     ):
         p = sub.add_parser(name)
@@ -364,6 +384,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         p.add_argument("--keep-last", type=int, default=10, help="expire: snapshots to keep")
         p.add_argument("--epoch", type=int, default=None, help="changes: epoch (default latest)")
+        p.add_argument("--from-epoch", type=int, default=None, help="diff: old commit epoch")
+        p.add_argument("--to-epoch", type=int, default=None, help="diff: new commit epoch (default head)")
         p.add_argument(
             "--conv", action="append", default=[], help="forget: conversation id (repeatable)"
         )

@@ -309,3 +309,47 @@ def test_cli_compact_and_export(tmp_path):
     r5 = subprocess.run(argv, capture_output=True, text=True, cwd="/root/repo")
     assert r5.returncode == 2
     assert "immutable" in r5.stderr
+
+
+def test_cli_diff(tmp_path):
+    import pandas as pd
+
+    """`diff --from-epoch A [--to-epoch B]` emits the snapshot diff as
+    JSONL and matches the library's state_diff exactly."""
+    log = str(tmp_path / "log")
+    write_generated_changelog(log, 1200, files=2, n_convs=20)
+    lake = str(tmp_path / "lake")
+
+    def run(cmd, *extra):
+        argv = [
+            sys.executable, "-m", "nifi_processors_ray", cmd,
+            "--lake", lake, "--log", log, "--partitions", "4",
+            "--epoch-events", "300", *extra,
+        ]
+        r = subprocess.run(argv, capture_output=True, text=True, cwd="/root/repo")
+        return r
+
+    assert run("replay").returncode == 0
+    r = run("diff", "--from-epoch", "1")
+    assert r.returncode == 0, r.stderr[-1500:]
+    rows = [json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    assert rows and all(
+        set(x) == {"conv_id", "turn_idx", "change_kind"}
+        and x["change_kind"] in ("added", "updated", "deleted")
+        for x in rows
+    )
+
+    from nifi_processors_ray.config import EngineConfig
+    from nifi_processors_ray.pipelines.replay import CdcEngine
+
+    eng = CdcEngine(EngineConfig(
+        lake_dir=lake, changelog_paths=(log,), num_partitions=4, epoch_events=300
+    ))
+    want = eng.state_diff(1).to_pandas()
+    got = pd.DataFrame(rows)
+    got["turn_idx"] = got["turn_idx"].astype(want["turn_idx"].dtype)
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    # missing --from-epoch fails loud
+    r2 = run("diff")
+    assert r2.returncode != 0 and "from-epoch" in (r2.stderr + r2.stdout)
