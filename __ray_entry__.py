@@ -441,6 +441,16 @@ def _q_conversation_reply_latency(sf_dir: str):
     return reply_latency(eng.final_state())
 
 
+def _q_conversation_turn_gaps(sf_dir: str):
+    """Data-quality audit over the converged lake: conversations whose
+    turn sequence has holes (deletes legitimately punch them; consumers
+    check before treating a transcript as contiguous)."""
+    from nifi_processors_ray.pipelines.conversations import turn_gaps
+
+    eng = _replayed_engine(sf_dir)
+    return turn_gaps(eng.final_state())
+
+
 def _q_conv_stats_view_incremental(sf_dir: str):
     """Incremental materialized view under the driver gate: a multi-epoch
     replay folds each epoch's dirty conversations into the PARTITIONED
@@ -578,6 +588,7 @@ _REGISTRY_ORDER = (
     "kmeans_clusters",
     "conversation_reply_latency",
     "cdc_state_diff",
+    "conversation_turn_gaps",
     # driver-green in some earlier round (union r1-r4):
     "cheapest_part_supplier",
     "priority_with_large_items",
@@ -717,6 +728,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "conv_stats_view_incremental": _q_conv_stats_view_incremental,
         "conversation_role_transitions": _q_role_transitions,
         "conversation_reply_latency": _q_conversation_reply_latency,
+        "conversation_turn_gaps": _q_conversation_turn_gaps,
         "conversation_search": _q_conversation_search,
         "conversation_search_indexed": _q_conversation_search_indexed,
         "conversation_dedup": _q_conversation_dedup,
@@ -1106,6 +1118,23 @@ SELECT conv_id,
        CAST(COUNT(tool) AS BIGINT) AS tool_turns
 FROM latest WHERE rn = 1 AND op <> 'D'
 GROUP BY conv_id
+ORDER BY conv_id
+""",
+        "conversation_turn_gaps": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+),
+state AS (SELECT conv_id, turn_idx FROM latest WHERE rn = 1 AND op <> 'D')
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       MAX(turn_idx) AS max_turn_idx,
+       CAST(MAX(turn_idx) + 1 - COUNT(*) AS BIGINT) AS n_missing
+FROM state
+GROUP BY conv_id
+HAVING MAX(turn_idx) + 1 > COUNT(*)
 ORDER BY conv_id
 """,
         "conversation_reply_latency": f"""

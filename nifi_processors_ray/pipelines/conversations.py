@@ -131,6 +131,64 @@ def token_stats(transcripts: ray.data.Dataset) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# lake analytics: turn-index gap audit (data-quality surface)
+# ---------------------------------------------------------------------------
+
+
+def _turn_gaps_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (conv_id → count, max turn_idx) partials — the combiner
+    bounds the exchange by distinct conversations per batch."""
+    t = pa.table(
+        {"conv_id": batch.column("conv_id"), "turn_idx": batch.column("turn_idx")}
+    )
+    g = t.group_by(["conv_id"]).aggregate([("turn_idx", "max"), ([], "count_all")])
+    return pa.table(
+        {
+            "conv_id": g.column("conv_id"),
+            "mx": g.column("turn_idx_max"),
+            "n": g.column("count_all"),
+        }
+    )
+
+
+def turn_gaps(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Conversations whose turn sequence has holes: ``max(turn_idx)+1 >
+    count`` under the lake invariant that (conv_id, turn_idx) is unique
+    — the audit a consumer runs before treating a transcript as a
+    contiguous dialogue (deletes legitimately punch holes; this surfaces
+    them).  Partial (count, max) per batch, one small exchange, the gap
+    arithmetic on the merged aggregates."""
+    from ray.data.aggregate import Max, Sum
+
+    cols = transcripts.select_columns(["conv_id", "turn_idx"])
+    agg = null_safe_groupby_agg(
+        cols.map_batches(_turn_gaps_partial, batch_format="pyarrow"),
+        "conv_id",
+        Sum("n", alias_name="n_turns"),
+        Max("mx", alias_name="max_turn_idx"),
+        out_types={"n_turns": pa.int64(), "max_turn_idx": pa.int32()},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        missing = pc.subtract(
+            pc.add(b.column("max_turn_idx").cast(pa.int64()), 1), b.column("n_turns")
+        )
+        out = pa.table(
+            {
+                "conv_id": b.column("conv_id"),
+                "n_turns": b.column("n_turns"),
+                "max_turn_idx": b.column("max_turn_idx"),
+                "n_missing": missing,
+            }
+        )
+        return out.filter(pc.greater(missing, 0))
+
+    return null_safe_sort(
+        agg.map_batches(finish, batch_format="pyarrow"), "conv_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # lake analytics: role-transition structure of conversations
 # ---------------------------------------------------------------------------
 

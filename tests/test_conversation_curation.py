@@ -193,3 +193,20 @@ def test_reply_latency_matches_duckdb_on_random_blocks():
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_turn_gaps_detects_holes_and_nonzero_start(ray_session):
+    from nifi_processors_ray.pipelines.conversations import turn_gaps
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(
+                ["full", "full", "full", "holey", "holey", "late"], pa.string()
+            ),
+            "turn_idx": pa.array([0, 1, 2, 0, 5, 3], pa.int32()),
+        }
+    )
+    got = turn_gaps(ray.data.from_arrow(t)).to_pandas()
+    # 'full' is contiguous -> absent; 'holey' misses 4 of 0..5; a
+    # conversation starting late ('late', first turn 3) misses 0..2
+    assert got.set_index("conv_id")["n_missing"].to_dict() == {"holey": 4, "late": 3}
