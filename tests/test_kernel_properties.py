@@ -284,3 +284,117 @@ def test_conversation_fold_matches_pandas(seed, n):
     assert got.index.tolist() == want.index.tolist()
     for c in ("n_turns", "roles", "transcript"):
         assert got[c].tolist() == want[c].tolist(), c
+
+
+# ---------------------------------------------------------------------------
+# grouped exact MAD finalize kernel vs DuckDB mad()
+# ---------------------------------------------------------------------------
+
+@SETTINGS
+@given(seed=st.integers(0, 10_000), n=st.integers(0, 120))
+def test_mad_finalize_matches_duckdb_random(seed, n):
+    import duckdb
+
+    from nifi_processors_ray.ops.events import _mad_finalize
+
+    rng = np.random.default_rng(seed)
+    types = rng.choice(["a", "b", None], size=n)
+    cents = np.where(
+        rng.random(n) < 0.15, None, rng.integers(-500, 500, n).astype(object)
+    )
+    import collections
+
+    hist = collections.Counter(zip(types, cents))
+    block = pa.table(
+        {
+            "event_type": pa.array([k[0] for k in hist], pa.string()),
+            "value_cents": pa.array(
+                [None if k[1] is None else int(k[1]) for k in hist], pa.int64()
+            ),
+            "n": pa.array(list(hist.values()), pa.int64()),
+        }
+    )
+    got = (
+        _mad_finalize(block)
+        .to_pandas()
+        .sort_values("event_type", na_position="first")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register(
+        "raw",
+        pa.table(
+            {
+                "event_type": pa.array(list(types), pa.string()),
+                "cents": pa.array(
+                    [None if c is None else int(c) for c in cents], pa.int64()
+                ),
+            }
+        ),
+    )
+    want = con.sql(
+        """SELECT event_type, mad(cents) AS mad_cents,
+                  CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM raw GROUP BY event_type
+           ORDER BY event_type NULLS FIRST"""
+    ).df()
+    if len(got) == 0 and len(want) == 0:
+        return
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff kernel vs naive dict reference
+# ---------------------------------------------------------------------------
+
+@SETTINGS
+@given(seed=st.integers(0, 10_000), n_old=st.integers(0, 60), n_new=st.integers(0, 60))
+def test_diff_sides_matches_naive(seed, n_old, n_new):
+    from nifi_processors_ray.pipelines.replay import _diff_sides
+
+    rng = np.random.default_rng(seed)
+
+    def state(n):
+        keys = set()
+        rows = []
+        while len(rows) < n:
+            k = (f"c{rng.integers(0, 12)}", int(rng.integers(0, 6)))
+            if k in keys:
+                continue
+            keys.add(k)
+            rows.append(
+                (
+                    *k,
+                    str(rng.choice(["user", "assistant"])),
+                    None if rng.random() < 0.2 else f"t{rng.integers(0, 4)}",
+                    None if rng.random() < 0.5 else "code",
+                    None if rng.random() < 0.2 else int(rng.integers(0, 100)),
+                )
+            )
+        return rows
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+                "tool": pa.array([r[4] for r in rows], pa.string()),
+                "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+            }
+        )
+
+    old_rows, new_rows = state(n_old), state(n_new)
+    got = _diff_sides(tbl(old_rows), tbl(new_rows)).to_pydict()
+    o = {(r[0], r[1]): r[2:] for r in old_rows}
+    nw = {(r[0], r[1]): r[2:] for r in new_rows}
+    want = []
+    for k in sorted(set(o) | set(nw)):
+        if k in o and k not in nw:
+            want.append((*k, "deleted"))
+        elif k in nw and k not in o:
+            want.append((*k, "added"))
+        elif o[k] != nw[k]:
+            want.append((*k, "updated"))
+    assert list(zip(got["conv_id"], got["turn_idx"], got["change_kind"])) == want
