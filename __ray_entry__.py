@@ -589,6 +589,7 @@ _REGISTRY_ORDER = (
     "conversation_reply_latency",
     "cdc_state_diff",
     "conversation_turn_gaps",
+    "events_trimmed_mean",
     # driver-green in some earlier round (union r1-r4):
     "cheapest_part_supplier",
     "priority_with_large_items",
@@ -846,6 +847,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "events_median_cont": _ev.median_cont,
         # grouped exact MAD off the same distinct-value histogram
         "events_mad": _ev.mad_by_type,
+        "events_trimmed_mean": _ev.trimmed_mean,
         "events_heavy_users": _q_heavy_users,
         "events_user_gaps": _ev.user_gaps,
         # broadcast-aggregate self-join: ±1-minute neighborhood counts
@@ -1371,6 +1373,7 @@ FROM _ch
         "pricing_cube": _rel.PRICING_CUBE_SQL,
         "events_median_cont": _ev.MEDIAN_CONT_SQL,
         "events_mad": _ev.MAD_SQL,
+        "events_trimmed_mean": _ev.TRIMMED_MEAN_SQL,
         "events_user_gaps": _ev.USER_GAPS_SQL,
         "events_local_density": _ev.LOCAL_DENSITY_SQL,
         "events_user_trend": _ev.USER_TREND_SQL,

@@ -1325,6 +1325,106 @@ def median_cont(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# grouped exact trimmed mean — robust location off the SAME histogram
+# ---------------------------------------------------------------------------
+
+TRIMMED_MEAN_SQL = """
+WITH h AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events
+),
+b AS (
+  SELECT event_type, cents,
+         quantile_disc(cents, 0.05) OVER (PARTITION BY event_type) AS lo,
+         quantile_disc(cents, 0.95) OVER (PARTITION BY event_type) AS hi
+  FROM h
+)
+SELECT event_type,
+       avg(cents) FILTER (cents BETWEEN lo AND hi) AS trimmed_mean_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM b
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _trimmed_mean_finalize(block: pa.Table, lo_q: float = 0.05, hi_q: float = 0.95) -> pa.Table:
+    """Per co-located event_type run: mean of the values inside the
+    [quantile_disc(lo_q), quantile_disc(hi_q)] band, off the merged
+    histogram — integer sum / integer count, ONE float division, so the
+    DOUBLE output can never drift from the twin.  Null values are
+    outside any band (the twin's BETWEEN is never true for NULL); an
+    all-null group yields NULL."""
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "trimmed_mean_cents": pa.array([], pa.float64()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    b = block.sort_by([("event_type", "ascending"), ("value_cents", "ascending")])
+    et = np.asarray(
+        pc.fill_null(b.column("event_type").combine_chunks().dictionary_encode().indices, -1)
+    )
+    vals = np.asarray(b.column("value_cents"), dtype=np.float64)  # null → NaN
+    cnt = np.asarray(b.column("n"))
+    new_run = np.concatenate([[True], et[1:] != et[:-1]])
+    starts = np.nonzero(new_run)[0]
+    ends = np.concatenate([starts[1:], [len(et)]])
+    types = b.column("event_type")
+    out: dict[str, list] = {"event_type": [], "trimmed_mean_cents": [], "n_events": []}
+    for s, e in zip(starts, ends):  # one iteration per GROUP (tiny), not per row
+        w, v = cnt[s:e], vals[s:e]
+        valid = ~np.isnan(v)
+        out["event_type"].append(types[int(s)].as_py())
+        out["n_events"].append(int(w.sum()))
+        wv, xv = w[valid], v[valid]
+        cum = np.cumsum(wv)
+        m = int(cum[-1]) if len(cum) else 0
+        if m == 0:
+            out["trimmed_mean_cents"].append(None)
+            continue
+        lo = xv[np.searchsorted(cum, max(1, int(np.ceil(lo_q * m))))]
+        hi = xv[np.searchsorted(cum, max(1, int(np.ceil(hi_q * m))))]
+        keep = (xv >= lo) & (xv <= hi)
+        tot_n = int(wv[keep].sum())
+        # magnitude precheck (the group_sums_checked convention): the
+        # int64 dot is safe when every |term| and the term count bound
+        # the sum under 2^62; otherwise fall back to Python ints (the
+        # engine-side HUGEINT) so extreme cents stay exact like the twin
+        wk, xk = wv[keep], xv[keep].astype(np.int64)
+        if len(xk) and int(wk.max()) * int(np.abs(xk).max()) < (1 << 62) // max(1, len(xk)):
+            tot_s = int(np.dot(wk, xk))
+        else:
+            tot_s = sum(int(a) * int(b) for a, b in zip(wk, xk))
+        # the twin divides (double)SUM by (double)COUNT — round the sum
+        # to double FIRST so the >2^53 regime matches bit-for-bit
+        out["trimmed_mean_cents"].append(float(tot_s) / tot_n)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "trimmed_mean_cents": pa.array(out["trimmed_mean_cents"], pa.float64()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+        }
+    )
+
+
+def trimmed_mean(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
+    """Per-type 5–95% trimmed mean (quantile_disc band, then exact
+    integer mean) — robust location for value monitoring.  Same
+    distributed shape as :func:`value_quantiles`: one vectorized
+    histogram pass, one distinct-values exchange, band + mean read off
+    the merged histogram."""
+    ds = _events(sf_dir, ["event_type", "value"])
+    partials = ds.map_batches(_quantile_partials, batch_format="pyarrow")
+    out = checked_sort(partials, "event_type").map_batches(
+        _trimmed_mean_finalize, batch_format="pyarrow", batch_size=None
+    )
+    return null_safe_sort(out, "event_type") if sort else out
+
+
+# ---------------------------------------------------------------------------
 # grouped exact MAD (median absolute deviation) — robust dispersion for
 # outlier thresholds; companion to median_cont off the SAME histogram
 # ---------------------------------------------------------------------------

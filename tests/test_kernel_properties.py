@@ -398,3 +398,61 @@ def test_diff_sides_matches_naive(seed, n_old, n_new):
         elif o[k] != nw[k]:
             want.append((*k, "updated"))
     assert list(zip(got["conv_id"], got["turn_idx"], got["change_kind"])) == want
+
+
+@SETTINGS
+@given(seed=st.integers(0, 10_000), n=st.integers(0, 120))
+def test_trimmed_mean_finalize_matches_duckdb_random(seed, n):
+    import collections
+
+    import duckdb
+
+    from nifi_processors_ray.ops.events import _trimmed_mean_finalize
+
+    rng = np.random.default_rng(seed)
+    types = rng.choice(["a", "b", None], size=n)
+    cents = np.where(
+        rng.random(n) < 0.15, None, rng.integers(-500, 500, n).astype(object)
+    )
+    hist = collections.Counter(zip(types, cents))
+    block = pa.table(
+        {
+            "event_type": pa.array([k[0] for k in hist], pa.string()),
+            "value_cents": pa.array(
+                [None if k[1] is None else int(k[1]) for k in hist], pa.int64()
+            ),
+            "n": pa.array(list(hist.values()), pa.int64()),
+        }
+    )
+    got = (
+        _trimmed_mean_finalize(block)
+        .to_pandas()
+        .sort_values("event_type", na_position="first")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register(
+        "raw",
+        pa.table(
+            {
+                "event_type": pa.array(list(types), pa.string()),
+                "cents": pa.array(
+                    [None if c is None else int(c) for c in cents], pa.int64()
+                ),
+            }
+        ),
+    )
+    want = con.sql(
+        """WITH b AS (
+             SELECT event_type, cents,
+                    quantile_disc(cents, 0.05) OVER (PARTITION BY event_type) lo,
+                    quantile_disc(cents, 0.95) OVER (PARTITION BY event_type) hi
+             FROM raw)
+           SELECT event_type,
+                  avg(cents) FILTER (cents BETWEEN lo AND hi) AS trimmed_mean_cents,
+                  CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM b GROUP BY event_type ORDER BY event_type NULLS FIRST"""
+    ).df()
+    if len(got) == 0 and len(want) == 0:
+        return
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -33,6 +33,7 @@ TARGETS = [
     "events_window_agg", "events_sessionize", "events_topk_users",
     "events_distinct_types", "events_sample", "events_stratified_sample",
     "events_value_quantiles", "events_median_cont", "events_mad",
+    "events_trimmed_mean",
     "events_moving_sum",
     "events_hourly_retention", "events_value_histogram",
     "events_type_transitions", "events_hourly_dense", "events_profile",
