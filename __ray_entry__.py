@@ -451,6 +451,26 @@ def _q_conversation_turn_gaps(sf_dir: str):
     return turn_gaps(eng.final_state())
 
 
+def _q_conversation_tool_profile(sf_dir: str):
+    """Agentic-corpus composition report over the converged lake: per
+    tool, how many tool-call turns and how many distinct conversations
+    use it (the twin's COUNT(*) / COUNT(DISTINCT conv_id) split)."""
+    from nifi_processors_ray.pipelines.conversations import tool_profile
+
+    eng = _replayed_engine(sf_dir)
+    return tool_profile(eng.final_state())
+
+
+def _q_conversation_tool_transitions(sf_dir: str):
+    """Tool-chain structure of the converged lake: (prev tool → next
+    tool) step counts over each conversation's tool-call turns in turn
+    order (non-tool turns skipped, matching the twin's filtered LAG)."""
+    from nifi_processors_ray.pipelines.conversations import tool_transitions
+
+    eng = _replayed_engine(sf_dir)
+    return tool_transitions(eng.final_state())
+
+
 def _q_conv_stats_view_incremental(sf_dir: str):
     """Incremental materialized view under the driver gate: a multi-epoch
     replay folds each epoch's dirty conversations into the PARTITIONED
@@ -590,6 +610,8 @@ _REGISTRY_ORDER = (
     "cdc_state_diff",
     "conversation_turn_gaps",
     "events_trimmed_mean",
+    "conversation_tool_profile",
+    "conversation_tool_transitions",
     # driver-green in some earlier round (union r1-r4):
     "cheapest_part_supplier",
     "priority_with_large_items",
@@ -730,6 +752,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "conversation_role_transitions": _q_role_transitions,
         "conversation_reply_latency": _q_conversation_reply_latency,
         "conversation_turn_gaps": _q_conversation_turn_gaps,
+        "conversation_tool_profile": _q_conversation_tool_profile,
+        "conversation_tool_transitions": _q_conversation_tool_transitions,
         "conversation_search": _q_conversation_search,
         "conversation_search_indexed": _q_conversation_search_indexed,
         "conversation_dedup": _q_conversation_dedup,
@@ -1162,6 +1186,43 @@ FROM steps
 WHERE prev_role = 'user' AND next_role = 'assistant'
 GROUP BY conv_id
 ORDER BY conv_id
+""",
+        "conversation_tool_profile": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+),
+state AS (SELECT conv_id, tool FROM latest WHERE rn = 1 AND op <> 'D')
+SELECT tool,
+       CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM state
+WHERE tool IS NOT NULL
+GROUP BY tool
+ORDER BY tool
+""",
+        "conversation_tool_transitions": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+),
+state AS (
+  SELECT conv_id, turn_idx, tool FROM latest
+  WHERE rn = 1 AND op <> 'D' AND tool IS NOT NULL
+),
+steps AS (
+  SELECT tool AS next_tool,
+         LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM state
+)
+SELECT prev_tool, next_tool, CAST(COUNT(*) AS BIGINT) AS n
+FROM steps WHERE prev_tool IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
 """,
         "conversation_role_transitions": f"""
 WITH {CHANGELOG_FROM_EVENTS_CTE},

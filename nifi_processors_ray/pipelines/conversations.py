@@ -223,6 +223,124 @@ def role_transitions(transcripts: ray.data.Dataset) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# lake analytics: tool-usage profile of the converged lake
+# ---------------------------------------------------------------------------
+
+
+def _tool_profile_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (tool, conv_id → calls) partials over tool-call turns —
+    the combiner bounds the exchange by distinct (tool, conv) pairs per
+    batch, never rows.  Null ``tool`` is 'no tool call' and dropped
+    here, mirroring the twin's ``WHERE tool IS NOT NULL``."""
+    b = batch.filter(pc.is_valid(batch.column("tool")))
+    g = (
+        pa.table({"tool": b.column("tool"), "conv_id": b.column("conv_id")})
+        .group_by(["tool", "conv_id"])
+        .aggregate([([], "count_all")])
+    )
+    return pa.table(
+        {
+            "tool": g.column("tool"),
+            "conv_id": g.column("conv_id"),
+            "n": g.column("count_all"),
+        }
+    )
+
+
+def _tool_profile_finish_partial(b: pa.Table) -> pa.Table:
+    """(tool, conv_id, calls) — globally unique pairs after the first
+    exchange — folded to per-tool partials.  ``n_convs`` counts pairs
+    with a NON-null conv_id (SQL ``COUNT(DISTINCT conv_id)`` skips
+    nulls); ``n_calls`` keeps every call (``COUNT(*)``)."""
+    g = (
+        pa.table(
+            {
+                "tool": b.column("tool"),
+                "n": b.column("n"),
+                "conv_flag": pc.is_valid(b.column("conv_id")).cast(pa.int64()),
+            }
+        )
+        .group_by(["tool"])
+        .aggregate([("n", "sum"), ("conv_flag", "sum")])
+    )
+    return pa.table(
+        {
+            "tool": g.column("tool"),
+            "n_calls": g.column("n_sum"),
+            "n_convs": g.column("conv_flag_sum"),
+        }
+    )
+
+
+def tool_profile(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-tool usage over the converged lake: how many tool-call turns
+    each tool has (``n_calls``) and how many distinct conversations use
+    it (``n_convs``) — the agentic-corpus composition report.
+
+    Exchange discipline: batches collapse to (tool, conv) pair partials
+    before the first shuffle (the only row-bounded one), the pair
+    aggregate collapses block-locally to per-tool partials, and the
+    second exchange carries ≤ |tools| × blocks rows.  Because the synth
+    stream's prefix predates the ``tool`` column, this query also
+    exercises schema-evolution unification on the read path."""
+    from ray.data.aggregate import Sum
+
+    cols = transcripts.select_columns(["conv_id", "tool"])
+    pairs = null_safe_groupby_agg(
+        cols.map_batches(_tool_profile_partial, batch_format="pyarrow"),
+        ["tool", "conv_id"],
+        Sum("n", alias_name="n"),
+        out_types={"n": pa.int64()},
+    )
+    agg = null_safe_groupby_agg(
+        pairs.map_batches(_tool_profile_finish_partial, batch_format="pyarrow"),
+        "tool",
+        Sum("n_calls", alias_name="n_calls"),
+        Sum("n_convs", alias_name="n_convs"),
+        out_types={"n_calls": pa.int64(), "n_convs": pa.int64()},
+    )
+    return null_safe_sort(agg, "tool")
+
+
+# ---------------------------------------------------------------------------
+# lake analytics: tool-chain structure (which tool follows which)
+# ---------------------------------------------------------------------------
+
+
+def tool_transitions_block(block: pa.Table) -> pa.Table:
+    """Per co-located conversation run: (prev tool → tool) step counts
+    over the conversation's TOOL-CALL turns in turn order — the shared
+    lag-transitions kernel on the tool column after the null filter."""
+    from ..functions.blocks import transition_pairs_block
+
+    out = transition_pairs_block(block, "conv_id", ["turn_idx"], "tool")
+    return out.rename_columns(["prev_tool", "next_tool", "n"])
+
+
+def tool_transitions(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """First-order tool-transition counts over the converged lake —
+    which tool follows which within a conversation's sequence of tool
+    calls (non-tool turns skipped, matching the twin's filtered LAG).
+    The null filter runs BEFORE the sort exchange so only tool-call
+    turns — a fraction of the lake — are shuffled."""
+    from ray.data.aggregate import Sum
+
+    cols = transcripts.select_columns(["conv_id", "turn_idx", "tool"])
+
+    def drop_non_tool(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("tool")))
+
+    partials = checked_sort(
+        cols.map_batches(drop_non_tool, batch_format="pyarrow"), "conv_id"
+    ).map_batches(tool_transitions_block, batch_format="pyarrow", batch_size=None)
+    agg = null_safe_groupby_agg(
+        partials, ["prev_tool", "next_tool"], Sum("n", alias_name="n"),
+        out_types={"n": pa.int64()},
+    )
+    return null_safe_sort(agg, ["prev_tool", "next_tool"])
+
+
+# ---------------------------------------------------------------------------
 # lake analytics: user→assistant reply latency per conversation
 # ---------------------------------------------------------------------------
 

@@ -210,3 +210,57 @@ def test_turn_gaps_detects_holes_and_nonzero_start(ray_session):
     # 'full' is contiguous -> absent; 'holey' misses 4 of 0..5; a
     # conversation starting late ('late', first turn 3) misses 0..2
     assert got.set_index("conv_id")["n_missing"].to_dict() == {"holey": 4, "late": 3}
+
+
+def test_tool_profile_counts_calls_and_distinct_convs(ray_session):
+    from nifi_processors_ray.pipelines.conversations import tool_profile
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(
+                ["a", "a", "a", "b", "b", None, "c"], pa.string()
+            ),
+            "tool": pa.array(
+                ["search", "search", "python", "search", None, "search", None],
+                pa.string(),
+            ),
+        }
+    )
+    got = (
+        tool_profile(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("tool")
+        .to_dict("index")
+    )
+    # 'search': 4 calls across convs {a, b, NULL-conv}; COUNT(DISTINCT
+    # conv_id) skips the null conv → 2.  Null tool rows never appear.
+    assert got == {
+        "search": {"n_calls": 4, "n_convs": 2},
+        "python": {"n_calls": 1, "n_convs": 1},
+    }
+
+
+def test_tool_transitions_skip_non_tool_turns_and_conv_boundaries(ray_session):
+    from nifi_processors_ray.pipelines.conversations import tool_transitions
+
+    rows = [
+        # conv a: search → (plain turn) → python → search
+        ("a", 0, "search"),
+        ("a", 1, None),
+        ("a", 2, "python"),
+        ("a", 3, "search"),
+        # conv b: single tool call; must not pair with conv a's last
+        ("b", 0, "browser"),
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "tool": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    got = tool_transitions(ray.data.from_arrow(t)).to_pandas()
+    pairs = {
+        (r.prev_tool, r.next_tool): r.n for r in got.itertuples(index=False)
+    }
+    assert pairs == {("search", "python"): 1, ("python", "search"): 1}
