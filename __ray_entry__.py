@@ -220,6 +220,13 @@ def _q_cdc_epoch_changes(sf_dir: str):
     return _mor_engine(sf_dir).epoch_changes()
 
 
+def _q_cdc_hot_keys(sf_dir: str):
+    """Hot-key churn audit: top 20 conversations by valid change-event
+    volume with the op mix — the skew report that tells an operator
+    which keys need salting (deterministic (n DESC, conv_id) order)."""
+    return _replayed_engine(sf_dir).hot_keys(top_n=20)
+
+
 def _q_cdc_point_lookup(sf_dir: str):
     """Point lookup of the hot conversation ('c0', the skew key every
     stream contains): manifest-level partition pruning reads only the
@@ -612,6 +619,7 @@ _REGISTRY_ORDER = (
     "events_trimmed_mean",
     "conversation_tool_profile",
     "conversation_tool_transitions",
+    "cdc_hot_keys",
     # driver-green in some earlier round (union r1-r4):
     "cheapest_part_supplier",
     "priority_with_large_items",
@@ -741,6 +749,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_state_diff": _q_cdc_state_diff,
         "cdc_epoch_changes": _q_cdc_epoch_changes,
+        "cdc_hot_keys": _q_cdc_hot_keys,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_forget": _q_cdc_forget,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
@@ -990,6 +999,21 @@ latest AS (
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM latest WHERE rn = 1 AND op <> 'D'
 ORDER BY conv_id, turn_idx
+""",
+        # hot-key churn audit: top 20 conversations by valid change volume
+        # (deterministic tie-break: conv_id ASC within equal volume)
+        "cdc_hot_keys": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL})
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_changes,
+       CAST(COUNT(*) FILTER (op = 'I') AS BIGINT) AS n_inserts,
+       CAST(COUNT(*) FILTER (op = 'U') AS BIGINT) AS n_updates,
+       CAST(COUNT(*) FILTER (op = 'D') AS BIGINT) AS n_deletes
+FROM valid
+GROUP BY conv_id
+ORDER BY n_changes DESC, conv_id
+LIMIT 20
 """,
         # format surface on the CDC path: identical oracle to cdc_replay
         "cdc_replay_jsonl": f"""

@@ -339,6 +339,22 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_hot_keys(args) -> int:
+    """Emit the hot-key churn report (top conversations by valid change
+    volume, with op mix) as JSON lines — the skew audit an operator
+    runs to decide which keys need salting."""
+    from .functions.jsonl import encode_jsonl
+
+    _ensure_ray()
+    eng = _engine(args)
+    report = eng.hot_keys(top_n=args.top)
+    for batch in report.iter_batches(batch_format="pyarrow"):
+        lines = encode_jsonl(batch).to_pylist()
+        if lines:
+            sys.stdout.write("\n".join(lines) + "\n")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="nifi_processors_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -354,6 +370,7 @@ def main(argv: list[str] | None = None) -> int:
         ("export", cmd_export),
         ("changes", cmd_changes),
         ("diff", cmd_diff),
+        ("hot-keys", cmd_hot_keys),
         ("forget", cmd_forget),
     ):
         p = sub.add_parser(name)
@@ -384,6 +401,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         p.add_argument("--keep-last", type=int, default=10, help="expire: snapshots to keep")
         p.add_argument("--epoch", type=int, default=None, help="changes: epoch (default latest)")
+        p.add_argument("--top", type=int, default=20, help="hot-keys: report size")
         p.add_argument("--from-epoch", type=int, default=None, help="diff: old commit epoch")
         p.add_argument("--to-epoch", type=int, default=None, help="diff: new commit epoch (default head)")
         p.add_argument(

@@ -1083,6 +1083,89 @@ class CdcEngine:
             )
         return (man_lo.min_watermark, man_hi.min_watermark)
 
+    def hot_keys(self, top_n: int = 20) -> ray.data.Dataset:
+        """Hot-key churn report: the ``top_n`` conversations by VALID
+        change-event volume over the consumed stream, with the op mix
+        (inserts/updates/deletes) — the audit a operator runs to decide
+        which keys need salting (the engine salts `c0`-style keys for
+        exactly the skew this surfaces).
+
+        Scale shape: a validated window scan with per-batch
+        ``(conv_id → counts)`` combiner partials (the exchange is
+        bounded by distinct conversations per batch, never rows), one
+        grouped exchange, then a deterministic (n DESC, conv_id) top-k.
+        """
+        from ray.data.aggregate import Sum
+
+        from ..functions.debug import null_safe_groupby_agg, null_safe_sort
+        from ..stages.validate import validate_batch
+
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "n_changes": pa.array([], pa.int64()),
+                "n_inserts": pa.array([], pa.int64()),
+                "n_updates": pa.array([], pa.int64()),
+                "n_deletes": pa.array([], pa.int64()),
+            }
+        )
+        man = self.store.latest()
+        if man is None or man.min_watermark < 0:
+            # nothing consumed yet — schema-stable empty report (an
+            # all-empty Dataset pipeline loses its schema in to_pandas)
+            return ray.data.from_arrow(empty)
+        ds = tailer.read_window(
+            self.log_infos(), -1, man.min_watermark, num_blocks=self._read_num_blocks()
+        )
+        if ds is None:
+            return ray.data.from_arrow(empty)
+
+        def partial(b: pa.Table) -> pa.Table:
+            b = validate_batch(b)
+            b = b.filter(pc.is_null(b.column("reject_reason")))
+            if b.num_rows == 0:
+                return empty
+            op = b.column("op").combine_chunks()
+            t = pa.table(
+                {
+                    "conv_id": b.column("conv_id"),
+                    "n_changes": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                    "n_inserts": pc.fill_null(pc.equal(op, "I"), False).cast(pa.int64()),
+                    "n_updates": pc.fill_null(pc.equal(op, "U"), False).cast(pa.int64()),
+                    "n_deletes": pc.fill_null(pc.equal(op, "D"), False).cast(pa.int64()),
+                }
+            )
+            g = t.group_by(["conv_id"]).aggregate(
+                [(c, "sum") for c in ("n_changes", "n_inserts", "n_updates", "n_deletes")]
+            )
+            return pa.table(
+                {
+                    "conv_id": g.column("conv_id"),
+                    "n_changes": g.column("n_changes_sum"),
+                    "n_inserts": g.column("n_inserts_sum"),
+                    "n_updates": g.column("n_updates_sum"),
+                    "n_deletes": g.column("n_deletes_sum"),
+                }
+            )
+
+        agg = null_safe_groupby_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "conv_id",
+            Sum("n_changes", alias_name="n_changes"),
+            Sum("n_inserts", alias_name="n_inserts"),
+            Sum("n_updates", alias_name="n_updates"),
+            Sum("n_deletes", alias_name="n_deletes"),
+            out_types={
+                "n_changes": pa.int64(),
+                "n_inserts": pa.int64(),
+                "n_updates": pa.int64(),
+                "n_deletes": pa.int64(),
+            },
+        )
+        return null_safe_sort(
+            agg, ["n_changes", "conv_id"], descending=[True, False]
+        ).limit(top_n)
+
     def touched_conversations(self, lo: int, hi: int) -> set[str]:
         """Distinct conv_ids with ≥1 VALID change event in ``(lo, hi]``
         — the dirty-key set for incremental view refresh.  No sort

@@ -353,3 +353,41 @@ def test_cli_diff(tmp_path):
     # missing --from-epoch fails loud
     r2 = run("diff")
     assert r2.returncode != 0 and "from-epoch" in (r2.stderr + r2.stdout)
+
+
+def test_cli_hot_keys(tmp_path):
+    """`hot-keys --top N` emits the churn report as JSONL, ordered
+    (n_changes DESC, conv_id), matching the library's hot_keys."""
+    import pandas as pd
+
+    log = str(tmp_path / "log")
+    write_generated_changelog(log, 1200, files=2, n_convs=20)
+    lake = str(tmp_path / "lake")
+
+    def run(cmd, *extra):
+        argv = [
+            sys.executable, "-m", "nifi_processors_ray", cmd,
+            "--lake", lake, "--log", log, "--partitions", "4",
+            "--epoch-events", "300", *extra,
+        ]
+        return subprocess.run(argv, capture_output=True, text=True, cwd="/root/repo")
+
+    assert run("replay").returncode == 0
+    r = run("hot-keys", "--top", "5")
+    assert r.returncode == 0, r.stderr[-1500:]
+    rows = [json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    assert 0 < len(rows) <= 5
+    assert all(
+        set(x) == {"conv_id", "n_changes", "n_inserts", "n_updates", "n_deletes"}
+        and x["n_changes"] == x["n_inserts"] + x["n_updates"] + x["n_deletes"]
+        for x in rows
+    )
+
+    from nifi_processors_ray.config import EngineConfig
+    from nifi_processors_ray.pipelines.replay import CdcEngine
+
+    eng = CdcEngine(EngineConfig(
+        lake_dir=lake, changelog_paths=(log,), num_partitions=4, epoch_events=300
+    ))
+    want = eng.hot_keys(top_n=5).to_pandas()
+    assert pd.DataFrame(rows).equals(want.reset_index(drop=True))

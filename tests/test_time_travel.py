@@ -349,3 +349,50 @@ def test_state_diff_tool_schema_evolution_sides():
     )
     got = _diff_sides(old, new).to_pydict()
     assert got == {"conv_id": ["a"], "turn_idx": [0], "change_kind": ["updated"]}
+
+
+def test_hot_keys_matches_pandas_oracle_and_tiebreak(engine):
+    eng, paths = engine
+    got = eng.hot_keys(top_n=5).to_pandas().reset_index(drop=True)
+    # pandas oracle over the raw valid log: counts per conv_id + op mix
+    from nifi_processors_ray.stages.validate import validate_batch
+
+    log = validate_batch(read_log(paths))
+    valid = log.filter(pc.is_null(log.column("reject_reason"))).to_pandas()
+    agg = (
+        valid.assign(
+            n_inserts=(valid["op"] == "I").astype("int64"),
+            n_updates=(valid["op"] == "U").astype("int64"),
+            n_deletes=(valid["op"] == "D").astype("int64"),
+            n_changes=1,
+        )
+        .groupby("conv_id", as_index=False)[
+            ["n_changes", "n_inserts", "n_updates", "n_deletes"]
+        ]
+        .sum()
+        .sort_values(["n_changes", "conv_id"], ascending=[False, True])
+        .head(5)
+        .reset_index(drop=True)
+    )
+    assert got.columns.tolist() == [
+        "conv_id", "n_changes", "n_inserts", "n_updates", "n_deletes",
+    ]
+    assert got.astype({"n_changes": "int64"}).equals(agg[got.columns.tolist()])
+
+
+def test_hot_keys_empty_lake_is_schema_stable(tmp_path):
+    lake = str(tmp_path / "lake")
+    log = str(tmp_path / "log")
+    import os as _os
+
+    _os.makedirs(log, exist_ok=True)
+    write_changelog_from_events(SF_DIR, log, files=3)
+    eng = make_engine(lake, log, epoch_events=300)
+    # no replay yet: nothing consumed, report must be empty with schema
+    # (checked at the Dataset level — Ray's to_pandas drops the schema
+    # of ANY all-empty Dataset, the quirk the early return exists for)
+    got = eng.hot_keys()
+    assert got.count() == 0
+    assert got.schema().names == [
+        "conv_id", "n_changes", "n_inserts", "n_updates", "n_deletes",
+    ]
