@@ -1110,12 +1110,20 @@ class CdcEngine:
             }
         )
         man = self.store.latest()
-        if man is None or man.min_watermark < 0:
+        # the consumed window is (start position, head watermark]: epoch 0
+        # pins the start (LATEST lakes pin it to the head seq at first
+        # start — events before it were never consumed and must not be
+        # counted); an expired genesis falls back to the full log, which
+        # is exact for TRIM_HORIZON lakes (the only kind that can replay
+        # a years-long log anyway)
+        man0 = self.store.at_epoch(0)
+        lo = man0.min_watermark if man0 is not None else -1
+        if man is None or man.min_watermark <= lo:
             # nothing consumed yet — schema-stable empty report (an
             # all-empty Dataset pipeline loses its schema in to_pandas)
             return ray.data.from_arrow(empty)
         ds = tailer.read_window(
-            self.log_infos(), -1, man.min_watermark, num_blocks=self._read_num_blocks()
+            self.log_infos(), lo, man.min_watermark, num_blocks=self._read_num_blocks()
         )
         if ds is None:
             return ray.data.from_arrow(empty)

@@ -391,3 +391,36 @@ def test_cli_hot_keys(tmp_path):
     ))
     want = eng.hot_keys(top_n=5).to_pandas()
     assert pd.DataFrame(rows).equals(want.reset_index(drop=True))
+
+
+def test_hot_keys_latest_position_counts_only_consumed_events(tmp_path):
+    """A LATEST lake's churn report covers the CONSUMED stream only:
+    events before the pinned start position never appear in it."""
+    log = str(tmp_path / "log")
+    write_generated_changelog(log, 2000, files=2, n_convs=20)
+    eng = CdcEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake"),
+            changelog_paths=(log,),
+            num_partitions=4,
+            salt_factor=2,
+            initial_position=LATEST,
+        )
+    )
+    assert eng.replay() == []  # pinned at head: nothing consumed
+    got = eng.hot_keys()
+    assert got.count() == 0  # pre-position events are NOT counted
+
+    # consume a post-position batch; the report must cover exactly it
+    extra = generate_changelog(500, n_convs=20, seed=99)
+    extra = extra.set_column(0, "seq", pa.array(np.asarray(extra.column("seq")) + 2000))
+    pq.write_table(extra, f"{log}/changelog-99999.parquet")
+    eng.log_infos(refresh=True)
+    eng.replay()
+    rep = eng.hot_keys(top_n=1000).to_pandas()
+    from nifi_processors_ray.stages.validate import validate_batch
+    import pyarrow.compute as pc
+
+    v = validate_batch(extra)
+    n_valid = int(pc.sum(pc.is_null(v.column("reject_reason"))).as_py() or 0)
+    assert int(rep["n_changes"].sum()) == n_valid
