@@ -295,6 +295,25 @@ def _q_cdc_forget(sf_dir: str):
     return eng.final_state(sort=True)
 
 
+def _q_cdc_replay_csv(sf_dir: str):
+    """The SAME replay over a CSV re-publication of the change stream —
+    the delimited-text ingest surface, checked against the identical
+    SQL oracle: format must not change semantics (incl. the null-vs-
+    empty-string payload distinction validate's reject route depends
+    on).  The export is derived once per changelog cache."""
+    from nifi_processors_ray.synth import export_changelog_csv
+
+    pq_log = _changelog_dir(sf_dir)
+    cs = pq_log.rstrip("/") + "_csv"
+    marker = os.path.join(cs, "_DONE")
+    if not os.path.exists(marker):
+        export_changelog_csv(pq_log, cs)
+        with open(marker, "w") as f:
+            f.write("")
+    eng = _replayed_engine(sf_dir, changelog_paths=(cs,))
+    return eng.final_state(sort=True)
+
+
 def _q_cdc_rejected(sf_dir: str):
     return _replayed_engine(sf_dir).rejected().sort("seq")
 
@@ -620,6 +639,7 @@ _REGISTRY_ORDER = (
     "conversation_tool_profile",
     "conversation_tool_transitions",
     "cdc_hot_keys",
+    "cdc_replay_csv",
     # driver-green in some earlier round (union r1-r4):
     "cheapest_part_supplier",
     "priority_with_large_items",
@@ -745,6 +765,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "cdc_replay": _q_cdc_replay,
         "cdc_replay_mor": _q_cdc_replay_mor,
         "cdc_replay_jsonl": _q_cdc_replay_jsonl,
+        "cdc_replay_csv": _q_cdc_replay_csv,
         "cdc_rejected": _q_cdc_rejected,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_state_diff": _q_cdc_state_diff,
@@ -972,6 +993,9 @@ def oracle_sql() -> dict[str, str]:
     # the incremental view's converged contents ARE conversation_token_stats
     # (the whole point: dirty-group folds == one-shot recompute)
     sql["conv_stats_view_incremental"] = sql["conversation_token_stats"]
+    # format surfaces on the CDC path: the oracle is cdc_replay's —
+    # re-publication to JSONL/CSV must not change replay semantics
+    sql["cdc_replay_csv"] = sql["cdc_replay"]
     return sql
 
 

@@ -60,6 +60,50 @@ def _jsonl_read_table(p: str) -> pa.Table:
     )
 
 
+def _csv_convert_options():
+    """Arrow CSV conversion pinned to the changelog schema and the
+    null/empty-string convention the CSV export writes: an UNQUOTED
+    empty field is null, a QUOTED ``""`` is the empty string — so a
+    null payload still reaches validate's reject route after the
+    format hop.  Absent columns (early segments without ``tool``)
+    simply don't appear; the validate stage null-fills them like it
+    does for drifted parquet segments."""
+    from pyarrow import csv as pacsv
+
+    from ..schema import CHANGELOG_SCHEMA
+
+    return pacsv.ConvertOptions(
+        column_types={f.name: f.type for f in CHANGELOG_SCHEMA},
+        strings_can_be_null=True,
+        quoted_strings_can_be_null=False,
+    )
+
+
+def _csv_read_table(p: str) -> pa.Table:
+    """One CSV change-log segment, parsed under the tailer's pinned
+    conversion conventions (see :func:`_csv_convert_options`)."""
+    from pyarrow import csv as pacsv
+
+    return pacsv.read_csv(p, convert_options=_csv_convert_options())
+
+
+def _scan_one_csv(p: str) -> LogFileInfo | None:
+    """Seq bounds for a CSV segment — a FULL driver-side parse (CSV has
+    no footer statistics), same honesty note as the JSONL scan: O(file)
+    once per segment, amortized by the mtime/size scan cache."""
+    try:
+        t = _csv_read_table(p)
+    except (pa.ArrowInvalid, OSError):
+        return None  # half-written / vanished file: retry next scan
+    if t.num_rows == 0:
+        return None
+    seqs = t.column("seq")
+    lo, hi = pc.min(seqs).as_py(), pc.max(seqs).as_py()
+    if lo is None:
+        raise ValueError(f"changelog file has only null seq values: {p}")
+    return LogFileInfo(p, int(lo), int(hi), tuple(t.column_names))
+
+
 def _scan_one_jsonl(p: str) -> LogFileInfo | None:
     """Seq bounds for a JSONL segment — a FULL driver-side parse (JSON
     has no footer statistics).  Production-scale logs should tail
@@ -86,6 +130,8 @@ def _scan_one_jsonl(p: str) -> LogFileInfo | None:
 def _scan_one(p: str) -> LogFileInfo | None:
     if p.endswith(".jsonl"):
         return _scan_one_jsonl(p)
+    if p.endswith(".csv"):
+        return _scan_one_csv(p)
     try:
         md = pq.ParquetFile(p)
     except (pa.ArrowInvalid, OSError):
@@ -153,7 +199,7 @@ def discover_log_files(paths_or_dirs: list[str] | tuple[str, ...]) -> list[str]:
             files.extend(
                 os.path.join(p, f)
                 for f in sorted(os.listdir(p))
-                if f.endswith((".parquet", ".jsonl"))
+                if f.endswith((".parquet", ".jsonl", ".csv"))
             )
         else:
             files.append(p)
@@ -192,7 +238,8 @@ def read_window(
         # which would be unrecorded data loss.
         flt = flt | pc.field("seq").is_null()
     jsonl = [i for i in live if i.path.endswith(".jsonl")]
-    parq = [i for i in live if not i.path.endswith(".jsonl")]
+    csvs = [i for i in live if i.path.endswith(".csv")]
+    parq = [i for i in live if not i.path.endswith((".jsonl", ".csv"))]
     by_schema: dict[tuple[str, ...], list[str]] = {}
     for i in parq:
         by_schema.setdefault(i.columns, []).append(i.path)
@@ -207,22 +254,22 @@ def read_window(
         )
         for ps in by_schema.values()
     ]
+    def _window_filter(b: pa.Table) -> pa.Table:
+        # text formats have no row-group pushdown: the window filter runs
+        # as the first fused map over the parsed blocks instead (same
+        # predicate, including the TRIM_HORIZON null-seq surfacing)
+        m = pc.and_kleene(
+            pc.greater(b.column("seq"), pa.scalar(lo, pa.int64())),
+            pc.less_equal(b.column("seq"), pa.scalar(hi, pa.int64())),
+        )
+        if lo < 0:
+            m = pc.or_kleene(m, pc.is_null(b.column("seq")))
+        return b.filter(pc.fill_null(m, False))
+
     if jsonl:
-        # JSON has no row-group pushdown: the window filter runs as the
-        # first fused map over the parsed blocks instead (same predicate,
-        # including the TRIM_HORIZON null-seq surfacing)
         from pyarrow import json as pajson
 
         from ..schema import CHANGELOG_SCHEMA
-
-        def _window_filter(b: pa.Table) -> pa.Table:
-            m = pc.and_kleene(
-                pc.greater(b.column("seq"), pa.scalar(lo, pa.int64())),
-                pc.less_equal(b.column("seq"), pa.scalar(hi, pa.int64())),
-            )
-            if lo < 0:
-                m = pc.or_kleene(m, pc.is_null(b.column("seq")))
-            return b.filter(pc.fill_null(m, False))
 
         ds_j = ray.data.read_json(
             [i.path for i in jsonl],
@@ -235,6 +282,23 @@ def read_window(
             ),
         )
         parts.append(ds_j.map_batches(_window_filter, batch_format="pyarrow"))
+    if csvs:
+        # CSV segments group by physical columns like parquet (absent
+        # columns — schema evolution — yield per-group uniform schemas;
+        # the validate stage unifies across groups)
+        csv_by_schema: dict[tuple[str, ...], list[str]] = {}
+        for i in csvs:
+            csv_by_schema.setdefault(i.columns, []).append(i.path)
+        for ps in csv_by_schema.values():
+            ds_c = ray.data.read_csv(
+                ps,
+                convert_options=_csv_convert_options(),
+                concurrency=concurrency,
+                override_num_blocks=(
+                    max(1, num_blocks * len(ps) // len(live)) if num_blocks else None
+                ),
+            )
+            parts.append(ds_c.map_batches(_window_filter, batch_format="pyarrow"))
     ds = parts[0]
     for other in parts[1:]:
         ds = ds.union(other)

@@ -333,6 +333,33 @@ def write_generated_changelog(
     return paths
 
 
+def export_changelog_csv(parquet_dir: str, out_dir: str) -> list[str]:
+    """Re-publish a parquet change log as CSV segments (one per file) —
+    the delimited-text ingest surface of the tailer.
+
+    Arrow's CSV writer/reader pair is lossless for the changelog schema
+    under the tailer's read conventions: null string → unquoted empty
+    field, empty string → quoted ``""`` (so validate's null-payload
+    reject survives the format hop), embedded newlines/commas/quotes
+    ride inside quoting, timestamps round-trip at microsecond
+    precision, and absent columns (schema evolution) stay absent.  A
+    test/bench utility: production logs should stay parquet
+    (footer-stats offset pruning)."""
+    import pyarrow.csv as _pacsv
+    import pyarrow.parquet as _pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    outs = []
+    for f in sorted(os.listdir(parquet_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = _pq.read_table(os.path.join(parquet_dir, f))
+        p = os.path.join(out_dir, f[: -len(".parquet")] + ".csv")
+        _pacsv.write_csv(t, p)
+        outs.append(p)
+    return outs
+
+
 def export_changelog_jsonl(parquet_dir: str, out_dir: str) -> list[str]:
     """Re-publish a parquet change log as JSONL segments (one per file,
     ISO-8601 microsecond timestamps, absent columns stay absent keys so

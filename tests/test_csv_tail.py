@@ -1,0 +1,138 @@
+"""CSV change-stream ingest surface: the tailer consumes delimited-text
+segments with the same window, validation, schema-evolution and
+convergence semantics as parquet — including the null-vs-empty-string
+payload distinction validate's reject route depends on (unquoted empty
+field = null, quoted "" = empty string)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from nifi_processors_ray.config import EngineConfig
+from nifi_processors_ray.pipelines.replay import CdcEngine
+from nifi_processors_ray.synth import (
+    export_changelog_csv,
+    write_changelog_from_events,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _engine(tmp_path, name, log_dirs):
+    return CdcEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / name),
+            changelog_paths=tuple(log_dirs),
+            num_partitions=8,
+            salt_factor=2,
+            epoch_events=100_000,
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def logs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("csv_logs")
+    pq_dir = str(base / "pq")
+    write_changelog_from_events(SF_DIR, pq_dir, files=4)
+    cs_dir = str(base / "cs")
+    export_changelog_csv(pq_dir, cs_dir)
+    return pq_dir, cs_dir
+
+
+def test_csv_replay_matches_parquet_replay(ray_session, tmp_path, logs):
+    pq_dir, cs_dir = logs
+    a = _engine(tmp_path, "lake_pq", [pq_dir])
+    b = _engine(tmp_path, "lake_cs", [cs_dir])
+    a.replay()
+    b.replay()
+    fa = a.final_state(sort=True).to_pandas().reset_index(drop=True)
+    fb = b.final_state(sort=True).to_pandas().reset_index(drop=True)
+    assert fa.equals(fb), "CSV replay diverged from parquet replay"
+    ra = a.rejected().to_pandas().sort_values("seq").reset_index(drop=True)
+    rb = b.rejected().to_pandas().sort_values("seq").reset_index(drop=True)
+    assert ra.equals(rb), "CSV reject routing diverged"
+
+
+def test_three_format_mixed_log_replays(ray_session, tmp_path, logs):
+    """Segments split across parquet, JSONL and CSV in ONE log
+    directory — every per-format window path and their union agree."""
+    import shutil
+
+    from nifi_processors_ray.synth import export_changelog_jsonl
+
+    pq_dir, cs_dir = logs
+    js_dir = str(tmp_path / "js")
+    export_changelog_jsonl(pq_dir, js_dir)
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    pq_files = sorted(f for f in os.listdir(pq_dir) if f.endswith(".parquet"))
+    for i, f in enumerate(pq_files):
+        stem = f[: -len(".parquet")]
+        if i % 3 == 0:
+            shutil.copy(os.path.join(pq_dir, f), mixed / f)
+        elif i % 3 == 1:
+            shutil.copy(os.path.join(js_dir, stem + ".jsonl"), mixed / (stem + ".jsonl"))
+        else:
+            shutil.copy(os.path.join(cs_dir, stem + ".csv"), mixed / (stem + ".csv"))
+
+    ref = _engine(tmp_path, "lake_ref", [pq_dir])
+    mix = _engine(tmp_path, "lake_mix", [str(mixed)])
+    ref.replay()
+    mix.replay()
+    fr = ref.final_state(sort=True).to_pandas().reset_index(drop=True)
+    fm = mix.final_state(sort=True).to_pandas().reset_index(drop=True)
+    assert fr.equals(fm), "three-format mixed replay diverged"
+
+
+def test_csv_null_vs_empty_payload_round_trip(tmp_path):
+    """The lossless contract the CSV surface stands on: null text (a
+    reject on non-deletes) and EMPTY text (a legal payload) survive the
+    format hop distinctly, as do control characters, embedded
+    newlines/quotes/commas, unicode and µs timestamps."""
+    import pyarrow.csv as pacsv
+
+    from nifi_processors_ray.sources.tailer import _csv_read_table
+
+    t = pa.table(
+        {
+            "seq": pa.array([1, 2, 3, 4], pa.int64()),
+            "op": pa.array(["I", "I", "U", "D"], pa.string()),
+            "conv_id": pa.array(['c,"x"\n1', "c\x1f2", "é😀", "c4"], pa.string()),
+            "turn_idx": pa.array([0, 1, None, 3], pa.int32()),
+            "role": pa.array(["user", None, "assistant", None], pa.string()),
+            "text": pa.array(["", None, "a,b\n\"q\"", "z"], pa.string()),
+            "tool": pa.array([None, "search", None, None], pa.string()),
+            "ts": pa.array([0, 1755555555123456, None, 42], pa.timestamp("us")),
+            "batch_id": pa.array(["b1", "b1", "b2", "b2"], pa.string()),
+        }
+    )
+    p = str(tmp_path / "seg.csv")
+    pacsv.write_csv(t, p)
+    back = _csv_read_table(p)
+    for c in t.column_names:
+        assert back.column(c).equals(t.column(c)), c
+    # the distinction that matters downstream: row 1 empty text (valid
+    # payload), row 2 null text (reject on a non-delete)
+    assert back.column("text")[0].as_py() == ""
+    assert not back.column("text")[1].is_valid
+
+
+def test_csv_scan_bounds_and_window(tmp_path, logs):
+    from nifi_processors_ray.sources import tailer
+
+    pq_dir, cs_dir = logs
+    files = [os.path.join(cs_dir, f) for f in sorted(os.listdir(cs_dir)) if f.endswith(".csv")]
+    infos = tailer.scan_log(files)
+    assert len(infos) == len(files)
+    pq_infos = tailer.scan_log(
+        [os.path.join(pq_dir, f) for f in sorted(os.listdir(pq_dir)) if f.endswith(".parquet")]
+    )
+    assert [(i.seq_min, i.seq_max) for i in infos] == [
+        (i.seq_min, i.seq_max) for i in pq_infos
+    ], "CSV seq bounds diverged from parquet footer stats"
+    # schema evolution: the export keeps early tool-less segments tool-less
+    assert "tool" not in infos[0].columns
+    assert "tool" in infos[-1].columns
