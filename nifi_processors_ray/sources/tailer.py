@@ -79,12 +79,24 @@ def _csv_convert_options():
     )
 
 
+def _csv_parse_options():
+    """``newlines_in_values=True``: transcript text legitimately embeds
+    newlines (quoted by the writer), and Arrow's default rejects them
+    once a file is large enough to parse in chunks.  Costs intra-file
+    parse parallelism; the segment SET provides the parallelism."""
+    from pyarrow import csv as pacsv
+
+    return pacsv.ParseOptions(newlines_in_values=True)
+
+
 def _csv_read_table(p: str) -> pa.Table:
     """One CSV change-log segment, parsed under the tailer's pinned
     conversion conventions (see :func:`_csv_convert_options`)."""
     from pyarrow import csv as pacsv
 
-    return pacsv.read_csv(p, convert_options=_csv_convert_options())
+    return pacsv.read_csv(
+        p, convert_options=_csv_convert_options(), parse_options=_csv_parse_options()
+    )
 
 
 def _scan_one_csv(p: str) -> LogFileInfo | None:
@@ -293,6 +305,7 @@ def read_window(
             ds_c = ray.data.read_csv(
                 ps,
                 convert_options=_csv_convert_options(),
+                parse_options=_csv_parse_options(),
                 concurrency=concurrency,
                 override_num_blocks=(
                     max(1, num_blocks * len(ps) // len(live)) if num_blocks else None

@@ -136,3 +136,44 @@ def test_csv_scan_bounds_and_window(tmp_path, logs):
     # schema evolution: the export keeps early tool-less segments tool-less
     assert "tool" not in infos[0].columns
     assert "tool" in infos[-1].columns
+
+
+def test_csv_replay_with_embedded_newlines(ray_session, tmp_path):
+    """Multi-line transcript text (quoted by the CSV writer) must replay
+    identically to parquet — newlines_in_values is pinned on, so chunked
+    parses of large segments cannot reject legal payloads."""
+    import pyarrow.parquet as pq
+
+    from nifi_processors_ray.schema import CHANGELOG_SCHEMA
+
+    n = 600
+    t = pa.table(
+        {
+            "seq": pa.array(range(n), pa.int64()),
+            "op": pa.array(["I"] * n, pa.string()),
+            "conv_id": pa.array([f"c{i % 7}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array([i // 7 for i in range(n)], pa.int32()),
+            "role": pa.array(["user", "assistant"] * (n // 2), pa.string()),
+            "text": pa.array(
+                [f"line one {i}\nline two, with comma\n\"quoted\" tail" for i in range(n)],
+                pa.string(),
+            ),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array(range(n), pa.timestamp("us")),
+            "batch_id": pa.array(["b"] * n, pa.string()),
+        }
+    ).cast(CHANGELOG_SCHEMA)
+    pq_dir = tmp_path / "pq"
+    pq_dir.mkdir()
+    pq.write_table(t, str(pq_dir / "changelog-0.parquet"))
+    cs_dir = str(tmp_path / "cs")
+    export_changelog_csv(str(pq_dir), cs_dir)
+
+    a = _engine(tmp_path, "lake_pq", [str(pq_dir)])
+    b = _engine(tmp_path, "lake_cs", [cs_dir])
+    a.replay()
+    b.replay()
+    fa = a.final_state(sort=True).to_pandas().reset_index(drop=True)
+    fb = b.final_state(sort=True).to_pandas().reset_index(drop=True)
+    assert fa.equals(fb)
+    assert fa["text"].str.contains("\n").all()
