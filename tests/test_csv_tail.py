@@ -177,3 +177,73 @@ def test_csv_replay_with_embedded_newlines(ray_session, tmp_path):
     fb = b.final_state(sort=True).to_pandas().reset_index(drop=True)
     assert fa.equals(fb)
     assert fa["text"].str.contains("\n").all()
+
+
+def test_csv_null_seq_rows_rejected_not_lost(ray_session, tmp_path):
+    """A CSV row with an empty (unquoted) seq field is a null seq: the
+    TRIM_HORIZON window must surface it to validate's reject route
+    exactly once — same contract as the parquet path."""
+    import pyarrow.csv as pacsv
+
+    from nifi_processors_ray.synth import generate_changelog
+
+    ch = generate_changelog(200, n_convs=10, invalid_frac=0.0)
+    seqs = ch.column("seq").to_pylist()
+    seqs[5] = None
+    ch = ch.set_column(0, "seq", pa.array(seqs, pa.int64()))
+    log = tmp_path / "log"
+    log.mkdir()
+    pacsv.write_csv(ch, str(log / "changelog-0.csv"))
+    eng = _engine(tmp_path, "lake", [str(log)])
+    eng.replay()
+    rej = eng.rejected().to_pandas()
+    assert (rej["reject_reason"] == "null_seq").sum() == 1
+    # accounted exactly once even across a re-replay
+    eng2 = _engine(tmp_path, "lake", [str(log)])
+    eng2.replay()
+    assert (eng2.rejected().to_pandas()["reject_reason"] == "null_seq").sum() == 1
+
+
+def test_csv_tail_resume_across_engines(ray_session, tmp_path, logs):
+    """Mid-stream stop + fresh-engine resume over a CSV log, with a new
+    CSV segment landing between runs — convergence must equal the
+    one-shot parquet replay (the watermark/offset machinery is
+    format-agnostic)."""
+    import shutil
+
+    pq_dir, cs_dir = logs
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    cs_files = sorted(f for f in os.listdir(cs_dir) if f.endswith(".csv"))
+    # start with all but the last segment
+    for f in cs_files[:-1]:
+        shutil.copy(os.path.join(cs_dir, f), staged / f)
+
+    eng = CdcEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake_resume"),
+            changelog_paths=(str(staged),),
+            num_partitions=8,
+            salt_factor=2,
+            epoch_events=300,  # several epochs, stop after 2
+        )
+    )
+    eng.replay(max_epochs=2)
+    # the last segment arrives; a FRESH engine resumes from the manifest
+    shutil.copy(os.path.join(cs_dir, cs_files[-1]), staged / cs_files[-1])
+    eng2 = CdcEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake_resume"),
+            changelog_paths=(str(staged),),
+            num_partitions=8,
+            salt_factor=2,
+            epoch_events=300,
+        )
+    )
+    eng2.replay()
+
+    ref = _engine(tmp_path, "lake_oneshot", [pq_dir])
+    ref.replay()
+    got = eng2.final_state(sort=True).to_pandas().reset_index(drop=True)
+    want = ref.final_state(sort=True).to_pandas().reset_index(drop=True)
+    assert got.equals(want), "CSV resume diverged from one-shot parquet replay"
