@@ -89,3 +89,32 @@ def test_jsonl_schema_evolution_preserved(logs):
     with open(os.path.join(js_dir, first)) as f:
         row = json.loads(f.readline())
     assert "seq" in row and "conv_id" in row
+
+
+def test_jsonl_null_seq_rows_rejected_not_lost(ray_session, tmp_path):
+    """A JSONL record with a null seq surfaces to the reject route
+    exactly once on the initial window — same contract as parquet/CSV
+    (the text-format window filter's TRIM_HORIZON null-seq branch)."""
+    from nifi_processors_ray.synth import generate_changelog
+
+    ch = generate_changelog(200, n_convs=10, invalid_frac=0.0)
+    seqs = ch.column("seq").to_pylist()
+    seqs[5] = None
+    import pyarrow as pa
+
+    ch = ch.set_column(0, "seq", pa.array(seqs, pa.int64()))
+    log = tmp_path / "log"
+    log.mkdir()
+    # hand-encode: pandas to_json float-coerces a nullable int column
+    # ("seq":0.0), which the tailer's explicit int64 schema refuses —
+    # a real producer writes integer (or null) seq
+    import json
+
+    with open(str(log / "changelog-0.jsonl"), "w") as f:
+        for row in ch.to_pylist():
+            row["ts"] = row["ts"].isoformat() if row["ts"] is not None else None
+            f.write(json.dumps(row) + "\n")
+    eng = _engine(tmp_path, "lake", [str(log)])
+    eng.replay()
+    rej = eng.rejected().to_pandas()
+    assert (rej["reject_reason"] == "null_seq").sum() == 1
