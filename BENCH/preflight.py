@@ -90,7 +90,14 @@ def main() -> int:
                         gv, ov = g[c], o[c]
                         if gv.dtype != ov.dtype:
                             try:
-                                ov = ov.astype(gv.dtype)
+                                cast = ov.astype(gv.dtype)
+                                # refuse LOSSY casts (e.g. float 2.5 ->
+                                # int 2 would mask real value drift as a
+                                # pass): the cast must round-trip
+                                if not cast.astype(ov.dtype).equals(ov):
+                                    ok = False
+                                    break
+                                ov = cast
                             except (TypeError, ValueError):
                                 ok = False
                                 break

@@ -158,22 +158,29 @@ def _mor_engine(sf_dir: str) -> CdcEngine:
     )
 
 
+def _republished_engine(sf_dir: str, suffix: str, export_fn):
+    """Replayed engine over a re-publication of the parquet change log in
+    another format (derived once per changelog cache, `_DONE`-marked)."""
+    pq_log = _changelog_dir(sf_dir)
+    out = pq_log.rstrip("/") + suffix
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        export_fn(pq_log, out)
+        with open(marker, "w") as f:
+            f.write("")
+    return _replayed_engine(sf_dir, changelog_paths=(out,))
+
+
 def _q_cdc_replay_jsonl(sf_dir: str):
     """The SAME replay over a JSONL re-publication of the change stream —
     the JSON-stream ingest surface (the reference's payloads are JSON),
     checked against the identical SQL oracle: format must not change
-    semantics.  The export is derived once per changelog cache."""
+    semantics."""
     from nifi_processors_ray.synth import export_changelog_jsonl
 
-    pq_log = _changelog_dir(sf_dir)
-    js = pq_log.rstrip("/") + "_jsonl"
-    marker = os.path.join(js, "_DONE")
-    if not os.path.exists(marker):
-        export_changelog_jsonl(pq_log, js)
-        with open(marker, "w") as f:
-            f.write("")
-    eng = _replayed_engine(sf_dir, changelog_paths=(js,))
-    return eng.final_state(sort=True)
+    return _republished_engine(sf_dir, "_jsonl", export_changelog_jsonl).final_state(
+        sort=True
+    )
 
 
 def _q_cdc_time_travel(sf_dir: str):
@@ -300,18 +307,12 @@ def _q_cdc_replay_csv(sf_dir: str):
     the delimited-text ingest surface, checked against the identical
     SQL oracle: format must not change semantics (incl. the null-vs-
     empty-string payload distinction validate's reject route depends
-    on).  The export is derived once per changelog cache."""
+    on)."""
     from nifi_processors_ray.synth import export_changelog_csv
 
-    pq_log = _changelog_dir(sf_dir)
-    cs = pq_log.rstrip("/") + "_csv"
-    marker = os.path.join(cs, "_DONE")
-    if not os.path.exists(marker):
-        export_changelog_csv(pq_log, cs)
-        with open(marker, "w") as f:
-            f.write("")
-    eng = _replayed_engine(sf_dir, changelog_paths=(cs,))
-    return eng.final_state(sort=True)
+    return _republished_engine(sf_dir, "_csv", export_changelog_csv).final_state(
+        sort=True
+    )
 
 
 def _q_cdc_rejected(sf_dir: str):

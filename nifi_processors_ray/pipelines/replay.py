@@ -1098,7 +1098,6 @@ class CdcEngine:
         from ray.data.aggregate import Sum
 
         from ..functions.debug import null_safe_groupby_agg, null_safe_sort
-        from ..stages.validate import validate_batch
 
         empty = pa.table(
             {
@@ -1113,10 +1112,21 @@ class CdcEngine:
         # the consumed window is (start position, head watermark]: epoch 0
         # pins the start (LATEST lakes pin it to the head seq at first
         # start — events before it were never consumed and must not be
-        # counted); an expired genesis falls back to the full log, which
-        # is exact for TRIM_HORIZON lakes (the only kind that can replay
-        # a years-long log anyway)
+        # counted).  An expired genesis falls back to the full log, which
+        # is exact for TRIM_HORIZON lakes; for a LATEST lake the start
+        # position is unrecoverable, so fail LOUD rather than silently
+        # over-counting pre-position events (same contract as the
+        # expired-history changefeed guard above)
+        from ..config import LATEST
+
         man0 = self.store.at_epoch(0)
+        if man0 is None and self.cfg.initial_position == LATEST:
+            raise ValueError(
+                "hot_keys on a LATEST lake whose genesis manifest was expired: "
+                "the pinned start position is unrecoverable (expire_snapshots "
+                "kept too little history), so the consumed window cannot be "
+                "bounded — the report would over-count never-consumed events"
+            )
         lo = man0.min_watermark if man0 is not None else -1
         if man is None or man.min_watermark <= lo:
             # nothing consumed yet — schema-stable empty report (an

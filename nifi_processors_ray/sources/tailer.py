@@ -99,44 +99,40 @@ def _csv_read_table(p: str) -> pa.Table:
     )
 
 
-def _scan_one_csv(p: str) -> LogFileInfo | None:
-    """Seq bounds for a CSV segment — a FULL driver-side parse (CSV has
-    no footer statistics), same honesty note as the JSONL scan: O(file)
-    once per segment, amortized by the mtime/size scan cache."""
+def _scan_one_text(p: str, read_table) -> LogFileInfo | None:
+    """Shared seq-bounds scan for the text formats (JSONL/CSV) — a FULL
+    driver-side parse (no footer statistics).  Production-scale logs
+    should tail parquet segments (O(footer) scans); the text surfaces
+    exist for stream parity with the reference and their scan cost is
+    honest: O(file) once per segment, amortized by the engine's
+    mtime/size scan cache exactly like parquet footers."""
     try:
-        t = _csv_read_table(p)
-    except (pa.ArrowInvalid, OSError):
-        return None  # half-written / vanished file: retry next scan
-    if t.num_rows == 0:
-        return None
-    seqs = t.column("seq")
-    lo, hi = pc.min(seqs).as_py(), pc.max(seqs).as_py()
-    if lo is None:
-        raise ValueError(f"changelog file has only null seq values: {p}")
-    return LogFileInfo(p, int(lo), int(hi), tuple(t.column_names))
-
-
-def _scan_one_jsonl(p: str) -> LogFileInfo | None:
-    """Seq bounds for a JSONL segment — a FULL driver-side parse (JSON
-    has no footer statistics).  Production-scale logs should tail
-    parquet segments (O(footer) scans); the JSONL surface exists for
-    JSON-stream parity with the reference and its scan cost is honest:
-    O(file) once per segment, amortized by the engine's mtime/size scan
-    cache exactly like parquet footers."""
-    try:
-        t = _jsonl_read_table(p)
+        t = read_table(p)
     except (pa.ArrowInvalid, OSError):
         return None  # half-written / vanished file: retry next scan
     if t.num_rows == 0:
         return None  # empty segment: contributes nothing to any window
+    if "seq" not in t.column_names:
+        # same error contract as the parquet scan: name the bad file
+        # (JSONL is immune — the explicit schema injects the column —
+        # but a headerless/misproduced CSV hits this)
+        raise ValueError(f"changelog file has no 'seq' column: {p}")
     seqs = t.column("seq")
     lo, hi = pc.min(seqs).as_py(), pc.max(seqs).as_py()
     if lo is None:
         raise ValueError(f"changelog file has only null seq values: {p}")
     # physical columns = keys actually present (absent keys parse all-null
-    # under the explicit schema): report only non-null-bearing names so
-    # drifted segments group like their parquet counterparts
+    # under an explicit schema): report only the present names so drifted
+    # segments group like their parquet counterparts
     return LogFileInfo(p, int(lo), int(hi), tuple(t.column_names))
+
+
+def _scan_one_csv(p: str) -> LogFileInfo | None:
+    return _scan_one_text(p, _csv_read_table)
+
+
+def _scan_one_jsonl(p: str) -> LogFileInfo | None:
+    return _scan_one_text(p, _jsonl_read_table)
 
 
 def _scan_one(p: str) -> LogFileInfo | None:

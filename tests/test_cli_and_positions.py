@@ -424,3 +424,30 @@ def test_hot_keys_latest_position_counts_only_consumed_events(tmp_path):
     v = validate_batch(extra)
     n_valid = int(pc.sum(pc.is_null(v.column("reject_reason"))).as_py() or 0)
     assert int(rep["n_changes"].sum()) == n_valid
+
+
+def test_hot_keys_latest_expired_genesis_fails_loud(ray_session, tmp_path):
+    """A LATEST lake whose genesis manifest was expired cannot bound the
+    consumed window: hot_keys must refuse rather than silently count
+    never-consumed pre-position events."""
+    log = str(tmp_path / "log")
+    write_generated_changelog(log, 2000, files=2, n_convs=20)
+    eng = CdcEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake"),
+            changelog_paths=(log,),
+            num_partitions=4,
+            salt_factor=2,
+            epoch_events=300,
+            initial_position=LATEST,
+        )
+    )
+    eng.replay()  # pins at head
+    extra = generate_changelog(900, n_convs=20, seed=7)
+    extra = extra.set_column(0, "seq", pa.array(np.asarray(extra.column("seq")) + 2000))
+    pq.write_table(extra, f"{log}/changelog-99999.parquet")
+    eng.log_infos(refresh=True)
+    eng.replay()  # 3 epochs of 300
+    eng.expire_snapshots(keep_last=1)  # genesis gone
+    with pytest.raises(ValueError, match="LATEST lake.*genesis"):
+        eng.hot_keys()

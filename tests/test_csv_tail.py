@@ -247,3 +247,15 @@ def test_csv_tail_resume_across_engines(ray_session, tmp_path, logs):
     got = eng2.final_state(sort=True).to_pandas().reset_index(drop=True)
     want = ref.final_state(sort=True).to_pandas().reset_index(drop=True)
     assert got.equals(want), "CSV resume diverged from one-shot parquet replay"
+
+
+def test_csv_missing_seq_column_names_the_file(tmp_path):
+    """A misproduced CSV without a seq header raises the parquet-path
+    error contract: ValueError naming the bad file."""
+    from nifi_processors_ray.sources import tailer
+
+    p = str(tmp_path / "noseq.csv")
+    with open(p, "w") as f:
+        f.write("x,y\n1,2\n")
+    with pytest.raises(ValueError, match="no 'seq' column.*noseq.csv"):
+        tailer.scan_log([p])
