@@ -264,3 +264,84 @@ def test_tool_transitions_skip_non_tool_turns_and_conv_boundaries(ray_session):
         (r.prev_tool, r.next_tool): r.n for r in got.itertuples(index=False)
     }
     assert pairs == {("search", "python"): 1, ("python", "search"): 1}
+
+
+def test_tool_profile_matches_duckdb_on_random_blocks(ray_session):
+    """Randomized oracle for the tool-profile pipeline: null tools, null
+    conv_ids, repeated (tool, conv) pairs — engine == DuckDB."""
+    import duckdb
+    import numpy as np
+
+    from nifi_processors_ray.pipelines.conversations import tool_profile
+
+    rng = np.random.default_rng(23)
+    tools = ["search", "python", "browser", None, None, None]
+    convs = [f"c{i}" for i in range(12)] + [None]
+    rows = [
+        (convs[int(rng.integers(0, len(convs)))], tools[int(rng.integers(0, len(tools)))])
+        for _ in range(400)
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "tool": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    got = tool_profile(ray.data.from_arrow(t)).to_pandas()
+    con = duckdb.connect()
+    con.register("state", t)
+    want = con.sql(
+        """
+        SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_calls,
+               CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM state WHERE tool IS NOT NULL
+        GROUP BY tool ORDER BY tool
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_tool_transitions_match_duckdb_on_random_blocks(ray_session):
+    """Randomized oracle for the tool-transition pipeline: sparse tool
+    turns, null conv_ids, unordered input — engine == DuckDB."""
+    import duckdb
+    import numpy as np
+
+    from nifi_processors_ray.pipelines.conversations import tool_transitions
+
+    rng = np.random.default_rng(29)
+    tools = ["search", "python", "browser", None, None]
+    rows = []
+    for c in list(range(15)) + [None]:
+        cid = f"c{c:02d}" if c is not None else None
+        turns = list(range(int(rng.integers(1, 10))))
+        rng.shuffle(turns)  # input order must not matter
+        for t_idx in turns:
+            rows.append((cid, t_idx, tools[int(rng.integers(0, len(tools)))]))
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "tool": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    got = tool_transitions(ray.data.from_arrow(t)).to_pandas()
+    con = duckdb.connect()
+    con.register("state", t)
+    want = con.sql(
+        """
+        WITH s AS (SELECT conv_id, turn_idx, tool FROM state WHERE tool IS NOT NULL),
+        steps AS (
+          SELECT tool AS next_tool,
+                 LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+          FROM s)
+        SELECT prev_tool, next_tool, CAST(COUNT(*) AS BIGINT) AS n
+        FROM steps WHERE prev_tool IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
