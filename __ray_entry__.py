@@ -498,6 +498,16 @@ def _q_conversation_tool_transitions(sf_dir: str):
     return tool_transitions(eng.final_state())
 
 
+def _q_conversation_daily_activity(sf_dir: str):
+    """Lake freshness/volume profile: turns and distinct active
+    conversations per UTC day over the converged state (exact int64
+    floor-division day buckets; null ts excluded like the twin)."""
+    from nifi_processors_ray.pipelines.conversations import daily_activity
+
+    eng = _replayed_engine(sf_dir)
+    return daily_activity(eng.final_state())
+
+
 def _q_conv_stats_view_incremental(sf_dir: str):
     """Incremental materialized view under the driver gate: a multi-epoch
     replay folds each epoch's dirty conversations into the PARTITIONED
@@ -641,6 +651,7 @@ _REGISTRY_ORDER = (
     "conversation_tool_transitions",
     "cdc_hot_keys",
     "cdc_replay_csv",
+    "conversation_daily_activity",
     # driver-green in some earlier round (union r1-r4):
     "cheapest_part_supplier",
     "priority_with_large_items",
@@ -785,6 +796,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "conversation_turn_gaps": _q_conversation_turn_gaps,
         "conversation_tool_profile": _q_conversation_tool_profile,
         "conversation_tool_transitions": _q_conversation_tool_transitions,
+        "conversation_daily_activity": _q_conversation_daily_activity,
         "conversation_search": _q_conversation_search,
         "conversation_search_indexed": _q_conversation_search_indexed,
         "conversation_dedup": _q_conversation_dedup,
@@ -1235,6 +1247,25 @@ FROM steps
 WHERE prev_role = 'user' AND next_role = 'assistant'
 GROUP BY conv_id
 ORDER BY conv_id
+""",
+        "conversation_daily_activity": f"""
+WITH {CHANGELOG_FROM_EVENTS_CTE},
+valid AS (SELECT * FROM _ch WHERE {VALID_PREDICATE_SQL}),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM valid
+),
+state AS (SELECT conv_id, ts FROM latest WHERE rn = 1 AND op <> 'D')
+-- date_trunc is a calendar FLOOR (DuckDB's integer // truncates toward
+-- zero, which would split pre-1970 days differently from the engine's
+-- floor_divide); after truncation the division is an exact multiple
+SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM state
+WHERE ts IS NOT NULL
+GROUP BY day
+ORDER BY day
 """,
         "conversation_tool_profile": f"""
 WITH {CHANGELOG_FROM_EVENTS_CTE},

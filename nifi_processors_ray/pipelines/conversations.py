@@ -303,6 +303,87 @@ def tool_profile(transcripts: ray.data.Dataset) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# lake analytics: daily activity profile of the converged lake
+# ---------------------------------------------------------------------------
+
+US_PER_DAY = 86_400_000_000
+
+
+def _daily_activity_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (day, conv_id → turns) partials — the combiner bounds
+    the exchange by distinct (day, conv) pairs per batch.  Null ts has
+    no day and is dropped, mirroring the twin's ``WHERE ts IS NOT
+    NULL``; the day is integer floor division of epoch-µs (exact — no
+    double rounding at day boundaries), matching the twin's ``//``."""
+    b = batch.filter(pc.is_valid(batch.column("ts")))
+    # exact int64 floor division (toward -inf, so pre-1970 epochs land
+    # on the correct day) — matches the twin's BIGINT // BIGINT
+    us = np.asarray(b.column("ts").combine_chunks().cast(pa.int64()))
+    day = pa.array(np.floor_divide(us, US_PER_DAY), pa.int64())
+    g = (
+        pa.table({"day": day, "conv_id": b.column("conv_id")})
+        .group_by(["day", "conv_id"])
+        .aggregate([([], "count_all")])
+    )
+    return pa.table(
+        {
+            "day": g.column("day"),
+            "conv_id": g.column("conv_id"),
+            "n": g.column("count_all"),
+        }
+    )
+
+
+def _daily_activity_finish_partial(b: pa.Table) -> pa.Table:
+    """Globally-unique (day, conv, turns) rows folded to per-day
+    partials: turn totals keep every row, the conversation count skips
+    null conv_ids (``COUNT(DISTINCT conv_id)`` semantics)."""
+    g = (
+        pa.table(
+            {
+                "day": b.column("day"),
+                "n": b.column("n"),
+                "conv_flag": pc.is_valid(b.column("conv_id")).cast(pa.int64()),
+            }
+        )
+        .group_by(["day"])
+        .aggregate([("n", "sum"), ("conv_flag", "sum")])
+    )
+    return pa.table(
+        {
+            "day": g.column("day"),
+            "n_turns": g.column("n_sum"),
+            "n_convs": g.column("conv_flag_sum"),
+        }
+    )
+
+
+def daily_activity(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Lake freshness/volume profile: turns and distinct active
+    conversations per UTC day over the converged state — the calendar
+    rollup an operator reads next to the churn audit.  Same exchange
+    discipline as :func:`tool_profile`: (day, conv) pair partials bound
+    the one row-scale shuffle; the per-day fold is partial-combined."""
+    from ray.data.aggregate import Sum
+
+    cols = transcripts.select_columns(["conv_id", "ts"])
+    pairs = null_safe_groupby_agg(
+        cols.map_batches(_daily_activity_partial, batch_format="pyarrow"),
+        ["day", "conv_id"],
+        Sum("n", alias_name="n"),
+        out_types={"n": pa.int64()},
+    )
+    agg = null_safe_groupby_agg(
+        pairs.map_batches(_daily_activity_finish_partial, batch_format="pyarrow"),
+        "day",
+        Sum("n_turns", alias_name="n_turns"),
+        Sum("n_convs", alias_name="n_convs"),
+        out_types={"n_turns": pa.int64(), "n_convs": pa.int64()},
+    )
+    return null_safe_sort(agg, "day")
+
+
+# ---------------------------------------------------------------------------
 # lake analytics: tool-chain structure (which tool follows which)
 # ---------------------------------------------------------------------------
 

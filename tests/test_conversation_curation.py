@@ -345,3 +345,46 @@ def test_tool_transitions_match_duckdb_on_random_blocks(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_daily_activity_matches_duckdb_incl_pre_1970(ray_session):
+    """Randomized oracle for the daily-activity rollup, including
+    negative (pre-1970) epochs — floor-division day buckets must agree
+    with DuckDB's BIGINT // toward -inf, and null ts rows are excluded."""
+    import duckdb
+    import numpy as np
+
+    from nifi_processors_ray.pipelines.conversations import daily_activity
+
+    rng = np.random.default_rng(31)
+    us = [
+        None if rng.random() < 0.1
+        else int(rng.integers(-3 * 86_400_000_000, 3 * 86_400_000_000))
+        for _ in range(500)
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array(
+                [f"c{int(rng.integers(0, 20))}" if rng.random() > 0.05 else None
+                 for _ in range(500)],
+                pa.string(),
+            ),
+            "ts": pa.array(us, pa.timestamp("us")),
+        }
+    )
+    got = daily_activity(ray.data.from_arrow(t)).to_pandas()
+    con = duckdb.connect()
+    con.register("state", t)
+    want = con.sql(
+        """
+        SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM state WHERE ts IS NOT NULL
+        GROUP BY day ORDER BY day
+        """
+    ).df()
+    assert (got["day"] < 0).any(), "fixture must exercise pre-1970 buckets"
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
